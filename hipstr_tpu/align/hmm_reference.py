@@ -1,0 +1,503 @@
+"""Reference-semantics oracle for the stutter-aware read<->haplotype HMM.
+
+A literal, unvectorized transcription of the reference's forward pass
+(reference: src/SeqAlignment/HapAligner.cpp:26-231 `align_seq_to_hap` /
+`compute_aln_logprob` and src/SeqAlignment/StutterAlignerClass.cpp).  It runs
+per (read, haplotype) in pure Python/numpy and exists for two jobs:
+
+1. Ground truth for the batched TPU kernel (tests compare the kernel's LL
+   against this oracle on randomized inputs).
+2. The host-side single-alignment recompute used for traceback (the device
+   returns best-hap / best-artifact summaries; the rare reads that need a full
+   alignment string re-run here).
+
+The only intentional numerical difference vs the C++: log-sum-exp here is
+exact (the reference uses the Mineiro fast-math approximation,
+src/mathops.cpp:97-106).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..models.alignment_model import (
+    LOG_DEL_TO_DEL,
+    LOG_DEL_TO_MATCH,
+    LOG_INS_TO_INS,
+    LOG_INS_TO_MATCH,
+    LOG_MATCH_TO_DEL,
+    LOG_MATCH_TO_INS,
+    LOG_MATCH_TO_MATCH,
+    MAX_HOMOP_LEN,
+)
+from .haplotype import Haplotype, RepeatInfo
+
+IMPOSSIBLE = -1000000000.0
+
+
+def _lse(vals) -> float:
+    vals = np.asarray(vals, dtype=np.float64)
+    m = vals.max()
+    return float(m + np.log(np.sum(np.exp(vals - m))))
+
+
+def _num_upstream_matches(seq: str, period: int) -> np.ndarray:
+    """Forward-orientation periodic match-run lengths.
+
+    Reference: StutterAlignerClass::num_upstream_matches
+    (src/SeqAlignment/StutterAlignerClass.h:35-42).
+    """
+    n = len(seq)
+    out = np.zeros(n, dtype=np.int64)
+    for i in range(period, n):
+        out[i] = 0 if seq[i - period] != seq[i] else 1 + out[i - 1]
+    return out
+
+
+class StutterAlignerOracle:
+    """Per-allele stutter-block emission engine (reference-exact).
+
+    Transcribed from src/SeqAlignment/StutterAlignerClass.cpp.  Works in the
+    "reverse" convention: offsets index read suffixes from the segment's last
+    base; b_rev[k] is the k-th block char from the right.
+    """
+
+    def __init__(self, block_seq: str, period: int, left_align: bool,
+                 repeat_info: RepeatInfo):
+        self.block_seq = block_seq
+        self.block_len = len(block_seq)
+        self.period = period
+        self.left_align = left_align
+        assert repeat_info.max_insertion % period == 0
+        assert repeat_info.max_deletion % period == 0
+
+        self.num_insertions = repeat_info.max_insertion // period
+        self.num_deletions = -(repeat_info.max_deletion // period)
+        while self.num_deletions * period > self.block_len:
+            self.num_deletions -= 1
+        self.max_insertion = period * self.num_insertions
+        self.max_deletion = -period * self.num_deletions
+
+        # upstream_match_lengths_[m] = runs for shift (m+1)*period
+        # (reference ctor, StutterAlignerClass.h:71-75)
+        self.upstream_match_lengths: List[np.ndarray] = []
+        shift = period
+        while shift <= -self.max_deletion:
+            self.upstream_match_lengths.append(_num_upstream_matches(block_seq, shift))
+            shift += period
+        if self.max_deletion == 0:
+            self.upstream_match_lengths.append(
+                np.zeros(0, dtype=np.int64) if not block_seq
+                else _num_upstream_matches(block_seq, period))
+
+        self._match_probs = None
+        self._ins_probs = None
+        self._del_probs = None
+        self._read = None
+        self._blw = None
+        self._blc = None
+
+    def _b_rev(self, k: int) -> str:
+        return self.block_seq[self.block_len - 1 - k]
+
+    def load_read(self, seq: str, blw: np.ndarray, blc: np.ndarray) -> None:
+        """Precompute reverse cumulative match/ins/del tables for a segment.
+
+        Reference: StutterAlignerClass::load_read
+        (src/SeqAlignment/StutterAlignerClass.cpp:12-53).  `seq` is the whole
+        read segment; offset o corresponds to the suffix whose rightmost base
+        is seq[L-1-o].
+        """
+        L = len(seq)
+        self._read, self._blw, self._blc = seq, blw, blc
+        self._match_probs = np.full(L, np.nan)
+        self._ins_probs = np.full((L, self.num_insertions), np.nan)
+        self._del_probs = np.full((L, max(self.num_deletions, 1)), np.nan)
+
+        def sc(read_idx: int, block_char: str) -> float:
+            return blc[read_idx] if seq[read_idx] == block_char else blw[read_idx]
+
+        for o in range(L):
+            log_prob = 0.0
+            j = 0
+            while j < min(L - o, -self.max_deletion):
+                log_prob += sc(L - 1 - o - j, self._b_rev(j))
+                if (j + 1) % self.period == 0:
+                    self._del_probs[o, (j + 1) // self.period - 1] = log_prob
+                j += 1
+            # slots for deletions longer than the remaining read are left
+            # unset (stale in the reference; NaN here to catch misuse)
+            while j < min(L - o, self.block_len):
+                log_prob += sc(L - 1 - o - j, self._b_rev(j))
+                j += 1
+            self._match_probs[o] = log_prob
+
+            log_ins = 0.0
+            j = 0
+            while j < min(self.max_insertion, L - o):
+                if j % self.period < self.block_len:
+                    log_ins += sc(L - 1 - o - j, self._b_rev(j % self.period))
+                else:
+                    log_ins += blc[L - 1 - o - j]
+                if (j + 1) % self.period == 0:
+                    self._ins_probs[o, (j + 1) // self.period - 1] = log_ins
+                j += 1
+            while j < self.max_insertion:
+                if (j + 1) % self.period == 0:
+                    self._ins_probs[o, (j + 1) // self.period - 1] = log_ins
+                j += 1
+
+    # -- the three emission modes (reverse orientation) ------------------------
+    def align_no_artifact_reverse(self, offset: int) -> float:
+        return float(self._match_probs[offset])
+
+    def align_pcr_insertion_reverse(self, base_seq_len: int, j: int, offset: int,
+                                    D: int):
+        """Reference: StutterAlignerClass.cpp:59-104.  Returns (LL, best_pos).
+
+        `j` is the read-segment index of the rightmost base (base_seq pointer).
+        """
+        seq, blw, blc = self._read, self._blw, self._blc
+        assert D > 0 and base_seq_len <= self.block_len + D and D % self.period == 0
+
+        def sc(idx: int, block_char: str) -> float:
+            return blc[idx] if seq[idx] == block_char else blw[idx]
+
+        log_probs = []
+        log_prior = -math.log(self.block_len + 1)
+        um = self.upstream_match_lengths[0]  # shift = period
+
+        log_prob = (log_prior + self._ins_probs[offset, D // self.period - 1]
+                    + (self._match_probs[offset + D] if base_seq_len > D else 0.0))
+        best_pos = 0
+        best_LL = log_prob
+        log_probs.append(log_prob)
+
+        i = 0
+        limit = -min(max(0, base_seq_len - D), self.block_len)
+        while i > limit:
+            if -i + self.period < self.block_len:
+                um_i = int(um[self.block_len - 1 + i])
+                if um_i == 0:
+                    index = i - self.period
+                    while index >= i - D:
+                        log_prob -= sc(j + index, self._b_rev(-i))
+                        log_prob += sc(j + index, self._b_rev(-i + self.period))
+                        index -= self.period
+                    log_probs.append(log_prob)
+                else:
+                    log_probs.append(math.log(um_i) + log_prob)
+                    i -= (um_i - 1)
+            else:
+                log_probs.append(log_prob)
+
+            if log_prob > best_LL or (self.left_align and log_prob == best_LL):
+                best_pos = 1 - i
+                best_LL = log_prob
+            i -= 1
+
+        if i > -self.block_len:
+            log_probs.append(math.log(self.block_len + i) + log_prob)
+
+        return _lse(log_probs), best_pos
+
+    def align_pcr_deletion_reverse(self, base_seq_len: int, j: int, offset: int,
+                                   D: int):
+        """Reference: StutterAlignerClass.cpp:106-150.  Returns (LL, best_pos)."""
+        seq, blw, blc = self._read, self._blw, self._blc
+        assert D < 0 and self.block_len + D >= 0 and base_seq_len <= self.block_len + D
+
+        def sc(idx: int, block_char: str) -> float:
+            return blc[idx] if seq[idx] == block_char else blw[idx]
+
+        log_probs = []
+        um = self.upstream_match_lengths[-D // self.period - 1]
+        log_prior = -math.log(self.block_len + D + 1)
+        log_prob = log_prior
+        if offset + D >= 0:
+            log_prob += (self._match_probs[offset + D]
+                         - self._del_probs[offset + D, -D // self.period - 1])
+        else:
+            for jj in range(0, -base_seq_len, -1):
+                log_prob += sc(j + jj, self.block_seq[self.block_len - 1 + jj + D])
+        best_pos = 0
+        best_LL = log_prob
+        log_probs.append(log_prob)
+
+        i = 0
+        while i > -base_seq_len:
+            um_i = int(um[self.block_len - 1 + i])
+            if um_i == 0:
+                log_prob -= sc(j + i, self.block_seq[self.block_len - 1 + i + D])
+                log_prob += sc(j + i, self.block_seq[self.block_len - 1 + i])
+                log_probs.append(log_prob)
+            else:
+                log_probs.append(math.log(um_i) + log_prob)
+                i -= (um_i - 1)
+
+            if log_prob > best_LL or (self.left_align and log_prob == best_LL):
+                best_pos = 1 - i
+                best_LL = log_prob
+            i -= 1
+
+        if -i < self.block_len + D:
+            log_probs.append(math.log(self.block_len + D + i) + log_prob)
+
+        return _lse(log_probs), best_pos
+
+    def align_stutter_region_reverse(self, base_seq_len: int, j: int, offset: int,
+                                     D: int):
+        if D == 0:
+            return self.align_no_artifact_reverse(offset), -1
+        if D > 0:
+            return self.align_pcr_insertion_reverse(base_seq_len, j, offset, D)
+        return self.align_pcr_deletion_reverse(base_seq_len, j, offset, D)
+
+
+@dataclass
+class BlockInstance:
+    """One realized haplotype block for a specific combination."""
+
+    seq: str
+    repeat_info: Optional[RepeatInfo]
+    option: int
+    stutter_aligner: Optional[StutterAlignerOracle]
+
+    @property
+    def is_stutter(self) -> bool:
+        return self.repeat_info is not None
+
+
+class HaplotypeInstance:
+    """A concrete haplotype (fw or rev) realized from Haplotype + index h."""
+
+    def __init__(self, haplotype: Haplotype, h: int, reverse: bool):
+        self.reversed = reverse
+        src = haplotype.reverse() if reverse else haplotype
+        digits = (haplotype.reversed_digits(h) if reverse else haplotype.digits(h))
+        self._src = src
+        self._digits = digits
+        self.blocks: List[BlockInstance] = []
+        for b, d in zip(src.blocks, digits):
+            aligner = None
+            if b.repeat_info is not None:
+                aligner = StutterAlignerOracle(
+                    b.get_seq(d), b.repeat_info.period,
+                    left_align=not reverse, repeat_info=b.repeat_info)
+            self.blocks.append(BlockInstance(b.get_seq(d), b.repeat_info, d, aligner))
+        self.cur_size = sum(len(bi.seq) for bi in self.blocks)
+
+    def num_blocks(self) -> int:
+        return len(self.blocks)
+
+    def homopolymer_length(self, block_index: int, base_index: int) -> int:
+        return self._src.homopolymer_length_digits(self._digits, block_index, base_index)
+
+    def get_first_char(self) -> str:
+        return self.blocks[0].seq[0]
+
+    def get_last_char(self) -> str:
+        return self.blocks[-1].seq[-1]
+
+    def get_coordinates(self, hap_pos: int):
+        for i, bi in enumerate(self.blocks):
+            if hap_pos < len(bi.seq):
+                return i, hap_pos
+            hap_pos -= len(bi.seq)
+        raise AssertionError("hap position out of range")
+
+
+def align_seq_to_hap(hap: HaplotypeInstance, seq: str,
+                     blw: np.ndarray, blc: np.ndarray):
+    """Forward DP of one read segment against one haplotype.
+
+    Literal transcription of HapAligner::align_seq_to_hap
+    (src/SeqAlignment/HapAligner.cpp:26-161).  Matrices are
+    [hap_size, seq_len]; rows inside a stutter block other than its last are
+    never written (NaN).  Returns (match, insert, delete, best_artifact_size,
+    best_artifact_pos, left_prob).
+    """
+    L = len(seq)
+    H = hap.cur_size
+    match = np.full((H, L), np.nan)
+    insert = np.full((H, L), np.nan)
+    delete = np.full((H, L), np.nan)
+    best_art_size = np.full((hap.num_blocks(), L), -10000, dtype=np.int64)
+    best_art_pos = np.full((hap.num_blocks(), L), -1, dtype=np.int64)
+
+    def sc(idx: int, hap_char: str) -> float:
+        return blc[idx] if seq[idx] == hap_char else blw[idx]
+
+    # first row: every read base vs the leftmost haplotype char
+    left_prob = 0.0
+    first_char = hap.get_first_char()
+    for j in range(L):
+        match[0, j] = sc(j, first_char) + left_prob
+        insert[0, j] = blc[j] + left_prob
+        delete[0, j] = IMPOSSIBLE
+        left_prob += blc[j]
+
+    hap_index = 1
+    stutter_R = -1
+    for block_index, bi in enumerate(hap.blocks):
+        block_seq = bi.seq
+        if bi.is_stutter:
+            rep = bi.repeat_info
+            period = rep.period
+            block_len = len(block_seq)
+            prev_row = hap_index - 1
+            row = hap_index + block_len - 1
+            aligner = bi.stutter_aligner
+            aligner.load_read(seq, blw, blc)
+
+            offset = L - 1
+            for j in range(L):
+                best_LL = IMPOSSIBLE
+                probs = []
+                for artifact_size in range(rep.max_deletion, rep.max_insertion + 1,
+                                           period):
+                    base_len = min(block_len + artifact_size, j + 1)
+                    if base_len >= 0:
+                        prob, art_pos = aligner.align_stutter_region_reverse(
+                            base_len, j, offset, artifact_size)
+                        pre_prob = (0.0 if j - base_len < 0
+                                    else match[prev_row, j - base_len])
+                        total = (rep.log_prob_pcr_artifact(bi.option, artifact_size)
+                                 + prob + pre_prob)
+                    else:
+                        art_pos = -1
+                        total = IMPOSSIBLE
+                    probs.append(total)
+                    if total > best_LL:
+                        best_art_size[block_index, j] = artifact_size
+                        best_art_pos[block_index, j] = art_pos
+                        best_LL = total
+                match[row, j] = _lse(probs)
+                insert[row, j] = IMPOSSIBLE
+                delete[row, j] = IMPOSSIBLE
+                offset -= 1
+
+            stutter_R = hap_index + block_len - 1
+            hap_index += block_len
+        else:
+            coord = 1 if block_index == 0 else 0
+            while coord < len(block_seq):
+                hap_char = block_seq[coord]
+                homop = min(
+                    MAX_HOMOP_LEN,
+                    max(hap.homopolymer_length(block_index, coord),
+                        hap.homopolymer_length(block_index, max(0, coord - 1))))
+
+                r = hap_index
+                match[r, 0] = sc(0, hap_char)
+                insert[r, 0] = IMPOSSIBLE if r == stutter_R + 1 else blc[0]
+                delete[r, 0] = (IMPOSSIBLE if r == stutter_R + 1 else
+                                max(delete[r - 1, 0] + LOG_DEL_TO_DEL,
+                                    match[r - 1, 0] + LOG_DEL_TO_MATCH))
+
+                if r == stutter_R + 1:
+                    # stutter block must be exited via a match
+                    for j in range(1, L):
+                        match[r, j] = sc(j, hap_char) + match[r - 1, j - 1]
+                        insert[r, j] = IMPOSSIBLE
+                        delete[r, j] = IMPOSSIBLE
+                else:
+                    for j in range(1, L):
+                        m_opts = (
+                            insert[r, j - 1] + LOG_MATCH_TO_INS[homop],
+                            match[r - 1, j - 1] + LOG_MATCH_TO_MATCH[homop],
+                            delete[r - 1, j - 1] + LOG_MATCH_TO_DEL[homop],
+                        )
+                        match[r, j] = sc(j, hap_char) + max(m_opts)
+                        insert[r, j] = blc[j] + max(
+                            match[r - 1, j - 1] + LOG_INS_TO_MATCH,
+                            insert[r, j - 1] + LOG_INS_TO_INS)
+                        delete[r, j] = max(match[r - 1, j] + LOG_DEL_TO_MATCH,
+                                           delete[r - 1, j] + LOG_DEL_TO_DEL)
+                coord += 1
+                hap_index += 1
+
+    assert hap_index == H
+    return match, insert, delete, best_art_size, best_art_pos, left_prob
+
+
+def compute_aln_logprob(fw_hap: HaplotypeInstance,
+                        seq: str, seed_base: int,
+                        blw: np.ndarray, blc: np.ndarray,
+                        l_match: np.ndarray, l_prob: float,
+                        r_match: np.ndarray, r_prob: float):
+    """Seed-anchored combination of the two flank DPs.
+
+    Reference: HapAligner::compute_aln_logprob
+    (src/SeqAlignment/HapAligner.cpp:163-231).  Returns (LL, max_index).
+    """
+    L = len(seq)
+    hapsize = fw_hap.cur_size
+    seed_char = seq[seed_base]
+
+    num_seeds = sum(len(bi.seq) for bi in fw_hap.blocks if not bi.is_stutter)
+    seed_log_prior = -math.log(num_seeds)
+
+    def seed_sc(hap_char: str) -> float:
+        return blc[seed_base] if seed_char == hap_char else blw[seed_base]
+
+    log_probs = []
+    # left flank entirely off-haplotype; seed aligned with hap position 0
+    log_probs.append(seed_log_prior + seed_sc(fw_hap.get_first_char())
+                     + l_prob + r_match[hapsize - 2, -1])
+    max_index = 0
+    max_LL = log_probs[0]
+
+    # right flank entirely off-haplotype; seed aligned with position n-1
+    log_probs.append(seed_log_prior + seed_sc(fw_hap.get_last_char())
+                     + r_prob + l_match[hapsize - 2, -1])
+    if log_probs[1] > max_LL:
+        max_index = hapsize - 1
+        max_LL = log_probs[1]
+
+    hap_index = 1
+    for block_index, bi in enumerate(fw_hap.blocks):
+        if bi.is_stutter:
+            hap_index += len(bi.seq)
+            continue
+        coord = 1 if block_index == 0 else 0
+        end_coord = (len(bi.seq) - 1 if block_index == fw_hap.num_blocks() - 1
+                     else len(bi.seq))
+        while coord < end_coord:
+            ll = (seed_log_prior + seed_sc(bi.seq[coord])
+                  + l_match[hap_index - 1, -1]
+                  + r_match[hapsize - hap_index - 2, -1])
+            log_probs.append(ll)
+            if ll > max_LL:
+                max_index = hap_index
+                max_LL = ll
+            coord += 1
+            hap_index += 1
+
+    return _lse(log_probs), max_index
+
+
+def process_read(haplotype: Haplotype, h: int, seq: str, seed_base: int,
+                 blw: np.ndarray, blc: np.ndarray) -> float:
+    """Full per-(read, haplotype) forward LL (reference HapAligner::process_read,
+    src/SeqAlignment/HapAligner.cpp:573-709), without traceback."""
+    assert 0 < seed_base < len(seq) - 1
+    fw = HaplotypeInstance(haplotype, h, reverse=False)
+    rev = HaplotypeInstance(haplotype, h, reverse=True)
+
+    l_seq = seq[:seed_base]
+    l_blw, l_blc = blw[:seed_base], blc[:seed_base]
+    r_seq = seq[seed_base + 1:][::-1]
+    r_blw = blw[seed_base + 1:][::-1].copy()
+    r_blc = blc[seed_base + 1:][::-1].copy()
+
+    l_match, _, _, _, _, l_prob = align_seq_to_hap(fw, l_seq, l_blw, l_blc)
+    r_match, _, _, _, _, r_prob = align_seq_to_hap(rev, r_seq, r_blw, r_blc)
+
+    LL, _ = compute_aln_logprob(fw, seq, seed_base, blw, blc,
+                                l_match, l_prob, r_match, r_prob)
+    return LL
