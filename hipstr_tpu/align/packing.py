@@ -1,0 +1,302 @@
+"""Host-side packing of haplotypes + read pools into device tensors.
+
+Bridges the string world (align/haplotype.py) and the batched device HMM
+(ops/hmm.py).  A locus's haplotypes share one row structure: flank blocks are
+length-preserving across options (SNP alternates only — indel flanks are
+masked upstream, mirroring the reference's same-length flank rule,
+src/seq_stutter_genotyper.cpp:40-217) and a repeat block always collapses to
+one DP row, so all per-haplotype variation lives in dense [haps, rows] char /
+transition tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+from ..models.alignment_model import (
+    LOG_MATCH_TO_DEL,
+    LOG_MATCH_TO_INS,
+    LOG_MATCH_TO_MATCH,
+    MAX_HOMOP_LEN,
+)
+from ..models.base_quality import BaseQuality
+from .haplotype import Haplotype
+
+BASE_CODES = {"A": 0, "C": 1, "G": 2, "T": 3}
+IMPOSSIBLE = -1.0e9
+
+
+def seq_to_codes(seq: str) -> np.ndarray:
+    return np.array([BASE_CODES.get(c, 4) for c in seq], dtype=np.int32)
+
+
+@dataclass
+class RowStructure:
+    """Structural (hap-independent) row layout for one orientation."""
+
+    rows: List[Tuple[int, int]]   # (block, coord); repeat block -> one row
+    stutter_row: int
+    repeat_block: int
+    row_of: dict                  # (block, coord_key) -> row; repeat uses 'last'
+
+
+def build_row_structure(block_lens: List[int], is_stutter: List[bool]) -> RowStructure:
+    assert sum(is_stutter) == 1, "exactly one repeat block per locus supported"
+    assert not is_stutter[0] and not is_stutter[-1], \
+        "haplotype must start and end with flank blocks"
+    rows: List[Tuple[int, int]] = []
+    row_of = {}
+    stutter_row = -1
+    repeat_block = is_stutter.index(True)
+    for b, (blen, stut) in enumerate(zip(block_lens, is_stutter)):
+        if stut:
+            stutter_row = len(rows)
+            rows.append((b, -1))
+            row_of[(b, "last")] = stutter_row
+        else:
+            start_c = 1 if b == 0 else 0
+            if b == 0:
+                rows.append((0, 0))
+                row_of[(0, 0)] = 0
+            for c in range(start_c, blen):
+                row_of[(b, c)] = len(rows)
+                rows.append((b, c))
+    return RowStructure(rows, stutter_row, repeat_block, row_of)
+
+
+@dataclass
+class PackedHaplotypes:
+    """All numpy arrays consumed by ops.hmm.hmm_forward for one locus."""
+
+    R: int
+    H: int
+    O: int
+    period: int
+    fw: dict
+    rev: dict
+    seed: dict
+    num_seeds: int
+
+
+def _pack_orientation(src: Haplotype, digit_rows: List[List[int]],
+                      struct: RowStructure, L: int,
+                      rep_emission_codes: np.ndarray, rep_len: np.ndarray,
+                      lpmf: np.ndarray, hap_opt: np.ndarray,
+                      art_sizes: np.ndarray) -> dict:
+    H = len(digit_rows)
+    R = len(struct.rows)
+    row_char = np.zeros((H, R), dtype=np.int32)
+    row_m2m = np.zeros((H, R), dtype=np.float64)
+    row_m2i = np.zeros((H, R), dtype=np.float64)
+    row_m2d = np.zeros((H, R), dtype=np.float64)
+
+    # cache homopolymer lengths per (digit-tuple, block) to avoid recompute
+    homop_cache = {}
+    for h, digits in enumerate(digit_rows):
+        key_all = tuple(digits)
+        for r, (b, c) in enumerate(struct.rows):
+            if c < 0:  # stutter row: char/transitions unused
+                continue
+            seq = src.blocks[b].get_seq(digits[b])
+            row_char[h, r] = BASE_CODES.get(seq[c], 4)
+            if r == 0 or r == struct.stutter_row + 1:
+                continue  # init / forced-match rows don't use transitions
+            ck = (key_all, b, c)
+            if ck not in homop_cache:
+                hp = min(
+                    MAX_HOMOP_LEN,
+                    max(src.homopolymer_length_digits(digits, b, c),
+                        src.homopolymer_length_digits(digits, b, max(0, c - 1))))
+                homop_cache[ck] = hp
+            hp = homop_cache[ck]
+            row_m2m[h, r] = LOG_MATCH_TO_MATCH[hp]
+            row_m2i[h, r] = LOG_MATCH_TO_INS[hp]
+            row_m2d[h, r] = LOG_MATCH_TO_DEL[hp]
+
+    nD = len(art_sizes)
+    jj = np.arange(L, dtype=np.int64)
+    shift = rep_len[hap_opt][:, None] + art_sizes[None, :]      # [H, nD]
+    entry_idx = jj[None, None, :] - shift[:, :, None]           # [H, nD, L]
+    entry_ok = entry_idx >= 0
+    entry_idx = np.clip(entry_idx, 0, L - 1).astype(np.int32)
+
+    return dict(row_char=row_char, row_m2m=row_m2m, row_m2i=row_m2i,
+                row_m2d=row_m2d, stutter_row=struct.stutter_row,
+                rep_rev_codes=rep_emission_codes, rep_len=rep_len,
+                lpmf=lpmf, hap_opt=hap_opt,
+                entry_idx=entry_idx, entry_ok=entry_ok)
+
+
+def pack_haplotypes(haplotype: Haplotype, L: int) -> PackedHaplotypes:
+    """Pack all combinations of `haplotype` for segment length L."""
+    blocks = haplotype.blocks
+    is_stutter = [b.is_repeat for b in blocks]
+    rb = is_stutter.index(True)
+    rep = blocks[rb]
+    rinfo = rep.repeat_info
+    period = rinfo.period
+
+    # flank blocks must be length-preserving across options
+    for b, stut in zip(blocks, is_stutter):
+        if not stut:
+            assert len({len(s) for s in b.seqs}) == 1, \
+                "flank block options must share a length"
+
+    fw_lens = [b.size(0) for b in blocks]
+    fw_struct = build_row_structure(fw_lens, is_stutter)
+    rev_lens = list(reversed(fw_lens))
+    rev_struct = build_row_structure(rev_lens, list(reversed(is_stutter)))
+    R = len(fw_struct.rows)
+    assert len(rev_struct.rows) == R
+
+    H = haplotype.num_combs
+    O = rep.num_options()
+    digit_rows = [haplotype.digits(h) for h in range(H)]
+    rev_digit_rows = [list(reversed(d)) for d in digit_rows]
+    hap_opt = np.array([d[rb] for d in digit_rows], dtype=np.int32)
+
+    art_sizes = np.arange(rinfo.max_deletion, rinfo.max_insertion + 1, period,
+                          dtype=np.int64)
+    nD = len(art_sizes)
+    rep_len = np.array([rep.size(o) for o in range(O)], dtype=np.int32)
+    Bmax = int(rep_len.max()) + 1
+    fw_codes = np.full((O, Bmax), 4, dtype=np.int32)   # right-to-left (fw pass)
+    rev_codes = np.full((O, Bmax), 4, dtype=np.int32)  # left-to-right (rev pass)
+    lpmf = np.full((O, nD), IMPOSSIBLE, dtype=np.float64)
+    for o in range(O):
+        s = rep.get_seq(o)
+        fw_codes[o, :len(s)] = seq_to_codes(s[::-1])
+        rev_codes[o, :len(s)] = seq_to_codes(s)
+        for d, D in enumerate(art_sizes):
+            if len(s) + D >= 0:
+                lpmf[o, d] = rinfo.log_prob_pcr_artifact(o, int(D))
+
+    rev_hap = haplotype.reverse()
+    fw = _pack_orientation(haplotype, digit_rows, fw_struct, L,
+                           fw_codes, rep_len, lpmf, hap_opt, art_sizes)
+    rev = _pack_orientation(rev_hap, rev_digit_rows, rev_struct, L,
+                            rev_codes, rep_len, lpmf, hap_opt, art_sizes)
+
+    # ---- seed tables ---------------------------------------------------------
+    n = len(blocks)
+    seeds = []
+    for b in range(n):
+        if is_stutter[b]:
+            continue
+        lo = 1 if b == 0 else 0
+        hi = fw_lens[b] - 1 if b == n - 1 else fw_lens[b]
+        for c in range(lo, hi):
+            seeds.append((b, c))
+
+    def fw_row_for(b, c):
+        if is_stutter[b]:
+            assert c == fw_lens[b] - 1 or c == -1
+            return fw_struct.row_of[(b, "last")]
+        return fw_struct.row_of[(b, c)]
+
+    def rev_row_for(b, c):
+        """Row of the rev structure for the mirror of fw position (b, c)."""
+        rb_ = n - 1 - b
+        if is_stutter[b]:
+            assert c == 0  # mirror of repeat's first char = rev repeat's last
+            return rev_struct.row_of[(rb_, "last")]
+        rc = fw_lens[b] - 1 - c
+        return rev_struct.row_of[(rb_, rc)]
+
+    S = len(seeds)
+    seed_fw_row = np.zeros(S, dtype=np.int32)
+    seed_rev_row = np.zeros(S, dtype=np.int32)
+    seed_char = np.zeros((H, S), dtype=np.int32)
+    for s, (b, c) in enumerate(seeds):
+        # left anchor: fw position i-1
+        if c > 0:
+            seed_fw_row[s] = fw_row_for(b, c - 1)
+        else:
+            seed_fw_row[s] = fw_row_for(b - 1, fw_lens[b - 1] - 1)
+        # right anchor: mirror of fw position i+1
+        if c + 1 < fw_lens[b]:
+            seed_rev_row[s] = rev_row_for(b, c + 1)
+        else:
+            seed_rev_row[s] = rev_row_for(b + 1, 0)
+        for h, digits in enumerate(digit_rows):
+            seed_char[h, s] = BASE_CODES.get(blocks[b].get_seq(digits[b])[c], 4)
+
+    num_seeds = sum(fw_lens[b] for b in range(n) if not is_stutter[b])
+    first_char = np.array(
+        [BASE_CODES.get(blocks[0].get_seq(d[0])[0], 4) for d in digit_rows],
+        dtype=np.int32)
+    last_char = np.array(
+        [BASE_CODES.get(blocks[-1].get_seq(d[-1])[-1], 4) for d in digit_rows],
+        dtype=np.int32)
+
+    seed = dict(seed_fw_row=seed_fw_row, seed_rev_row=seed_rev_row,
+                seed_char=seed_char, seed_valid=np.ones(S, dtype=bool),
+                first_char=first_char, last_char=last_char,
+                log_num_seeds=-float(np.log(num_seeds)))
+
+    return PackedHaplotypes(R=R, H=H, O=O, period=period,
+                            fw=fw, rev=rev, seed=seed, num_seeds=num_seeds)
+
+
+@dataclass
+class PackedReads:
+    l_codes: np.ndarray
+    l_blw: np.ndarray
+    l_blc: np.ndarray
+    l_last: np.ndarray
+    r_codes: np.ndarray
+    r_blw: np.ndarray
+    r_blc: np.ndarray
+    r_last: np.ndarray
+    seed_codes: np.ndarray
+    seed_blw: np.ndarray
+    seed_blc: np.ndarray
+
+
+def pack_reads(seqs: List[str], quals: List[str], seeds: List[int],
+               L: int) -> PackedReads:
+    """Split reads at their seed base and pad segments to width L.
+
+    The right segment is reversed (aligned against the reversed haplotype),
+    matching HapAligner::process_read (src/SeqAlignment/HapAligner.cpp:605-609).
+    """
+    P = len(seqs)
+    bq = BaseQuality()
+    l_codes = np.full((P, L), 4, dtype=np.int32)
+    r_codes = np.full((P, L), 4, dtype=np.int32)
+    l_blw = np.zeros((P, L))
+    l_blc = np.zeros((P, L))
+    r_blw = np.zeros((P, L))
+    r_blc = np.zeros((P, L))
+    l_last = np.zeros(P, dtype=np.int32)
+    r_last = np.zeros(P, dtype=np.int32)
+    seed_codes = np.zeros(P, dtype=np.int32)
+    seed_blw = np.zeros(P)
+    seed_blc = np.zeros(P)
+
+    for p, (seq, qual, seed) in enumerate(zip(seqs, quals, seeds)):
+        assert 0 < seed < len(seq) - 1, "seed must be interior"
+        codes = seq_to_codes(seq)
+        blw = bq.quals_to_log_error(qual)
+        blc = bq.quals_to_log_correct(qual)
+        nl = seed
+        nr = len(seq) - seed - 1
+        assert nl <= L and nr <= L
+        l_codes[p, :nl] = codes[:seed]
+        l_blw[p, :nl] = blw[:seed]
+        l_blc[p, :nl] = blc[:seed]
+        l_last[p] = nl - 1
+        r_codes[p, :nr] = codes[seed + 1:][::-1]
+        r_blw[p, :nr] = blw[seed + 1:][::-1]
+        r_blc[p, :nr] = blc[seed + 1:][::-1]
+        r_last[p] = nr - 1
+        seed_codes[p] = codes[seed]
+        seed_blw[p] = blw[seed]
+        seed_blc[p] = blc[seed]
+
+    return PackedReads(l_codes, l_blw, l_blc, l_last,
+                       r_codes, r_blw, r_blc, r_last,
+                       seed_codes, seed_blw, seed_blc)

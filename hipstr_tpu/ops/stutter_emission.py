@@ -8,12 +8,12 @@ StutterAlignerClass::align_stutter_region_reverse (reference:
 src/SeqAlignment/StutterAlignerClass.cpp:55-162).
 
 Re-designed for TPU: instead of the reference's O(1)-amortized sequential
-position updates, we materialize position-marginal probabilities from
-prefix-sum tables along anti-diagonals (a few gathers + cumulative sums), so
-the whole [read_offsets x artifact_sizes] emission tensor is produced with
-dense vector ops.  Semantics match the reference exactly, including its
-truncation rules and the frozen-delta behavior near the block start
-(StutterAlignerClass.cpp:89-90).
+position updates, position-marginal probabilities come from prefix-sum tables
+along anti-diagonals (gathers + cumulative sums), with the artifact-size axis
+carried as a real tensor dimension (no unrolled per-size code), so the whole
+[read_offsets x artifact_sizes] emission tensor is one dense vector-ops graph.
+Semantics match the reference exactly, including its truncation rules and the
+frozen-delta behavior near the block start (StutterAlignerClass.cpp:89-90).
 
 All functions are written against an `xp` array namespace so the same code
 runs under numpy (oracle tests, float64) and jax.numpy (device kernels).
@@ -37,153 +37,144 @@ def _score_matrix(xp, read_codes, blw, blc, block_rev_codes, block_len, Bmax):
 
 
 def _hankel_prefix(xp, S, Bmax):
-    """pref[j, p] = sum_{t<p, t<=j} S[j-t, t] for p in [0, Bmax].
+    """pref[..., j, p] = sum_{t<p, t<=j} S[..., j-t, t] for p in [0, Bmax].
 
-    Anti-diagonal prefix sums: gather S into X[j, t] = S[j-t, t] (zero when
-    j < t) and cumulative-sum over t.
+    Anti-diagonal prefix sums over the last two axes: gather S into
+    X[..., j, t] = S[..., j-t, t] (zero when j < t), then cumulative-sum.
     """
-    L = S.shape[0]
+    L = S.shape[-2]
     j_idx = xp.arange(L)[:, None]
     t_idx = xp.arange(Bmax)[None, :]
-    rows = j_idx - t_idx
+    rows = j_idx - t_idx                       # [L, Bmax]
     valid = rows >= 0
-    X = xp.take_along_axis(S, xp.clip(rows, 0, L - 1), axis=0)
+    rows_b = xp.broadcast_to(rows, S.shape[:-2] + rows.shape)
+    X = xp.take_along_axis(S, xp.clip(rows_b, 0, L - 1), axis=-2)
     X = xp.where(valid, X, 0.0)
-    csum = xp.cumsum(X, axis=1)
-    zero = xp.zeros((L, 1), dtype=S.dtype)
-    return xp.concatenate([zero, csum], axis=1)  # [L, Bmax+1]
+    csum = xp.cumsum(X, axis=-1)
+    zero = xp.zeros(S.shape[:-1] + (1,), dtype=S.dtype)
+    return xp.concatenate([zero, csum], axis=-1)  # [..., L, Bmax+1]
+
+
+def _logsumexp(xp, x, axis):
+    m = xp.max(x, axis=axis, keepdims=True)
+    m = xp.where(xp.isfinite(m), m, 0.0)
+    return xp.squeeze(m, axis=axis) + xp.log(xp.sum(xp.exp(x - m), axis=axis))
 
 
 def stutter_emissions(xp, read_codes, blw, blc, block_rev_codes, block_len,
                       period, max_units=6):
     """Emission tensor E[L, nD] over artifact sizes D = k*period,
-    k in [-max_units, max_units].
+    k in [-max_units, max_units] (deletions first, ascending).
 
     Entries with block_len + D < 0 are NEG_INF (impossible artifact).
     `block_len` may be a traced scalar; `period`, `max_units`, and the padded
     length of `block_rev_codes` (Bmax) are static.
-
-    Matches StutterAlignerClass::align_stutter_region_reverse semantics for a
-    segment whose rightmost considered base is read[j] (offset j); the no-
-    artifact column is the plain reverse match probability
-    (StutterAlignerClass.cpp:55-57).
     """
     L = read_codes.shape[0]
     Bmax = block_rev_codes.shape[0]
     dtype = blc.dtype
 
-    blen_i = xp.asarray(block_len, dtype=np.int32)  # runtime scalar
-    S = _score_matrix(xp, read_codes, blw, blc, block_rev_codes, blen_i, Bmax)
-    pref0 = _hankel_prefix(xp, S, Bmax)  # [L, Bmax+1]
+    blen = xp.asarray(block_len, dtype=np.int32)
+    S = _score_matrix(xp, read_codes, blw, blc, block_rev_codes, blen, Bmax)
+    pref0 = _hankel_prefix(xp, S, Bmax)        # [L, Bmax+1]
     p_axis = xp.arange(Bmax + 1)
     j_axis = xp.arange(L)
 
-    def _fdt(v):
+    def fdt(v):
         return xp.asarray(v).astype(dtype)
 
     # ---- no-artifact: E0[j] = pref0[j, block_len] ---------------------------
     E0 = xp.take_along_axis(
-        pref0, xp.broadcast_to(blen_i, (L, 1)).astype(np.int32), axis=1)[:, 0]
+        pref0, xp.broadcast_to(blen, (L, 1)).astype(np.int32), axis=1)[:, 0]
 
-    # ---- deletions ----------------------------------------------------------
-    del_cols = []
-    for d in range(max_units, 0, -1):
-        dp = d * period
-        valid_art = blen_i - dp >= 0
-        # SD[t, k] = S[t, k + dp] (block chars shifted left by the deletion)
-        if dp < Bmax:
-            SD = xp.concatenate(
-                [S[:, dp:], xp.zeros((L, dp), dtype=dtype)], axis=1)
-        else:
-            SD = xp.zeros((L, Bmax), dtype=dtype)
-        # also zero where k + dp >= block_len
-        kmask = (xp.arange(Bmax)[None, :] + dp) < blen_i
-        SD = xp.where(kmask, SD, 0.0)
-        prefD = _hankel_prefix(xp, SD, Bmax)
-        rem = xp.clip(blen_i - dp, 0, Bmax)
-        totalD = xp.take_along_axis(
-            prefD, xp.broadcast_to(rem, (L, 1)).astype(np.int32), axis=1)[:, 0]
-        LLp = pref0 + (totalD[:, None] - prefD)  # [L, Bmax+1]
-        pmask = p_axis[None, :] <= (blen_i - dp)
-        LLp = xp.where(pmask, LLp, NEG_INF)
-        lse = _logsumexp(xp, LLp, axis=1)
-        prior = -xp.log(_fdt(xp.maximum(blen_i - dp + 1, 1)))
-        col = xp.where(valid_art, prior + lse, NEG_INF)
-        del_cols.append(col)
+    # ---- deletions (D = -dp, dp = d*period, d = max_units..1) ---------------
+    nd = max_units
+    dps = xp.asarray(np.arange(max_units, 0, -1) * period)        # [nd]
+    colidx = xp.arange(Bmax)[None, :] + dps[:, None]              # [nd, Bmax]
+    col_ok = (colidx < blen) & (colidx < Bmax)
+    SD = xp.take_along_axis(
+        xp.broadcast_to(S[None], (nd, L, Bmax)),
+        xp.broadcast_to(xp.clip(colidx, 0, Bmax - 1)[:, None, :],
+                        (nd, L, Bmax)), axis=-1)
+    SD = xp.where(col_ok[:, None, :], SD, 0.0)                    # [nd, L, Bmax]
+    prefD = _hankel_prefix(xp, SD, Bmax)                          # [nd, L, Bmax+1]
+    rem = xp.clip(blen - dps, 0, Bmax)                            # [nd]
+    totalD = xp.take_along_axis(
+        prefD, xp.broadcast_to(rem[:, None, None], (nd, L, 1)
+                               ).astype(np.int32), axis=-1)[..., 0]  # [nd, L]
+    LLp = pref0[None] + (totalD[..., None] - prefD)               # [nd, L, Bmax+1]
+    pmask = p_axis[None, None, :] <= (blen - dps)[:, None, None]
+    LLp = xp.where(pmask, LLp, NEG_INF)
+    lse_del = _logsumexp(xp, LLp, axis=-1)                        # [nd, L]
+    prior_del = -xp.log(fdt(xp.maximum(blen - dps + 1, 1)))       # [nd]
+    E_del = xp.where((blen - dps >= 0)[:, None],
+                     prior_del[:, None] + lse_del, NEG_INF)       # [nd, L]
 
-    # ---- insertions ---------------------------------------------------------
+    # ---- insertions (D = kp, kp = k*period, k = 1..max_units) ---------------
     max_ins = max_units * period
-    # iscore0[j, t]: inserted-base scores for an insertion at the block's right
-    # end; periodic extension b_rev[t % period], plain log-correct when the
-    # periodic index falls outside the block (load_read,
-    # StutterAlignerClass.cpp:40-48).
     t_idx = xp.arange(max_ins)[None, :]
-    rows = j_axis[:, None] - t_idx
+    rows = j_axis[:, None] - t_idx                                # [L, max_ins]
     rvalid = rows >= 0
     rclip = xp.clip(rows, 0, L - 1)
     colmod = xp.asarray(np.arange(max_ins) % period, dtype=np.int32)
-    Speri = S[:, :period] if period <= Bmax else S  # b_rev[0:period]
-    isc = xp.take_along_axis(
-        xp.take_along_axis(Speri, xp.broadcast_to(colmod[None, :], (L, max_ins)),
-                           axis=1),
-        rclip, axis=0)
+    # inserted-base scores: periodic extension b_rev[t % period]; plain
+    # log-correct when the periodic index falls outside the block
+    # (load_read, StutterAlignerClass.cpp:40-48)
+    Speri = xp.take_along_axis(
+        S, xp.broadcast_to(colmod[None, :], (L, max_ins)), axis=1)
+    isc = xp.take_along_axis(Speri, rclip, axis=0)
     blc_sh = xp.take_along_axis(
         xp.broadcast_to(blc[:, None], (L, max_ins)), rclip, axis=0)
-    use_blc = colmod[None, :] >= blen_i
-    isc = xp.where(use_blc, blc_sh, isc)
+    isc = xp.where(colmod[None, :] >= blen, blc_sh, isc)
     isc = xp.where(rvalid, isc, 0.0)
     ins_cum = xp.concatenate(
         [xp.zeros((L, 1), dtype=dtype), xp.cumsum(isc, axis=1)], axis=1)
 
-    # Gm[j, q] for q in [1, Bmax]: per-unit position-shift deltas
-    # (the incremental update of StutterAlignerClass.cpp:73-96, closed form).
-    q_idx = xp.arange(1, Bmax + 1)[None, :]
-    deltas = []
-    for m in range(1, max_units + 1):
-        rows_m = j_axis[:, None] - (q_idx - 1) - m * period
-        rvalid_m = rows_m >= 0
-        rclip_m = xp.clip(rows_m, 0, L - 1)
-        # columns q-1+period and q-1 of S, as [L(t), Q] slices
-        SA = _shifted_cols(xp, S, period, Bmax)   # SA[t, q-1] = S[t, q-1+period]
-        SB = S[:, :Bmax]                          # SB[t, q-1] = S[t, q-1]
-        gA = xp.take_along_axis(SA, rclip_m, axis=0)
-        gB = xp.take_along_axis(SB, rclip_m, axis=0)
-        G = gA - gB
-        # frozen delta when q-1+period >= block_len
-        frozen = (q_idx - 1 + period) >= blen_i
-        G = xp.where(frozen | ~rvalid_m, 0.0, G)
-        deltas.append(G)
-    deltas = xp.cumsum(xp.stack(deltas, axis=0), axis=0)  # [max_units, L, Bmax]
+    kps = np.arange(1, max_units + 1) * period                    # static [nk]
+    ins0 = ins_cum[:, np.minimum(kps, max_ins)]                   # [L, nk]
+    # match remainder after the insertion: E0[j - kp] when j >= kp
+    rest_rows = j_axis[None, :] - xp.asarray(kps)[:, None]        # [nk, L]
+    rest = xp.take_along_axis(
+        xp.broadcast_to(E0[None, :], (len(kps), L)),
+        xp.clip(rest_rows, 0, L - 1), axis=1)
+    rest = xp.where(rest_rows >= 0, rest, 0.0)                    # [nk, L]
+    LL0 = ins0.T + rest                                           # [nk, L]
 
-    ins_cols = []
-    for k in range(1, max_units + 1):
-        kp = k * period
-        ins0 = ins_cum[:, min(kp, max_ins)]
-        # match remainder after the insertion: pref0[j-kp, block_len] if j>=kp
-        if kp < L:
-            rest = xp.concatenate(
-                [xp.zeros((kp,), dtype=dtype), E0[:L - kp]], axis=0)
-            rest = xp.where(j_axis >= kp, rest, 0.0)
-        else:
-            rest = xp.zeros((L,), dtype=dtype)
-        LL0 = ins0 + rest
-        cum = xp.concatenate(
-            [xp.zeros((L, 1), dtype=dtype),
-             xp.cumsum(deltas[k - 1], axis=1)], axis=1) + LL0[:, None]
-        # configs beyond P*(j) repeat the value at P*
-        base_len = xp.minimum(blen_i + kp, j_axis + 1)
-        Pstar = xp.clip(base_len - kp, 0, blen_i)  # = max(0, min(blen, j+1-kp))
-        pc = xp.minimum(xp.broadcast_to(p_axis[None, :], (L, Bmax + 1)),
-                        Pstar[:, None]).astype(np.int32)
-        LLfinal = xp.take_along_axis(cum, pc, axis=1)
-        pmask = p_axis[None, :] <= blen_i
-        LLfinal = xp.where(pmask, LLfinal, NEG_INF)
-        lse = _logsumexp(xp, LLfinal, axis=1)
-        prior = -xp.log(_fdt(blen_i + 1))
-        ins_cols.append(prior + lse)
+    # per-unit position-shift deltas (the incremental update of
+    # StutterAlignerClass.cpp:73-96 in closed form), stacked over units m
+    q_idx = xp.arange(1, Bmax + 1)[None, :]                       # [1, Q]
+    SA = _shifted_cols(xp, S, period, Bmax)    # SA[t, q-1] = S[t, q-1+period]
+    SB = S                                     # SB[t, q-1] = S[t, q-1]
+    m_sh = xp.asarray(np.arange(1, max_units + 1) * period)       # [nm]
+    rows_m = (j_axis[None, :, None] - (q_idx[None] - 1)
+              - m_sh[:, None, None])                              # [nm, L, Q]
+    rv = rows_m >= 0
+    rc = xp.clip(rows_m, 0, L - 1)
+    gA = xp.take_along_axis(xp.broadcast_to(SA[None], rc.shape), rc, axis=1)
+    gB = xp.take_along_axis(xp.broadcast_to(SB[None], rc.shape), rc, axis=1)
+    G = gA - gB
+    frozen = (q_idx - 1 + period) >= blen                         # [1, Q]
+    G = xp.where(frozen[None] | ~rv, 0.0, G)
+    deltas = xp.cumsum(G, axis=0)                                 # [nm, L, Q]
 
-    cols = del_cols + [E0] + ins_cols
-    return xp.stack(cols, axis=1)  # [L, 2*max_units+1]
+    cum = xp.concatenate(
+        [xp.zeros((len(kps), L, 1), dtype=dtype),
+         xp.cumsum(deltas, axis=-1)], axis=-1) + LL0[..., None]   # [nk, L, Bmax+1]
+    # configs beyond P*(j,k) repeat the value at P*
+    base_len = xp.minimum(blen + xp.asarray(kps)[:, None], j_axis[None, :] + 1)
+    Pstar = xp.clip(base_len - xp.asarray(kps)[:, None], 0, blen)  # [nk, L]
+    pc = xp.minimum(xp.broadcast_to(p_axis[None, None, :],
+                                    (len(kps), L, Bmax + 1)),
+                    Pstar[..., None]).astype(np.int32)
+    LLfinal = xp.take_along_axis(cum, pc, axis=-1)
+    pmask_i = p_axis[None, None, :] <= blen
+    LLfinal = xp.where(pmask_i, LLfinal, NEG_INF)
+    lse_ins = _logsumexp(xp, LLfinal, axis=-1)                    # [nk, L]
+    E_ins = -xp.log(fdt(blen + 1)) + lse_ins
+
+    return xp.concatenate(
+        [xp.swapaxes(E_del, 0, 1), E0[:, None], xp.swapaxes(E_ins, 0, 1)],
+        axis=1)  # [L, 2*max_units+1]
 
 
 def _shifted_cols(xp, S, period, Bmax):
@@ -193,10 +184,3 @@ def _shifted_cols(xp, S, period, Bmax):
         pad = xp.zeros((L, period), dtype=S.dtype)
         return xp.concatenate([S[:, period:], pad], axis=1)[:, :Bmax]
     return xp.zeros((L, Bmax), dtype=S.dtype)
-
-
-def _logsumexp(xp, x, axis):
-    m = xp.max(x, axis=axis, keepdims=True)
-    m = xp.where(xp.isfinite(m), m, 0.0)
-    return xp.squeeze(m, axis=axis) + xp.log(
-        xp.sum(xp.exp(x - m), axis=axis))
