@@ -1,0 +1,642 @@
+"""Per-locus sequence-based stutter genotyping orchestration.
+
+Capability parity with the reference SeqStutterGenotyper (reference:
+src/seq_stutter_genotyper.{h,cpp}), re-architected for TPU execution:
+
+* the read<->haplotype HMM runs as one batched device call over all
+  [pool x haplotype] pairs (pipeline/hap_aligner.py) instead of the
+  reference's Gray-code-incremental CPU loop;
+* allele-set changes (stutter-candidate mining, unused-allele pruning, flank
+  assembly) simply rebuild the haplotype and rerun the batched kernel — on
+  TPU a full batched realignment is cheaper than incremental bookkeeping, and
+  mate-pair LL combination is re-derived from raw pool LLs each time, which
+  removes the reference's double-combination hazard
+  (seq_stutter_genotyper.cpp:549-551);
+* genotype posteriors are dense tensor ops (ops/posteriors.py);
+* the rare per-read alignment traces come from the host retrace slow path
+  (align/retrace.py), cached per (pool, haplotype).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..align.alignment_data import Alignment, extract_cigar_bp_diff
+from ..align.debruijn import MAX_KMER, MIN_KMER, MIN_PATH_WEIGHT, DebruijnGraph
+from ..align.hap_generator import HaplotypeGenerator
+from ..align.haplotype import HapBlock, Haplotype
+from ..align.retrace import HapAlignInfo, trace_optimal_aln
+from ..align.traceback import AlignmentTrace
+from ..io.regions import Region
+from ..models.base_quality import BaseQuality
+from ..models.stutter import StutterModel
+from ..ops import posteriors as post_ops
+from ..ops.em import EMStutterGenotyper
+from ..utils.mathops import LOG_ONE_HALF
+from .hap_aligner import compute_hap_log_likelihoods
+from .special import allele_bias_pvalue, fisher_strand_pvalue
+
+MIN_SEED_DIST = 5
+TOLERANCE = 1e-10
+STRAND_TOLERANCE = 0.1
+MAX_FLANK_INDEL_FRAC = 0.15
+
+
+def order_key(seq: str):
+    return (len(seq), seq)
+
+
+class ReadPooler:
+    """Dedupe identical read sequences; pooled quals = per-position median
+    (reference: src/read_pooler.{h,cpp})."""
+
+    def __init__(self):
+        self.pooled_alns: List[Alignment] = []
+        self.quals_by_pool: List[List[str]] = []
+        self._seq_to_pool: Dict[str, int] = {}
+        self.pooled = False
+
+    def add_alignment(self, aln: Alignment) -> int:
+        assert not self.pooled
+        idx = self._seq_to_pool.get(aln.sequence)
+        if idx is None:
+            idx = len(self.pooled_alns)
+            self._seq_to_pool[aln.sequence] = idx
+            pooled = Alignment(aln.start, aln.stop, False, "READPOOL", "",
+                               aln.sequence, aln.alignment)
+            pooled.cigar = list(aln.cigar)
+            self.pooled_alns.append(pooled)
+            self.quals_by_pool.append([aln.base_qualities])
+        else:
+            self.quals_by_pool[idx].append(aln.base_qualities)
+        return idx
+
+    def num_pools(self) -> int:
+        return len(self.pooled_alns)
+
+    def pool(self, bq: BaseQuality) -> None:
+        for aln, quals in zip(self.pooled_alns, self.quals_by_pool):
+            aln.base_qualities = bq.median_base_qualities(quals)
+        self.pooled = True
+
+
+def calc_best_seed_position(region_start, region_end, repeat_starts,
+                            repeat_ends) -> Tuple[int, int]:
+    """Reference: HapAligner::calc_best_seed_position
+    (HapAligner.cpp:238-264)."""
+    best_dist = best_pos = -1
+    pos = region_start
+    ri = 0
+    while ri < len(repeat_starts) and pos <= region_end:
+        if pos < repeat_starts[ri]:
+            dist = 1 + (min(region_end, repeat_starts[ri] - 1) - pos) // 2
+            if dist >= best_dist:
+                best_dist = dist
+                best_pos = dist - 1 + pos
+            pos = repeat_ends[ri]
+            ri += 1
+        elif pos < repeat_ends[ri]:
+            pos = repeat_ends[ri]
+            ri += 1
+        else:
+            ri += 1
+    if pos <= region_end:
+        dist = 1 + (region_end - pos) // 2
+        if dist >= best_dist:
+            best_dist = dist
+            best_pos = dist - 1 + pos
+    return best_dist, best_pos
+
+
+def calc_seed_base(aln: Alignment, haplotype: Haplotype) -> int:
+    """Reference: HapAligner::calc_seed_base (HapAligner.cpp:270-318)."""
+    repeat_starts = [b.start for b in haplotype.blocks if b.is_repeat]
+    repeat_ends = [b.end for b in haplotype.blocks if b.is_repeat]
+    hap_start = haplotype.blocks[0].start
+    hap_end = haplotype.blocks[-1].end
+
+    pos = aln.start
+    best_seed, cur_base, max_dist = -1, 0, MIN_SEED_DIST
+    for el in aln.cigar:
+        if el.type == "=":
+            min_region = max(pos, hap_start)
+            max_region = min(pos + el.num - 1, hap_end - 1)
+            if min_region <= max_region:
+                dist, dist_pos = calc_best_seed_position(
+                    min_region, max_region, repeat_starts, repeat_ends)
+                if dist >= max_dist:
+                    max_dist = dist
+                    best_seed = cur_base + (dist_pos - pos)
+            pos += el.num
+            cur_base += el.num
+        elif el.type == "I":
+            cur_base += el.num
+        elif el.type == "X":
+            pos += el.num
+            cur_base += el.num
+        elif el.type == "D":
+            pos += el.num
+        else:
+            raise AssertionError("Unrecognized CIGAR char in calc_seed_base")
+
+    if best_seed < -1 or best_seed == 0 or best_seed >= len(aln.sequence) - 1:
+        raise RuntimeError("Invalid alignment seed")
+    return best_seed
+
+
+class SeqStutterGenotyper:
+    def __init__(self, region: Region, haploid: bool, reassemble_flanks: bool,
+                 alns: List[Alignment], log_p1: List[List[float]],
+                 log_p2: List[List[float]], sample_names: List[str],
+                 chrom_seq: str, stutter_model: StutterModel,
+                 ref_vcf_alleles: Optional[Tuple[int, List[str]]] = None,
+                 dtype: str = "float32", logger=None):
+        self.region = region
+        self.haploid = haploid
+        self.reassemble_flanks = reassemble_flanks
+        self.alns = alns
+        self.sample_names = sample_names
+        self.sample_indices = {n: i for i, n in enumerate(sample_names)}
+        self.chrom_seq = chrom_seq
+        self.stutter_model = stutter_model
+        self.ref_vcf_alleles = ref_vcf_alleles
+        self.dtype = dtype
+        self.logger = logger or _NullLogger()
+        self.base_quality = BaseQuality()
+
+        self.num_samples = len(sample_names)
+        # flatten per-sample phasing likelihoods in read order
+        self.log_p1 = np.array([v for s in log_p1 for v in s])
+        self.log_p2 = np.array([v for s in log_p2 for v in s])
+        self.sample_label = np.array(
+            [s for s in range(self.num_samples) for _ in log_p1[s]],
+            dtype=np.int64)
+        self.num_reads = len(alns)
+        assert self.num_reads == len(self.log_p1)
+
+        # pool identical sequences; mark second mates (adjacent same name)
+        self.pooler = ReadPooler()
+        self.pool_index = np.zeros(self.num_reads, dtype=np.int64)
+        self.second_mate = np.zeros(self.num_reads, dtype=bool)
+        self.read_weights = np.ones(self.num_reads)
+        prev_name = ""
+        for i, aln in enumerate(alns):
+            self.pool_index[i] = self.pooler.add_alignment(aln)
+            self.second_mate[i] = (aln.name == prev_name)
+            if self.second_mate[i]:
+                self.read_weights[i] = 0
+            prev_name = aln.name
+
+        self.call_sample = [""] * self.num_samples
+        self.haplotype: Optional[Haplotype] = None
+        self.hap_info: Optional[HapAlignInfo] = None
+        self.trace_cache: Dict[Tuple[int, int], AlignmentTrace] = {}
+        self.pool_seeds: Optional[np.ndarray] = None
+        self.seed_positions: Optional[np.ndarray] = None
+        self.pool_LLs: Optional[np.ndarray] = None  # [P, A] raw pool LLs
+        self.log_aln_probs: Optional[np.ndarray] = None  # [R, A] mate-combined
+        self.log_post: Optional[np.ndarray] = None
+        self.sample_total_LLs: Optional[np.ndarray] = None
+
+        self.initialized = self._build_haplotype()
+
+    # ------------------------------------------------------------------ build
+    def _build_haplotype(self) -> bool:
+        if self.num_reads == 0:
+            return False
+        min_start = min(a.start for a in self.alns)
+        max_stop = max(a.stop for a in self.alns)
+        gen = HaplotypeGenerator(min_start, max_stop)
+
+        if self.ref_vcf_alleles is not None:
+            pos, alleles = self.ref_vcf_alleles
+            ok = gen.add_vcf_haplotype_block(pos, self.chrom_seq, alleles,
+                                             self.stutter_model)
+        else:
+            by_sample: List[List[Alignment]] = [[] for _ in range(self.num_samples)]
+            for i, aln in enumerate(self.alns):
+                if aln.use_for_hap_generation(0):
+                    by_sample[self.sample_label[i]].append(aln)
+            ok = gen.add_haplotype_block(self.region, self.chrom_seq,
+                                         by_sample, [], self.stutter_model)
+        if not ok:
+            self.logger.log(f"Haplotype construction failed: {gen.failure_msg}")
+            return False
+        gen.fuse_haplotype_blocks(self.chrom_seq)
+        self._set_haplotype(Haplotype(gen.hap_blocks))
+        return True
+
+    def _set_haplotype(self, haplotype: Haplotype) -> None:
+        self.haplotype = haplotype
+        self.hap_info = HapAlignInfo(haplotype)
+        self.trace_cache.clear()
+
+    @property
+    def num_alleles(self) -> int:
+        return self.haplotype.num_combs
+
+    def haps_to_alleles(self, block_index: int) -> np.ndarray:
+        return np.array([self.haplotype.digits(h)[block_index]
+                         for h in range(self.num_alleles)], dtype=np.int64)
+
+    # ------------------------------------------------------- alignment + post
+    def _compute_seeds(self) -> None:
+        P = self.pooler.num_pools()
+        self.pool_seeds = np.full(P, -1, dtype=np.int64)
+        for p, aln in enumerate(self.pooler.pooled_alns):
+            self.pool_seeds[p] = calc_seed_base(aln, self.haplotype)
+        self.seed_positions = self.pool_seeds[self.pool_index]
+
+    def calc_hap_aln_probs(self) -> None:
+        """Batched device alignment of every pool against every haplotype,
+        then mate-pair combination (reference calc_hap_aln_probs,
+        seq_stutter_genotyper.cpp:519-568)."""
+        pooled = self.pooler.pooled_alns
+        valid = [p for p in range(len(pooled)) if self.pool_seeds[p] >= 0]
+        A = self.num_alleles
+        self.pool_LLs = np.zeros((len(pooled), A))
+        if valid:
+            seqs = [pooled[p].sequence for p in valid]
+            quals = [pooled[p].base_qualities for p in valid]
+            seeds = [int(self.pool_seeds[p]) for p in valid]
+            LL = compute_hap_log_likelihoods(self.haplotype, seqs, quals,
+                                             seeds, dtype=self.dtype)
+            for row, p in enumerate(valid):
+                self.pool_LLs[p] = LL[row]
+
+        # expand pools to reads; combine mate pairs (both get the sum)
+        probs = self.pool_LLs[self.pool_index].astype(np.float64)
+        i = 0
+        while i < self.num_reads:
+            if self.second_mate[i]:
+                total = probs[i - 1] + probs[i]
+                probs[i - 1] = total
+                probs[i] = total
+            i += 1
+        self.log_aln_probs = probs
+
+    def calc_log_sample_posteriors(self) -> float:
+        priors = post_ops.log_genotype_priors(np, self.num_alleles, self.haploid)
+        self.log_post, self.sample_total_LLs, total = post_ops.sample_posteriors(
+            np, self.log_aln_probs, self.log_p1, self.log_p2,
+            self.read_weights, self.sample_label, self.num_samples, priors)
+        return float(total)
+
+    def get_optimal_haplotypes(self) -> Tuple[np.ndarray, np.ndarray]:
+        A = self.num_alleles
+        flat = self.log_post.reshape(self.num_samples, A * A)
+        best = np.argmax(flat, axis=1)
+        return best // A, best % A
+
+    # ------------------------------------------------------------- traces
+    def _trace_for(self, read_index: int, best_hap: int) -> AlignmentTrace:
+        key = (int(self.pool_index[read_index]), int(best_hap))
+        trace = self.trace_cache.get(key)
+        if trace is None:
+            pooled = self.pooler.pooled_alns[key[0]]
+            blw = self.base_quality.quals_to_log_error(pooled.base_qualities)
+            blc = self.base_quality.quals_to_log_correct(pooled.base_qualities)
+            _, trace = trace_optimal_aln(
+                self.haplotype, best_hap, pooled,
+                int(self.seed_positions[read_index]), blw, blc, self.hap_info)
+            self.trace_cache[key] = trace
+        return trace
+
+    def retrace_alignments(self) -> List[Optional[AlignmentTrace]]:
+        """ML trace per read (reference retrace_alignments,
+        seq_stutter_genotyper.cpp:805-841)."""
+        haps_a, haps_b = self.get_optimal_haplotypes()
+        traces: List[Optional[AlignmentTrace]] = []
+        for i in range(self.num_reads):
+            if self.seed_positions[i] < 0:
+                traces.append(None)
+                continue
+            s = self.sample_label[i]
+            ha, hb = int(haps_a[s]), int(haps_b[s])
+            v1 = LOG_ONE_HALF + self.log_p1[i] + self.log_aln_probs[i, ha]
+            v2 = LOG_ONE_HALF + self.log_p2[i] + self.log_aln_probs[i, hb]
+            best = ha if v1 > v2 else hb
+            traces.append(self._trace_for(i, best))
+        return traces
+
+    # ----------------------------------------------------- allele management
+    def add_and_remove_alleles(self, alleles_to_remove: List[List[int]],
+                               alleles_to_add: List[List[str]]) -> None:
+        """Rebuild blocks and rerun the batched kernel + posteriors.
+
+        The reference incrementally remaps probability arrays
+        (seq_stutter_genotyper.cpp:324-415); here the batched device pass
+        recomputes everything, which is deterministic-identical.
+        """
+        blocks = self.haplotype.blocks
+        new_blocks = [b.remove_alleles(rm) for b, rm in
+                      zip(blocks, alleles_to_remove)]
+        for blk, adds in zip(new_blocks, alleles_to_add):
+            for seq in adds:
+                blk.add_alternate(seq)
+        self._set_haplotype(Haplotype(new_blocks))
+        self.calc_hap_aln_probs()
+        self.calc_log_sample_posteriors()
+
+    def remove_alleles(self, allele_indices: List[List[int]]) -> None:
+        self.add_and_remove_alleles(
+            allele_indices, [[] for _ in self.haplotype.blocks])
+
+    def get_unused_alleles(self, check_spanned: bool, check_called: bool
+                           ) -> Tuple[List[List[int]], int, int]:
+        """Reference: seq_stutter_genotyper.cpp:229-315."""
+        num_aff_blocks = num_aff_alleles = 0
+        haps_a, haps_b = self.get_optimal_haplotypes()
+        traces = self.retrace_alignments()
+
+        aligned_read = np.zeros(self.num_samples, dtype=bool)
+        for i in range(self.num_reads):
+            if self.seed_positions[i] >= 0:
+                aligned_read[self.sample_label[i]] = True
+
+        allele_indices: List[List[int]] = []
+        for bi, block in enumerate(self.haplotype.blocks):
+            allele_indices.append([])
+            if block.num_options() == 1:
+                continue
+            hap_to_allele = self.haps_to_alleles(bi)
+            spanned = [False] * block.num_options()
+            called = [False] * block.num_options()
+
+            if check_spanned:
+                for i in range(self.num_reads):
+                    if self.seed_positions[i] < 0:
+                        continue
+                    trace = traces[i]
+                    ta = trace.traced_aln
+                    if ta.start < block.start and ta.stop > block.end:
+                        if trace.stutter_size(bi) == 0:
+                            s = self.sample_label[i]
+                            ha, hb = int(haps_a[s]), int(haps_b[s])
+                            best = ha
+                            if not self.haploid and ha != hb:
+                                v1 = self.log_p1[i] + self.log_aln_probs[i, ha]
+                                v2 = self.log_p2[i] + self.log_aln_probs[i, hb]
+                                if abs(v1 - v2) > TOLERANCE:
+                                    best = ha if v1 > v2 else hb
+                            spanned[hap_to_allele[best]] = True
+
+            if check_called:
+                for s in range(self.num_samples):
+                    if aligned_read[s] and not self.call_sample[s]:
+                        called[hap_to_allele[haps_a[s]]] = True
+                        called[hap_to_allele[haps_b[s]]] = True
+
+            affected = False
+            for ai in range(1, block.num_options()):
+                if (check_spanned and not spanned[ai]) or \
+                        (check_called and not called[ai]):
+                    allele_indices[-1].append(ai)
+                    affected = True
+                    num_aff_alleles += 1
+            if affected:
+                num_aff_blocks += 1
+        return allele_indices, num_aff_blocks, num_aff_alleles
+
+    def get_stutter_candidate_alleles(self, block_index: int) -> List[str]:
+        """Reference: seq_stutter_genotyper.cpp:843-879."""
+        block = self.haplotype.blocks[block_index]
+        traces = self.retrace_alignments()
+        sample_counts = np.zeros(self.num_samples, dtype=np.int64)
+        stutter_counts: List[Dict[str, int]] = [dict() for _ in range(self.num_samples)]
+        for i in range(self.num_reads):
+            trace = traces[i]
+            if trace is None:
+                continue
+            ta = trace.traced_aln
+            if ta.start < block.start and ta.stop > block.end:
+                s = self.sample_label[i]
+                if trace.stutter_size(block_index) != 0:
+                    seq = trace.str_seq(block_index)
+                    stutter_counts[s][seq] = stutter_counts[s].get(seq, 0) + 1
+                sample_counts[s] += 1
+
+        candidates = set()
+        for s in range(self.num_samples):
+            for seq, cnt in stutter_counts[s].items():
+                if cnt >= 2 and cnt / sample_counts[s] >= 0.15:
+                    if not block.contains(seq):
+                        candidates.add(seq)
+        return sorted(candidates)
+
+    def id_and_align_to_stutter_alleles(self, max_total_haplotypes: int) -> bool:
+        """Reference: seq_stutter_genotyper.cpp:570-601."""
+        empty_remove = [[] for _ in self.haplotype.blocks]
+        while True:
+            added = False
+            stutter_seqs: List[List[str]] = []
+            new_total = self.num_alleles
+            for bi, block in enumerate(self.haplotype.blocks):
+                if block.is_repeat:
+                    seqs = self.get_stutter_candidate_alleles(bi)
+                    added |= bool(seqs)
+                    seqs.sort(key=order_key)
+                    stutter_seqs.append(seqs)
+                    new_total = (new_total // block.num_options()
+                                 * (block.num_options() + len(seqs)))
+                else:
+                    stutter_seqs.append([])
+            if not added:
+                break
+            if new_total > max_total_haplotypes:
+                self.logger.log(
+                    f"Aborting: too many candidate haplotypes ({new_total})")
+                return False
+            self.logger.log("Identified additional stutter alleles: "
+                            + str([s for s in stutter_seqs if s]))
+            self.add_and_remove_alleles(
+                [list(x) for x in empty_remove], stutter_seqs)
+        return True
+
+    # -------------------------------------------------------- flank assembly
+    def assemble_flanks(self, max_total_haplotypes: int,
+                        max_flank_haplotypes: int,
+                        min_flank_freq: float) -> bool:
+        """Per-sample de Bruijn reassembly of flanking sequences
+        (reference: seq_stutter_genotyper.cpp:40-217)."""
+        traces = self.retrace_alignments()
+        nblocks = self.haplotype.num_blocks()
+        alleles_to_add: List[List[str]] = [[] for _ in range(nblocks)]
+        realign_sample = [False] * self.num_samples
+        new_total_haps = self.num_alleles
+
+        for flank in range(2):
+            block_index = 0 if flank == 0 else nblocks - 1
+            flank_dir = "left" if flank == 0 else "right"
+            ref_seq = self.haplotype.blocks[block_index].get_seq(0)
+            max_k = min(MAX_KMER, len(ref_seq) - 1 if ref_seq else -1)
+            new_total_haps //= self.haplotype.blocks[block_index].num_options()
+
+            kmer_length = DebruijnGraph.calc_kmer_length(ref_seq, MIN_KMER, max_k)
+            if kmer_length is None:
+                return False
+
+            hap_indexes: Dict[str, int] = {}
+            hap_to_sample: List[List[int]] = []
+            reads_by_sample: List[List[int]] = [[] for _ in range(self.num_samples)]
+            for i in range(self.num_reads):
+                reads_by_sample[self.sample_label[i]].append(i)
+
+            for s in range(self.num_samples):
+                if self.call_sample[s]:
+                    continue
+                assembly_data: List[Tuple[str, int]] = []
+                acyclic = False
+                for k in range(kmer_length, max_k + 1):
+                    assembler = DebruijnGraph(k, ref_seq)
+                    for i in reads_by_sample[s]:
+                        if traces[i] is None:
+                            continue
+                        seq = traces[i].flank_seq(block_index)
+                        if seq:
+                            assembler.add_string(seq)
+                    assembler.prune_edges(0.02, 2)
+                    if (not assembler.has_cycles() and assembler.is_source_ok()
+                            and assembler.is_sink_ok()):
+                        acyclic = True
+                        assembly_data = assembler.enumerate_paths(
+                            MIN_PATH_WEIGHT, 10)
+                        break
+
+                if acyclic:
+                    if not self.call_sample[s] and len(assembly_data) > 1:
+                        total_depth = sum(d for _, d in assembly_data)
+                        for seq, depth in assembly_data:
+                            if seq == ref_seq:
+                                continue
+                            if depth / total_depth > 0.25:
+                                if len(ref_seq) != len(seq):
+                                    self.call_sample[s] = "FLANK_ASSEMBLY_INDEL"
+                                    realign_sample[s] = False
+                                else:
+                                    if seq not in hap_indexes:
+                                        hap_indexes[seq] = len(hap_indexes)
+                                        hap_to_sample.append([])
+                                    realign_sample[s] = True
+                                    hap_to_sample[hap_indexes[seq]].append(s)
+                else:
+                    self.call_sample[s] = "FLANK_ASSEMBLY_CYCLIC"
+
+            # prune low-frequency flanks
+            for seq in sorted(hap_indexes, key=lambda q: hap_indexes[q]):
+                samples = hap_to_sample[hap_indexes[seq]]
+                if len(samples) < min_flank_freq * self.num_samples:
+                    for s in samples:
+                        if not self.call_sample[s]:
+                            self.call_sample[s] = "LOW_FREQUENCY_ALT_FLANK"
+                            realign_sample[s] = False
+                    self.logger.log(
+                        f"Pruning low frequency {flank_dir} flank {seq}")
+                    del hap_indexes[seq]
+
+            if hap_indexes:
+                if len(hap_indexes) > max_flank_haplotypes:
+                    self.logger.log(
+                        f"Skipping locus: too many {flank_dir} flanks")
+                    return False
+                for seq in sorted(hap_indexes, key=lambda q: hap_indexes[q]):
+                    alleles_to_add[block_index].append(seq)
+                new_total_haps *= (1 + len(hap_indexes))
+
+        if new_total_haps > max_total_haplotypes:
+            self.logger.log("Aborting: too many haplotypes after flank assembly")
+            return False
+
+        if any(alleles_to_add[b] for b in range(nblocks)):
+            self.logger.log("Realigning to include assembled flanks")
+            self.add_and_remove_alleles([[] for _ in range(nblocks)],
+                                        alleles_to_add)
+            if self.ref_vcf_alleles is None:
+                unused, nb, na = self.get_unused_alleles(False, True)
+                if na:
+                    self.remove_alleles(unused)
+        return True
+
+    # ---------------------------------------------------------------- driver
+    def genotype(self, max_total_haplotypes: int = 1000,
+                 max_flank_haplotypes: int = 4,
+                 min_flank_freq: float = 0.01) -> bool:
+        """Reference: seq_stutter_genotyper.cpp:603-671."""
+        if not self.initialized:
+            return False
+        if self.num_alleles > max_total_haplotypes:
+            self.logger.log("Aborting: too many candidate haplotypes")
+            return False
+
+        for flank in (0, -1):
+            ref_seq = self.haplotype.blocks[flank].get_seq(0)
+            max_k = min(MAX_KMER, len(ref_seq) - 1 if ref_seq else -1)
+            if DebruijnGraph.calc_kmer_length(ref_seq, MIN_KMER, max_k) is None:
+                self.logger.log("Aborting: flank too repetitive")
+                return False
+
+        self.pooler.pool(self.base_quality)
+        self._compute_seeds()
+        self.calc_hap_aln_probs()
+        self.calc_log_sample_posteriors()
+
+        if self.ref_vcf_alleles is None:
+            if not self.id_and_align_to_stutter_alleles(max_total_haplotypes):
+                return False
+            unused, nb, na = self.get_unused_alleles(False, True)
+            if na:
+                self.remove_alleles(unused)
+            unused, nb, na = self.get_unused_alleles(True, False)
+            if na:
+                self.remove_alleles(unused)
+
+        if self.reassemble_flanks:
+            if not self.assemble_flanks(max_total_haplotypes,
+                                        max_flank_haplotypes, min_flank_freq):
+                return False
+        return True
+
+    def recompute_stutter_models(self, max_total_haplotypes=1000,
+                                 max_flank_haplotypes=4, min_flank_freq=0.01,
+                                 max_em_iter=100, abs_ll_converge=0.01,
+                                 frac_ll_converge=0.001) -> bool:
+        """Retrain EM from ML-alignment stutter calls, then regenotype
+        (reference: seq_stutter_genotyper.cpp:1542-1581)."""
+        traces = self.retrace_alignments()
+        for bi, block in enumerate(self.haplotype.blocks):
+            if not block.is_repeat:
+                continue
+            num_bps = [[] for _ in range(self.num_samples)]
+            p1s = [[] for _ in range(self.num_samples)]
+            p2s = [[] for _ in range(self.num_samples)]
+            for i in range(self.num_reads):
+                trace = traces[i]
+                if trace is None:
+                    continue
+                ta = trace.traced_aln
+                if ta.start < block.start and ta.stop > block.end:
+                    s = self.sample_label[i]
+                    num_bps[s].append(len(trace.str_seq(bi))
+                                      + trace.stutter_size(bi))
+                    p1s[s].append(float(self.log_p1[i]))
+                    p2s[s].append(float(self.log_p2[i]))
+            em = EMStutterGenotyper(self.haploid,
+                                    block.repeat_info.period,
+                                    num_bps, p1s, p2s, ref_allele=0)
+            res = em.train(max_em_iter, abs_ll_converge, frac_ll_converge)
+            if not res.converged:
+                self.logger.log("Stutter model retraining failed")
+                return False
+            self.stutter_model = res.stutter_model
+            block.repeat_info.stutter_model = res.stutter_model
+        self.trace_cache.clear()
+        return self.genotype(max_total_haplotypes, max_flank_haplotypes,
+                             min_flank_freq)
+
+
+class _NullLogger:
+    def log(self, *args, **kwargs):
+        pass

@@ -1,0 +1,450 @@
+"""Per-locus VCF record construction.
+
+Port of SeqStutterGenotyper::write_vcf_record + get_alleles + reorder_alleles
+(reference: src/seq_stutter_genotyper.cpp:673-769, :984-1540), producing the
+record text with the reference's field set and %.2f float formatting.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..align.alignment_data import extract_cigar_bp_diff
+from ..ops import posteriors as post_ops
+from ..utils.mathops import LOG_ONE_HALF
+from .special import allele_bias_pvalue, fisher_strand_pvalue
+
+TOLERANCE = 1e-10
+STRAND_TOLERANCE = 0.1
+
+
+@dataclass
+class OutputConfig:
+    """Mirrors the Genotyper static output switches
+    (reference: src/genotyper.cpp:336-343)."""
+
+    output_gls: bool = False
+    output_pls: bool = False
+    output_phased_gls: bool = False
+    output_allreads: bool = True
+    output_mallreads: bool = True
+    output_filters: bool = False
+    output_haplotype_data: bool = False
+    max_flank_indel_frac: float = 0.15
+    viz_out: bool = False
+
+
+def _order_key(seq: str):
+    return (len(seq), seq)
+
+
+def get_alleles(genotyper, region, block_index: int) -> Tuple[int, List[str], Tuple[int, int]]:
+    """Trim block alleles to VCF coordinates; returns (pos_1based, alleles,
+    (left_trim, right_trim)).  Reference: seq_stutter_genotyper.cpp:691-769."""
+    block = genotyper.haplotype.blocks[block_index]
+    chrom_seq = genotyper.chrom_seq
+    alleles = [block.get_seq(i) for i in range(block.num_options())]
+
+    left_trim = 0
+    start = block.start
+    while start + left_trim < region.start:
+        trim = True
+        for a in alleles:
+            if left_trim + 1 >= len(a) or a[left_trim] != alleles[0][left_trim]:
+                trim = False
+                break
+        if not trim:
+            break
+        left_trim += 1
+    start += left_trim
+    alleles = [a[left_trim:] for a in alleles]
+
+    right_trim = 0
+    end = block.end
+    while end - right_trim > region.stop:
+        trim = True
+        ref_size = len(alleles[0])
+        for a in alleles:
+            if right_trim + 1 >= len(a) or \
+                    a[len(a) - right_trim - 1] != alleles[0][ref_size - right_trim - 1]:
+                trim = False
+                break
+        if not trim:
+            break
+        right_trim += 1
+    end -= right_trim
+    alleles = [a[:len(a) - right_trim] for a in alleles]
+
+    left_flank = chrom_seq[region.start:start].upper() if start >= region.start else ""
+    right_flank = chrom_seq[end:region.stop].upper() if end <= region.stop else ""
+    pos = min(region.start, start)
+    left_trim -= len(left_flank)
+    right_trim -= len(right_flank)
+
+    if not left_flank:
+        pad_left = any((not a) or a[0] != alleles[0][0] for a in alleles[1:])
+        if pad_left:
+            pos -= 1
+            left_trim -= 1
+            left_flank = chrom_seq[pos:pos + 1].upper()
+
+    alleles = [left_flank + a + right_flank for a in alleles]
+    return pos + 1, alleles, (left_trim, right_trim)
+
+
+def reorder_alleles(alleles: List[str]) -> Tuple[List[int], List[int]]:
+    """Sort alts by (length, sequence); reference:
+    seq_stutter_genotyper.cpp:673-689."""
+    old_indices = {a: i for i, a in enumerate(alleles)}
+    new_alleles = [alleles[0]] + sorted(alleles[1:], key=_order_key)
+    old_to_new = [-1] * len(alleles)
+    new_to_old = []
+    for i, a in enumerate(new_alleles):
+        oi = old_indices[a]
+        new_to_old.append(oi)
+        old_to_new[oi] = i
+    return old_to_new, new_to_old
+
+
+def _f(x: float) -> str:
+    return f"{x:.2f}"
+
+
+@dataclass
+class RecordStats:
+    filter_reasons: Dict[str, int] = field(default_factory=dict)
+    num_alleles: int = 0
+    viz_data: Optional[list] = None
+
+
+def build_vcf_record(g, sample_names: List[str],
+                     cfg: OutputConfig) -> Tuple[str, int, str, RecordStats]:
+    """Build the record for the (single) repeat block of genotyper `g`.
+
+    Returns (chrom, pos_1based, record_text_without_chrom_pos_id?,...) —
+    actually the full tab-joined record line, plus stats.
+    """
+    region = g.region
+    block_index = next(i for i, b in enumerate(g.haplotype.blocks) if b.is_repeat)
+    pos, alleles, trimmings = get_alleles(g, region, block_index)
+
+    allele_bp_diffs = [len(a) - len(alleles[0]) for a in alleles]
+
+    hap_to_allele = g.haps_to_alleles(block_index)
+    num_variants = g.haplotype.blocks[block_index].num_options()
+    ext = post_ops.extract_genotypes(
+        g.log_post, g.sample_total_LLs, hap_to_allele, num_variants,
+        g.haploid, g.num_alleles, calc_gls=True, calc_pls=cfg.output_pls,
+        calc_phased_gls=cfg.output_phased_gls)
+
+    S = g.num_samples
+    num_aligned = np.zeros(S, dtype=int)
+    num_with_snps = np.zeros(S, dtype=int)
+    num_with_stutter = np.zeros(S, dtype=int)
+    num_with_flank_indels = np.zeros(S, dtype=int)
+    num_strand_one = np.zeros(S, dtype=int)
+    num_strand_two = np.zeros(S, dtype=int)
+    uniq_hap_one = np.zeros(S, dtype=int)
+    uniq_hap_two = np.zeros(S, dtype=int)
+    rv_uniq_hap_one = np.zeros(S, dtype=int)
+    rv_uniq_hap_two = np.zeros(S, dtype=int)
+    bps_per_sample: List[List[int]] = [[] for _ in range(S)]
+    ml_bps_per_sample: List[List[int]] = [[] for _ in range(S)]
+    log_read_phases: List[List[float]] = [[] for _ in range(S)]
+    viz_alns: List[list] = [[] for _ in range(S)] if cfg.viz_out else None
+
+    for i in range(g.num_reads):
+        if g.seed_positions[i] < 0:
+            continue
+        s = int(g.sample_label[i])
+        ha = int(ext.best_hap_a[s])
+        hb = int(ext.best_hap_b[s])
+        v1 = LOG_ONE_HALF + g.log_p1[i] + g.log_aln_probs[i, ha]
+        v2 = LOG_ONE_HALF + g.log_p2[i] + g.log_aln_probs[i, hb]
+        total = np.logaddexp(v1, v2)
+        log_read_phases[s].append(float(v1 - total))
+
+        read_strand = 0
+        if not g.haploid and (ha != hb or abs(g.log_p1[i] - g.log_p2[i]) > TOLERANCE):
+            w1 = g.log_p1[i] + g.log_aln_probs[i, ha]
+            w2 = g.log_p2[i] + g.log_aln_probs[i, hb]
+            if abs(w1 - w2) > STRAND_TOLERANCE:
+                read_strand = 0 if w1 > w2 else 1
+                if read_strand == 0:
+                    uniq_hap_one[s] += 1
+                    if g.alns[i].rev_strand:
+                        rv_uniq_hap_one[s] += 1
+                else:
+                    uniq_hap_two[s] += 1
+                    if g.alns[i].rev_strand:
+                        rv_uniq_hap_two[s] += 1
+
+        best_hap = ha if read_strand == 0 else hb
+        trace = g._trace_for(i, best_hap)
+
+        if trace.has_stutter():
+            num_with_stutter[s] += 1
+        if trace.flank_ins_size != 0 or trace.flank_del_size != 0:
+            num_with_flank_indels[s] += 1
+        num_aligned[s] += 1
+        if viz_alns is not None:
+            viz_alns[s].append((read_strand, trace.traced_aln))
+
+        if abs(g.log_p1[i] - g.log_p2[i]) > TOLERANCE:
+            num_with_snps[s] += 1
+            if g.log_p1[i] > g.log_p2[i]:
+                num_strand_one[s] += 1
+            else:
+                num_strand_two[s] += 1
+
+        bp_diff = extract_cigar_bp_diff(
+            g.alns[i].cigar, g.alns[i].start,
+            region.start - region.period, region.stop + region.period)
+        if bp_diff is not None:
+            bps_per_sample[s].append(bp_diff)
+
+        ta = trace.traced_aln
+        if ta.start < (region.start - 4 if region.start > 4 else 0) and \
+                ta.stop > region.stop + 4:
+            ml_bps_per_sample[s].append(
+                allele_bp_diffs[hap_to_allele[best_hap]]
+                + trace.total_stutter_size())
+
+    # allele counts
+    interest = set(sample_names)
+    allele_counts = [0] * len(alleles)
+    skip_count = filt_count = allele_number = 0
+    for s in range(S):
+        if g.sample_names[s] not in interest:
+            continue
+        if num_aligned[s] == 0:
+            continue
+        if num_aligned[s] > 0 and \
+                num_with_flank_indels[s] > cfg.max_flank_indel_frac * num_aligned[s]:
+            filt_count += 1
+            continue
+        if not g.call_sample[s]:
+            ga, gb = int(ext.best_gt_a[s]), int(ext.best_gt_b[s])
+            if g.haploid:
+                allele_counts[ga] += 1
+                allele_number += 1
+            else:
+                allele_counts[ga] += 1
+                allele_counts[gb] += 1
+                allele_number += 2
+        else:
+            skip_count += 1
+
+    old_to_new, new_to_old = reorder_alleles(alleles)
+
+    out = []
+    out.append(f"{region.chrom}\t{pos}\t{region.name or '.'}")
+    out.append("\t" + alleles[new_to_old[0]] + "\t")
+    if len(alleles) == 1:
+        out.append(".")
+    else:
+        out.append(",".join(alleles[new_to_old[i]] for i in range(1, len(alleles))))
+    out.append("\t.\t.")
+
+    sm = g.haplotype.blocks[block_index].repeat_info.stutter_model
+    info = (f"\tINFRAME_PGEOM={_f(sm.in_geom)};INFRAME_UP={_f(sm.in_up)};"
+            f"INFRAME_DOWN={_f(sm.in_down)};OUTFRAME_PGEOM={_f(sm.out_geom)};"
+            f"OUTFRAME_UP={_f(sm.out_up)};OUTFRAME_DOWN={_f(sm.out_down)};"
+            f"START={region.start + 1};END={region.stop};PERIOD={region.period};"
+            f"NSKIP={skip_count};NFILT={filt_count};")
+    if len(alleles) > 1:
+        info += "BPDIFFS=" + ",".join(
+            str(allele_bp_diffs[new_to_old[i]]) for i in range(1, len(alleles))) + ";"
+
+    tot_dp = tot_dsnp = tot_dstutter = tot_dflank = 0
+    for name in sample_names:
+        s = g.sample_indices.get(name)
+        if s is None or g.call_sample[s]:
+            continue
+        if num_aligned[s] > 0 and \
+                num_with_flank_indels[s] > num_aligned[s] * cfg.max_flank_indel_frac:
+            continue
+        tot_dp += num_aligned[s]
+        tot_dsnp += num_with_snps[s]
+        tot_dstutter += num_with_stutter[s]
+        tot_dflank += num_with_flank_indels[s]
+    info += (f"DP={tot_dp};DSNP={tot_dsnp};DSTUTTER={tot_dstutter};"
+             f"DFLANKINDEL={tot_dflank};")
+    info += f"AN={allele_number};REFAC={allele_counts[0]}"
+    if len(allele_counts) > 1:
+        info += ";AC=" + ",".join(
+            str(allele_counts[new_to_old[i]]) for i in range(1, len(allele_counts)))
+    out.append(info)
+
+    output_allele_bias = (not g.haploid) and g.reassemble_flanks
+    output_strand_bias = (not g.haploid) and g.reassemble_flanks
+
+    if not g.haploid:
+        fmt = "GT:GB:Q:PQ:DP:DSNP:DSTUTTER:DFLANKINDEL:PDP:PSNP:GLDIFF"
+        num_fields = 11
+    else:
+        fmt = "GT:GB:Q:DP:DSTUTTER:DFLANKINDEL:GLDIFF"
+        num_fields = 7
+    if output_allele_bias:
+        fmt += ":AB:DAB"
+    if output_strand_bias:
+        fmt += ":FS"
+    if cfg.output_allreads:
+        fmt += ":ALLREADS"
+    if cfg.output_mallreads:
+        fmt += ":MALLREADS"
+    if cfg.output_gls:
+        fmt += ":GL"
+    if cfg.output_pls:
+        fmt += ":PL"
+    if not g.haploid and cfg.output_phased_gls:
+        fmt += ":PHASEDGL"
+    if cfg.output_filters:
+        fmt += ":FILTER"
+    out.append("\t" + fmt)
+
+    num_fields += ((2 if output_allele_bias else 0)
+                   + (1 if output_strand_bias else 0)
+                   + (1 if (not g.haploid and cfg.output_phased_gls) else 0))
+    num_fields += (int(cfg.output_allreads) + int(cfg.output_mallreads)
+                   + int(cfg.output_gls) + int(cfg.output_pls))
+    empty_str = ".:" * num_fields
+
+    stats = RecordStats(num_alleles=len(alleles))
+    V = len(alleles)
+
+    def condense(diffs: List[int]) -> str:
+        if not diffs:
+            return "."
+        counts: Dict[int, int] = {}
+        for d in diffs:
+            counts[d] = counts.get(d, 0) + 1
+        return ";".join(f"{k}|{v}" for k, v in sorted(counts.items()))
+
+    for name in sample_names:
+        out.append("\t")
+        s = g.sample_indices.get(name)
+        if s is None:
+            out.append("." if not cfg.output_filters else empty_str + "NO_READS")
+            continue
+        if num_aligned[s] == 0:
+            stats.filter_reasons["NO_READS"] = stats.filter_reasons.get("NO_READS", 0) + 1
+            out.append("." if not cfg.output_filters else empty_str + "NO_READS")
+            continue
+        if g.call_sample[s]:
+            r = g.call_sample[s]
+            stats.filter_reasons[r] = stats.filter_reasons.get(r, 0) + 1
+            out.append("." if not cfg.output_filters else empty_str + r)
+            continue
+        if num_aligned[s] > 0 and \
+                num_with_flank_indels[s] > num_aligned[s] * cfg.max_flank_indel_frac:
+            g.call_sample[s] = "FLANK_INDEL_FRAC"
+            stats.filter_reasons["FLANK_INDEL_FRAC"] = \
+                stats.filter_reasons.get("FLANK_INDEL_FRAC", 0) + 1
+            out.append("." if not cfg.output_filters else empty_str + "FLANK_INDEL_FRAC")
+            continue
+
+        phase1_reads = (0.0 if num_aligned[s] == 0 else
+                        float(np.exp(_lse(log_read_phases[s]))))
+        phase2_reads = num_aligned[s] - phase1_reads
+
+        ga, gb = int(ext.best_gt_a[s]), int(ext.best_gt_b[s])
+        ha, hb = int(ext.best_hap_a[s]), int(ext.best_hap_b[s])
+
+        ab = 1.01
+        fs = 1.01
+        if not g.haploid and ha != hb:
+            ab = allele_bias_pvalue(int(uniq_hap_one[s]), int(uniq_hap_two[s]))
+            fs = fisher_strand_pvalue(
+                int(uniq_hap_one[s] - rv_uniq_hap_one[s]), int(rv_uniq_hap_one[s]),
+                int(uniq_hap_two[s] - rv_uniq_hap_two[s]), int(rv_uniq_hap_two[s]))
+
+        parts = []
+        if not g.haploid:
+            parts.append(f"{old_to_new[ga]}|{old_to_new[gb]}")
+            parts.append(f"{allele_bp_diffs[ga]}|{allele_bp_diffs[gb]}")
+            parts.append(_f(math.exp(ext.log_unphased_post[s])))
+            parts.append(_f(math.exp(ext.log_phased_post[s])))
+            parts.append(str(num_aligned[s]))
+            parts.append(str(num_with_snps[s]))
+            parts.append(str(num_with_stutter[s]))
+            parts.append(str(num_with_flank_indels[s]))
+            parts.append(f"{_f(phase1_reads)}|{_f(phase2_reads)}")
+            parts.append(f"{num_strand_one[s]}|{num_strand_two[s]}")
+            parts.append("." if V == 1 else _f(ext.gl_diffs[s]))
+        else:
+            parts.append(str(old_to_new[ga]))
+            parts.append(str(allele_bp_diffs[ga]))
+            parts.append(_f(math.exp(ext.log_unphased_post[s])))
+            parts.append(str(num_aligned[s]))
+            parts.append(str(num_with_stutter[s]))
+            parts.append(str(num_with_flank_indels[s]))
+            parts.append("." if V == 1 else _f(ext.gl_diffs[s]))
+
+        if output_allele_bias:
+            if ab > 1:
+                parts.append("0")
+                parts.append(".")
+            else:
+                parts.append(_f(ab))
+                parts.append(str(int(uniq_hap_one[s] + uniq_hap_two[s])))
+        if output_strand_bias:
+            parts.append("0" if fs > 1 else _f(fs))
+        if cfg.output_allreads:
+            parts.append(condense(bps_per_sample[s]))
+        if cfg.output_mallreads:
+            parts.append(condense(ml_bps_per_sample[s]))
+
+        if g.haploid:
+            if cfg.output_gls:
+                vals = [ext.gls[s][0]] + [ext.gls[s][new_to_old[i]]
+                                          for i in range(1, V)]
+                parts.append(",".join(_f(v) for v in vals))
+            if cfg.output_pls:
+                vals = [ext.pls[s][0]] + [ext.pls[s][new_to_old[i]]
+                                          for i in range(1, V)]
+                parts.append(",".join(str(int(v)) for v in vals))
+        else:
+            if cfg.output_gls:
+                vals = [ext.gls[s][0]]
+                for i in range(1, V):
+                    for j in range(0, i + 1):
+                        a = min(new_to_old[i], new_to_old[j])
+                        b = max(new_to_old[i], new_to_old[j])
+                        vals.append(ext.gls[s][b * (b + 1) // 2 + a])
+                parts.append(",".join(_f(v) for v in vals))
+            if cfg.output_pls:
+                vals = [ext.pls[s][0]]
+                for i in range(1, V):
+                    for j in range(0, i + 1):
+                        a = min(new_to_old[i], new_to_old[j])
+                        b = max(new_to_old[i], new_to_old[j])
+                        vals.append(ext.pls[s][b * (b + 1) // 2 + a])
+                parts.append(",".join(str(int(v)) for v in vals))
+            if cfg.output_phased_gls:
+                vals = [ext.phased_gls[s][0]]
+                for i in range(V):
+                    for j in range(V):
+                        if i == 0 and j == 0:
+                            continue
+                        vals.append(ext.phased_gls[s][new_to_old[i] * V + new_to_old[j]])
+                parts.append(",".join(_f(v) for v in vals))
+        if cfg.output_filters:
+            parts.append("PASS")
+        out.append(":".join(parts))
+
+    if viz_alns is not None:
+        stats.viz_data = viz_alns
+    return region.chrom, pos, "".join(out), stats
+
+
+def _lse(vals: List[float]) -> float:
+    if not vals:
+        return -np.inf
+    arr = np.array(vals)
+    m = arr.max()
+    return float(m + np.log(np.sum(np.exp(arr - m))))

@@ -1,0 +1,148 @@
+"""STR locus read simulator.
+
+Generates diploid samples and stutter/error-bearing reads for end-to-end
+tests and benchmarks — the same strategy as the reference's EM simulation
+harness (reference: test/run_stutter_em_tests.sh), extended to full sequence
+reads so the whole genotyping stack can be exercised and compared against the
+reference binary on identical inputs.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..align.alignment_data import Alignment
+from ..align.realign import realign
+from ..io.regions import Region
+from ..models.stutter import StutterModel
+
+BASES = "ACGT"
+
+
+@dataclass
+class SimulatedLocus:
+    chrom: str
+    chrom_seq: str
+    region: Region
+    motif: str
+    ref_units: int
+    allele_pool: List[int]          # repeat-unit counts
+    true_genotypes: List[Tuple[int, int]]   # per-sample unit counts
+    alns: List[Alignment] = field(default_factory=list)
+    log_p1: List[List[float]] = field(default_factory=list)
+    log_p2: List[List[float]] = field(default_factory=list)
+    sample_names: List[str] = field(default_factory=list)
+    raw_reads: List[dict] = field(default_factory=list)  # for BAM export
+
+
+def _rand_seq(rng, n):
+    return "".join(rng.choice(list(BASES), size=n))
+
+
+def _sample_stutter(rng, model: StutterModel):
+    r = rng.random()
+    p = model
+    if r < p.in_up:
+        return int(rng.geometric(p.in_geom)) * p.period
+    if r < p.in_up + p.in_down:
+        return -int(rng.geometric(p.in_geom)) * p.period
+    if r < p.in_up + p.in_down + p.out_up:
+        d = int(rng.geometric(p.out_geom))
+        if d % p.period == 0:
+            d += 1
+        return d
+    if r < p.in_up + p.in_down + p.out_up + p.out_down:
+        d = -int(rng.geometric(p.out_geom))
+        if (-d) % p.period == 0:
+            d -= 1
+        return d
+    return 0
+
+
+def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25,
+                   period: int = 3, ref_units: int = 8, read_len: int = 70,
+                   flank_len: int = 300, error_rate: float = 0.002,
+                   stutter: Optional[StutterModel] = None,
+                   allele_units: Optional[List[int]] = None,
+                   qual_char: str = "I", chrom: str = "chrSim",
+                   paired: bool = False) -> SimulatedLocus:
+    rng = np.random.default_rng(seed)
+    if stutter is None:
+        stutter = StutterModel(0.9, 0.05, 0.08, 0.9, 0.01, 0.01, period)
+    motif = _rand_seq(rng, period)
+    while len(set(motif)) == 1:  # avoid homopolymer motifs for clean flanks
+        motif = _rand_seq(rng, period)
+    if allele_units is None:
+        allele_units = [ref_units - 2, ref_units - 1, ref_units, ref_units + 1]
+    lflank = _rand_seq(rng, flank_len)
+    rflank = _rand_seq(rng, flank_len)
+    ref_str = motif * ref_units
+    chrom_seq = lflank + ref_str + rflank
+    region = Region(chrom, flank_len, flank_len + len(ref_str), period, "SIM1")
+
+    locus = SimulatedLocus(chrom, chrom_seq, region, motif, ref_units,
+                           list(allele_units), [])
+    freqs = np.ones(len(allele_units)) / len(allele_units)
+
+    for s in range(n_samples):
+        name = f"SAMPLE{s:03d}"
+        locus.sample_names.append(name)
+        a1, a2 = rng.choice(allele_units, size=2, p=freqs)
+        locus.true_genotypes.append((int(a1), int(a2)))
+        p1s, p2s = [], []
+        sample_alns: List[Alignment] = []
+        for r in range(reads_per_sample):
+            units = int(a1 if rng.random() < 0.5 else a2)
+            allele_seq = lflank + motif * units + rflank
+            str_start = flank_len
+            str_len = period * units
+            d = _sample_stutter(rng, stutter)
+            if d > 0:
+                pos = int(rng.integers(0, str_len + 1))
+                ins = (motif * ((d // period) + 2))[:d]
+                hap_seq = (allele_seq[:str_start + pos] + ins
+                           + allele_seq[str_start + pos:])
+            elif d < 0 and str_len + d >= 0:
+                pos = int(rng.integers(0, str_len + d + 1))
+                hap_seq = (allele_seq[:str_start + pos]
+                           + allele_seq[str_start + pos - d:])
+            else:
+                hap_seq = allele_seq
+
+            # place the read to span the STR with margin
+            str_end_in_hap = str_start + str_len + d
+            lo = max(0, str_start - (read_len - (str_len + d) - 12))
+            hi = max(lo + 1, str_start - 12)
+            start_in_hap = int(rng.integers(lo, hi))
+            if start_in_hap + read_len > len(hap_seq):
+                start_in_hap = len(hap_seq) - read_len
+            read = list(hap_seq[start_in_hap:start_in_hap + read_len])
+            for i in range(len(read)):
+                if rng.random() < error_rate:
+                    read[i] = rng.choice([b for b in BASES if b != read[i]])
+            read_seq = "".join(read)
+            quals = qual_char * read_len
+
+            # approximate original mapping position (true placement)
+            map_start = start_in_hap
+            map_end = map_start + read_len  # exclusive; indels shift ignored
+            aln = realign(map_start, map_end, f"{name}_read{r}", read_seq,
+                          quals, bool(rng.random() < 0.5), chrom_seq)
+            if aln is None:
+                continue
+            aln.use_for_haps = [True]
+            sample_alns.append(aln)
+            p1s.append(math.log(0.5))
+            p2s.append(math.log(0.5))
+            locus.raw_reads.append(dict(
+                name=f"{name}_read{r}", sample=name, seq=read_seq, quals=quals,
+                start=map_start, rev=aln.rev_strand))
+        # reads must be grouped per sample, ordered consistently
+        locus.alns.extend(sorted(sample_alns, key=lambda a: a.name))
+        locus.log_p1.append(p1s)
+        locus.log_p2.append(p2s)
+    return locus
