@@ -88,3 +88,62 @@ def realign(read_start: int, read_end: int, name: str, sequence: str,
         new_aln.cigar.append(CigarElement(last.type, last.num - head - tail))
 
     return new_aln if aligned else None
+
+
+def convert_alignment(read_start: int, name: str, sequence: str,
+                      qualities: str, rev_strand: bool,
+                      cigar: list, chrom_seq: str) -> Alignment:
+    """Convert a reference-matching mapping (cigar all M/=/S/H) without NW.
+
+    Port of AlignmentOps::convertAlignment (AlignmentOps.cpp:102-167):
+    M runs split into =/X against the reference; end = last aligned base.
+    """
+    read_seq = sequence.upper()
+    seq_index = 0
+    ref_index = read_start
+    aln_parts = []
+    out_cigar = []
+
+    def push(t, n):
+        if out_cigar and out_cigar[-1].type == t:
+            out_cigar[-1].num += n
+        else:
+            out_cigar.append(CigarElement(t, n))
+
+    for n, op in cigar:
+        if op == "H":
+            continue
+        if op == "S":
+            out_cigar.append(CigarElement("S", n))
+            seq_index += n
+        elif op == "I":
+            out_cigar.append(CigarElement("I", n))
+            aln_parts.append(read_seq[seq_index:seq_index + n])
+            seq_index += n
+        elif op == "D":
+            out_cigar.append(CigarElement("D", n))
+            aln_parts.append("-" * n)
+            ref_index += n
+        elif op in "M=X":
+            prev_t, prev_n = "=", 0
+            for _ in range(n):
+                same = read_seq[seq_index] == chrom_seq[ref_index].upper()
+                t = "=" if same else "X"
+                if t == prev_t:
+                    prev_n += 1
+                else:
+                    if prev_n:
+                        out_cigar.append(CigarElement(prev_t, prev_n))
+                    prev_t, prev_n = t, 1
+                aln_parts.append(read_seq[seq_index])
+                seq_index += 1
+                ref_index += 1
+            if prev_n:
+                out_cigar.append(CigarElement(prev_t, prev_n))
+        else:
+            raise AssertionError("bad CIGAR in convert_alignment")
+
+    aln = Alignment(read_start, ref_index - 1, rev_strand, name, qualities,
+                    read_seq, "".join(aln_parts))
+    aln.cigar = out_cigar
+    return aln

@@ -64,6 +64,7 @@ class HapMeta(NamedTuple):
     hap_opt: jax.Array    # [H] int32 repeat option per haplotype
     entry_idx: jax.Array  # [H, nD, L] int32 gather index j - (rep_len+D)
     entry_ok: jax.Array   # [H, nD, L] bool: entry index >= 0
+    row_active: jax.Array  # [R] bool; False marks bucket-padding rows
 
 
 class SeedMeta(NamedTuple):
@@ -73,7 +74,9 @@ class SeedMeta(NamedTuple):
     seed_valid: jax.Array    # [S] bool
     first_char: jax.Array    # [H]
     last_char: jax.Array     # [H]
-    log_num_seeds: float     # static: -log(#flank positions)
+    log_num_seeds: jax.Array  # scalar: -log(#flank positions)
+    cfg_fw_row: jax.Array    # scalar int: fw row of hap position n-2
+    cfg_rev_row: jax.Array   # scalar int: rev row of rev position n-2
 
 
 def _emit(codes, char, blc, blw):
@@ -192,13 +195,18 @@ def segment_forward(seg: SegmentInputs, meta: HapMeta, R: int, period: int,
 
         def body(carry, xs):
             M, I, D = carry
-            char, m2m, m2i, m2d = xs
+            char, m2m, m2i, m2d, active = xs
             emit = _emit(seg.codes, char, blc, blw)
-            M, I, D = _flank_row(M, I, D, emit, C, Csh, jj, m2m, m2i, m2d)
+            Mn, In, Dn = _flank_row(M, I, D, emit, C, Csh, jj, m2m, m2i, m2d)
+            # inactive (bucket-padding) rows pass the carry through untouched
+            M = jnp.where(active, Mn, M)
+            I = jnp.where(active, In, I)
+            D = jnp.where(active, Dn, D)
             return (M, I, D), col(M)
 
         xs = (meta.row_char[:, lo:hi].T, meta.row_m2m[:, lo:hi].T,
-              meta.row_m2i[:, lo:hi].T, meta.row_m2d[:, lo:hi].T)
+              meta.row_m2i[:, lo:hi].T, meta.row_m2d[:, lo:hi].T,
+              meta.row_active[lo:hi])
         (M, I, D), ys = jax.lax.scan(body, (M, I, D), xs)
         return (M, I, D), ys
 
@@ -228,7 +236,7 @@ def segment_forward(seg: SegmentInputs, meta: HapMeta, R: int, period: int,
 def hmm_forward(l_seg: SegmentInputs, r_seg: SegmentInputs,
                 fw_meta: HapMeta, rev_meta: HapMeta, seed: SeedMeta,
                 seed_codes, seed_blw, seed_blc,
-                R: int, period: int, sr_fw: int, sr_rev: int,
+                R_fw: int, R_rev: int, period: int, sr_fw: int, sr_rev: int,
                 dtype=jnp.float32):
     """Full forward pass: [P, H] log-likelihoods.
 
@@ -240,10 +248,11 @@ def hmm_forward(l_seg: SegmentInputs, r_seg: SegmentInputs,
     """
     seed_blc = seed_blc.astype(dtype)
     seed_blw = seed_blw.astype(dtype)
-    Mcol_fw, l_prob = segment_forward(l_seg, fw_meta, R, period, sr_fw, dtype)
-    Mcol_rev, r_prob = segment_forward(r_seg, rev_meta, R, period, sr_rev, dtype)
+    Mcol_fw, l_prob = segment_forward(l_seg, fw_meta, R_fw, period, sr_fw, dtype)
+    Mcol_rev, r_prob = segment_forward(r_seg, rev_meta, R_rev, period, sr_rev,
+                                       dtype)
 
-    prior = jnp.asarray(seed.log_num_seeds, dtype)
+    prior = jnp.asarray(seed.log_num_seeds).astype(dtype)
 
     # interior seed configs: [P, H, S]
     eq = seed_codes[:, None, None] == seed.seed_char[None, :, :]
@@ -256,10 +265,12 @@ def hmm_forward(l_seg: SegmentInputs, r_seg: SegmentInputs,
     # off-haplotype configs (seed at hap position 0 / n-1): [P, H]
     eqA = seed_codes[:, None] == seed.first_char[None, :]
     scA = jnp.where(eqA, seed_blc[:, None], seed_blw[:, None])
-    cfgA = prior + scA + l_prob[:, None] + Mcol_rev[R - 2]
+    cfgA = prior + scA + l_prob[:, None] + jnp.take(Mcol_rev,
+                                                    seed.cfg_rev_row, axis=0)
     eqB = seed_codes[:, None] == seed.last_char[None, :]
     scB = jnp.where(eqB, seed_blc[:, None], seed_blw[:, None])
-    cfgB = prior + scB + r_prob[:, None] + Mcol_fw[R - 2]
+    cfgB = prior + scB + r_prob[:, None] + jnp.take(Mcol_fw,
+                                                    seed.cfg_fw_row, axis=0)
 
     allv = jnp.concatenate([vals, cfgA[:, :, None], cfgB[:, :, None]], axis=-1)
     m = jnp.max(allv, axis=-1)

@@ -1,81 +1,212 @@
-"""Device-batched haplotype alignment driver.
+"""Device-batched haplotype alignment driver with shape bucketing.
 
 Equivalent of the reference HapAligner::process_reads
 (src/SeqAlignment/HapAligner.cpp:320-343) with TPU batching: packs one
 locus's haplotypes + read pools into dense tensors and evaluates all
 [pool x haplotype] log-likelihoods in a single jitted device call.
+
+Every dynamic extent (segment length, pools, haplotypes, repeat options,
+DP rows before/after the repeat row, seed anchors, repeat-allele length) is
+padded up to a bucket so a handful of compiled kernels serve every locus:
+padding pools/haplotypes replicates real entries (results sliced away),
+padding rows inserts inactive pass-through rows, padding seeds masks them
+out, and the row indices the combination step consumes are remapped
+accordingly.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..align.haplotype import Haplotype
-from ..align.packing import PackedHaplotypes, pack_haplotypes, pack_reads
-from ..ops.hmm import HapMeta, SeedMeta, SegmentInputs, hmm_forward
+from ..align.packing import pack_haplotypes, pack_reads
+from ..ops.hmm import HapMeta, IMPOSSIBLE, SeedMeta, SegmentInputs, hmm_forward
+
+BUCKETS_L = [48, 64, 96, 128, 160, 192, 256, 320, 512]
+BUCKETS_ROWS = [4, 8, 16, 24, 32, 48, 64, 96, 128, 160, 224]
+BUCKETS_H = [1, 2, 4, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512,
+             768, 1024]
+BUCKETS_P = [4, 8, 16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024]
+BUCKETS_S = [16, 32, 64, 96, 128, 192, 256, 384]
+BUCKETS_O = [1, 2, 4, 8, 16, 32, 64]
+BUCKETS_B = [16, 32, 64, 128, 192]
 
 
-@functools.lru_cache(maxsize=64)
-def _jitted(R: int, period: int, sr_fw: int, sr_rev: int, dtype_name: str):
+def _bucket(v: int, buckets) -> int:
+    for b in buckets:
+        if v <= b:
+            return b
+    raise ValueError(f"value {v} exceeds largest bucket {buckets[-1]}")
+
+
+@functools.lru_cache(maxsize=128)
+def _jitted(R_f: int, R_r: int, sr_f: int, sr_r: int, period: int,
+            dtype_name: str):
     dtype = jnp.dtype(dtype_name)
 
     @jax.jit
-    def run(l_seg, r_seg, fw_meta, rev_meta, seed, seed_codes, seed_blw, seed_blc):
+    def run(l_seg, r_seg, fw_meta, rev_meta, seed, seed_codes, seed_blw,
+            seed_blc):
         return hmm_forward(l_seg, r_seg, fw_meta, rev_meta, seed,
-                           seed_codes, seed_blw, seed_blc, R, period,
-                           sr_fw, sr_rev, dtype)
+                           seed_codes, seed_blw, seed_blc, R_f, R_r, period,
+                           sr_f, sr_r, dtype)
 
     return run
 
 
-def _to_meta(d: dict) -> HapMeta:
+def _pad_axis(a: np.ndarray, axis: int, target: int, mode: str = "edge"):
+    if a.shape[axis] == target:
+        return a
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, target - a.shape[axis])
+    return np.pad(a, pad, mode=mode)
+
+
+def _pad_orientation(d: dict, sr_real: int, R_real: int, H_pad: int,
+                     O_pad: int, B_pad: int):
+    """Pad one orientation's row metadata; returns (new dict, row_map fn,
+    B1, R_pad)."""
+    B1 = _bucket(sr_real, BUCKETS_ROWS)
+    tail = R_real - sr_real - 2
+    B3 = _bucket(max(tail, 0), BUCKETS_ROWS) if tail > 0 else _bucket(1, BUCKETS_ROWS)
+    pad1 = B1 - sr_real
+    R_pad = B1 + 2 + B3
+
+    def row_map(r: int) -> int:
+        if r == 0:
+            return 0
+        if r < sr_real:          # pre-stutter flank rows
+            return pad1 + r
+        if r == sr_real:         # stutter row
+            return B1
+        if r == sr_real + 1:     # forced-match row
+            return B1 + 1
+        return B1 + 2 + (r - sr_real - 2)
+
+    H = d["row_char"].shape[0]
+    out = {}
+    for key in ("row_char", "row_m2m", "row_m2i", "row_m2d"):
+        src = d[key]
+        dst = np.zeros((H, R_pad), dtype=src.dtype)
+        for r in range(R_real):
+            dst[:, row_map(r)] = src[:, r]
+        out[key] = _pad_axis(dst, 0, H_pad)
+
+    active = np.zeros(R_pad, dtype=bool)
+    for r in range(R_real):
+        active[row_map(r)] = True
+    out["row_active"] = active
+
+    out["rep_rev_codes"] = _pad_axis(
+        _pad_axis(d["rep_rev_codes"], 1, B_pad, "constant"), 0, O_pad)
+    out["rep_len"] = _pad_axis(d["rep_len"], 0, O_pad)
+    out["lpmf"] = _pad_axis(d["lpmf"], 0, O_pad)
+    out["hap_opt"] = _pad_axis(d["hap_opt"], 0, H_pad)
+    out["entry_idx"] = _pad_axis(d["entry_idx"], 0, H_pad)
+    out["entry_ok"] = _pad_axis(d["entry_ok"], 0, H_pad)
+    out["stutter_row"] = B1
+    return out, row_map, R_pad
+
+
+def _to_meta_np(d: dict) -> HapMeta:
     return HapMeta(
-        row_char=jnp.asarray(d["row_char"]),
-        row_m2m=jnp.asarray(d["row_m2m"]),
-        row_m2i=jnp.asarray(d["row_m2i"]),
-        row_m2d=jnp.asarray(d["row_m2d"]),
-        rep_rev_codes=jnp.asarray(d["rep_rev_codes"]),
-        rep_len=jnp.asarray(d["rep_len"]),
-        lpmf=jnp.asarray(d["lpmf"]),
-        hap_opt=jnp.asarray(d["hap_opt"]),
-        entry_idx=jnp.asarray(d["entry_idx"]),
-        entry_ok=jnp.asarray(d["entry_ok"]),
-    )
+        row_char=d["row_char"], row_m2m=d["row_m2m"], row_m2i=d["row_m2i"],
+        row_m2d=d["row_m2d"], rep_rev_codes=d["rep_rev_codes"],
+        rep_len=d["rep_len"], lpmf=d["lpmf"], hap_opt=d["hap_opt"],
+        entry_idx=d["entry_idx"], entry_ok=d["entry_ok"],
+        row_active=d["row_active"])
 
 
-def compute_hap_log_likelihoods(haplotype: Haplotype, seqs, quals, seeds,
-                                L: int | None = None,
-                                dtype: str = "float32") -> np.ndarray:
-    """LL[pool, hap] for every read pool against every haplotype combination."""
-    if L is None:
-        L = max(2, max(len(s) for s in seqs) - 1)
+def prepare_locus(haplotype: Haplotype, seqs, quals, seeds,
+                  dtype: str = "float32"):
+    """Pack + bucket-pad one locus; returns (numpy array pytree, statics).
+
+    The pytree holds (l_seg, r_seg, fw_meta, rev_meta, seed_meta, seed_codes,
+    seed_blw, seed_blc) with SegmentInputs/HapMeta/SeedMeta leaves as numpy;
+    statics is (R_f, R_r, sr_f, sr_r, period, P_real, H_real).
+    """
+    P_real = len(seqs)
+    H_real = haplotype.num_combs
+    L_need = max(2, max(len(s) for s in seqs) - 1)
+    L = _bucket(L_need, BUCKETS_L)
+
     packed = pack_haplotypes(haplotype, L)
     reads = pack_reads(seqs, quals, seeds, L)
 
-    l_seg = SegmentInputs(jnp.asarray(reads.l_codes), jnp.asarray(reads.l_blw),
-                          jnp.asarray(reads.l_blc), jnp.asarray(reads.l_last))
-    r_seg = SegmentInputs(jnp.asarray(reads.r_codes), jnp.asarray(reads.r_blw),
-                          jnp.asarray(reads.r_blc), jnp.asarray(reads.r_last))
-    fw_meta = _to_meta(packed.fw)
-    rev_meta = _to_meta(packed.rev)
+    H_pad = _bucket(H_real, BUCKETS_H)
+    O_pad = _bucket(packed.O, BUCKETS_O)
+    B_pad = _bucket(packed.fw["rep_rev_codes"].shape[1], BUCKETS_B)
+    P_pad = _bucket(P_real, BUCKETS_P)
+
+    sr_f = packed.fw["stutter_row"]
+    sr_r = packed.rev["stutter_row"]
+    fw_d, fw_map, R_f = _pad_orientation(packed.fw, sr_f, packed.R,
+                                         H_pad, O_pad, B_pad)
+    rev_d, rev_map, R_r = _pad_orientation(packed.rev, sr_r, packed.R,
+                                           H_pad, O_pad, B_pad)
+
     sd = packed.seed
+    S_real = len(sd["seed_fw_row"])
+    S_pad = _bucket(max(S_real, 1), BUCKETS_S)
+    seed_fw_row = np.zeros(S_pad, dtype=np.int32)
+    seed_rev_row = np.zeros(S_pad, dtype=np.int32)
+    seed_valid = np.zeros(S_pad, dtype=bool)
+    seed_char = np.zeros((H_pad, S_pad), dtype=np.int32)
+    for s in range(S_real):
+        seed_fw_row[s] = fw_map(int(sd["seed_fw_row"][s]))
+        seed_rev_row[s] = rev_map(int(sd["seed_rev_row"][s]))
+        seed_valid[s] = True
+    seed_char[:H_real, :S_real] = sd["seed_char"]
+    seed_char[H_real:] = seed_char[0]
+
     seed_meta = SeedMeta(
-        seed_fw_row=jnp.asarray(sd["seed_fw_row"]),
-        seed_rev_row=jnp.asarray(sd["seed_rev_row"]),
-        seed_char=jnp.asarray(sd["seed_char"]),
-        seed_valid=jnp.asarray(sd["seed_valid"]),
-        first_char=jnp.asarray(sd["first_char"]),
-        last_char=jnp.asarray(sd["last_char"]),
-        log_num_seeds=sd["log_num_seeds"],
+        seed_fw_row=seed_fw_row,
+        seed_rev_row=seed_rev_row,
+        seed_char=seed_char,
+        seed_valid=seed_valid,
+        first_char=_pad_axis(sd["first_char"], 0, H_pad),
+        last_char=_pad_axis(sd["last_char"], 0, H_pad),
+        log_num_seeds=np.asarray(sd["log_num_seeds"],
+                                 dtype=np.float64 if dtype == "float64"
+                                 else np.float32),
+        cfg_fw_row=np.asarray(fw_map(packed.R - 2), dtype=np.int32),
+        cfg_rev_row=np.asarray(rev_map(packed.R - 2), dtype=np.int32),
     )
 
-    run = _jitted(packed.R, packed.period, packed.fw["stutter_row"],
-                  packed.rev["stutter_row"], dtype)
+    def seg(codes, blw, blc, last):
+        codes = _pad_axis(codes, 0, P_pad, "constant")
+        blw = _pad_axis(blw, 0, P_pad, "constant")
+        blc = _pad_axis(blc, 0, P_pad, "constant")
+        last = np.concatenate([last, np.zeros(P_pad - P_real, np.int32)]) \
+            if P_pad != P_real else last
+        return SegmentInputs(codes, blw, blc, last.astype(np.int32))
+
+    l_seg = seg(reads.l_codes, reads.l_blw, reads.l_blc, reads.l_last)
+    r_seg = seg(reads.r_codes, reads.r_blw, reads.r_blc, reads.r_last)
+    seed_codes = np.concatenate(
+        [reads.seed_codes, np.zeros(P_pad - P_real, np.int32)])
+    seed_blw = np.concatenate([reads.seed_blw, np.zeros(P_pad - P_real)])
+    seed_blc = np.concatenate([reads.seed_blc, np.zeros(P_pad - P_real)])
+
+    arrays = (l_seg, r_seg, _to_meta_np(fw_d), _to_meta_np(rev_d), seed_meta,
+              seed_codes, seed_blw, seed_blc)
+    statics = (R_f, R_r, fw_d["stutter_row"], rev_d["stutter_row"],
+               packed.period, P_real, H_real)
+    return arrays, statics
+
+
+def compute_hap_log_likelihoods(haplotype: Haplotype, seqs, quals, seeds,
+                                dtype: str = "float32") -> np.ndarray:
+    """LL[pool, hap] for every read pool against every haplotype combination."""
+    arrays, statics = prepare_locus(haplotype, seqs, quals, seeds, dtype)
+    R_f, R_r, sr_f, sr_r, period, P_real, H_real = statics
+    l_seg, r_seg, fw_meta, rev_meta, seed_meta, sc, sw, sb = arrays
+    run = _jitted(R_f, R_r, sr_f, sr_r, period, dtype)
     out = run(l_seg, r_seg, fw_meta, rev_meta, seed_meta,
-              jnp.asarray(reads.seed_codes), jnp.asarray(reads.seed_blw),
-              jnp.asarray(reads.seed_blc))
-    return np.asarray(out)
+              jnp.asarray(sc), jnp.asarray(sw), jnp.asarray(sb))
+    return np.asarray(out)[:P_real, :H_real]
