@@ -62,6 +62,9 @@ class PipelineOptions:
     chrom: str = ""
     max_regions: int = 1000000000
     dtype: str = "float32"
+    snp_vcf: Optional[str] = None
+    fam_file: Optional[str] = None
+    bams_from_10x: bool = False
     output: OutputConfig = field(default_factory=OutputConfig)
 
 
@@ -125,6 +128,21 @@ class GenotyperPipeline:
                 if sm not in seen:
                     seen.add(sm)
                     self.samples.append(sm)
+
+        # phased-SNP support (reference: snp_bam_processor.cpp)
+        self.snp_vcf = None
+        self.haplotype_tracker = None
+        self.phase_match_count = 0
+        self.phase_mismatch_count = 0
+        if self.opts.snp_vcf:
+            from ..io.vcf_read import VCFReader
+            self.snp_vcf = VCFReader(self.opts.snp_vcf)
+            if self.opts.fam_file:
+                from ..phasing.haplotype_tracker import HaplotypeTracker
+                from ..phasing.pedigree import extract_pedigree_nuclear_families
+                fams = extract_pedigree_nuclear_families(
+                    self.opts.fam_file, set(self.snp_vcf.samples))
+                self.haplotype_tracker = HaplotypeTracker(fams, self.snp_vcf)
 
         self.stutter_models: Dict[Tuple[str, int, int], StutterModel] = {}
         if self.opts.stutter_in:
@@ -417,12 +435,41 @@ class GenotyperPipeline:
             self.remove_pcr_duplicates(rg_names, paired_by_rg, mates_by_rg,
                                        unpaired_by_rg)
 
-        # merge paired + unpaired per rg; phasing LLs are 0 without a SNP VCF
+        # merge paired + unpaired per rg; compute phasing LLs from the
+        # phased-SNP VCF when available (reference: snp_bam_processor.cpp:35-124)
         alns_by_rg: List[List[BamAlign]] = []
         for k in range(len(rg_names)):
             alns_by_rg.append(paired_by_rg[k] + unpaired_by_rg[k])
         log_p1s = [[0.0] * len(a) for a in alns_by_rg]
         log_p2s = [[0.0] * len(a) for a in alns_by_rg]
+        if self.opts.bams_from_10x:
+            log_p1s, log_p2s = self._phase_from_10x_tags(
+                paired_by_rg, unpaired_by_rg)
+        elif self.snp_vcf is not None:
+            from ..phasing.snp_phasing import (calc_het_snp_factors,
+                                               create_snp_sets)
+            SKIP_PADDING = 15
+            if self.haplotype_tracker is not None:
+                self.haplotype_tracker.advance(region.chrom, region.start)
+            res = create_snp_sets(
+                region.chrom, max(1, region.start - MAX_MATE_DIST),
+                region.stop + MAX_MATE_DIST, [region], SKIP_PADDING,
+                self.snp_vcf, self.haplotype_tracker)
+            if res is not None:
+                snp_sets, _ = res
+                counts: Dict[str, int] = {}
+                for k, rg in enumerate(rg_names):
+                    if rg in snp_sets:
+                        p1a, p2a = calc_het_snp_factors(
+                            paired_by_rg[k], mates_by_rg[k], self.bq,
+                            snp_sets[rg], counts)
+                        p1b, p2b = calc_het_snp_factors(
+                            unpaired_by_rg[k], None, self.bq,
+                            snp_sets[rg], counts)
+                        log_p1s[k] = p1a + p1b
+                        log_p2s[k] = p2a + p2b
+                self.phase_match_count += counts.get("match", 0)
+                self.phase_mismatch_count += counts.get("mismatch", 0)
 
         total_reads = sum(len(a) for a in alns_by_rg)
         if total_reads < self.opts.min_reads:
@@ -476,6 +523,29 @@ class GenotyperPipeline:
             vcf_writer.add_vcf_record(chrom, pos, text)
         else:
             self.counters.genotype_fail += 1
+
+    def _phase_from_10x_tags(self, paired_by_rg, unpaired_by_rg):
+        """10x Genomics HP-tag phasing (reference:
+        snp_bam_processor.cpp:141-204): HP=1/2 assigns FROM_HAP_LL to the
+        tagged haplotype and OTHER_HAP_LL to the other."""
+        FROM_HAP_LL, OTHER_HAP_LL = -0.01, -1000.0
+        log_p1s, log_p2s = [], []
+        for k in range(len(paired_by_rg)):
+            p1s, p2s = [], []
+            for aln in paired_by_rg[k] + unpaired_by_rg[k]:
+                hap = aln.get_tag("HP")
+                if hap == 1:
+                    p1s.append(FROM_HAP_LL)
+                    p2s.append(OTHER_HAP_LL)
+                elif hap == 2:
+                    p1s.append(OTHER_HAP_LL)
+                    p2s.append(FROM_HAP_LL)
+                else:
+                    p1s.append(0.0)
+                    p2s.append(0.0)
+            log_p1s.append(p1s)
+            log_p2s.append(p2s)
+        return log_p1s, log_p2s
 
     def learn_stutter_model(self, alns_by_rg, log_p1s, log_p2s, haploid,
                             rg_names, region: Region) -> Optional[StutterModel]:

@@ -37,6 +37,7 @@ class SimulatedLocus:
     log_p2: List[List[float]] = field(default_factory=list)
     sample_names: List[str] = field(default_factory=list)
     raw_reads: List[dict] = field(default_factory=list)  # for BAM export
+    snp: Optional[dict] = None
 
 
 def _rand_seq(rng, n):
@@ -69,7 +70,8 @@ def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25
                    stutter: Optional[StutterModel] = None,
                    allele_units: Optional[List[int]] = None,
                    qual_char: str = "I", chrom: str = "chrSim",
-                   paired: bool = False) -> SimulatedLocus:
+                   paired: bool = False,
+                   phased_snp_offset: Optional[int] = None) -> SimulatedLocus:
     rng = np.random.default_rng(seed)
     if stutter is None:
         stutter = StutterModel(0.9, 0.05, 0.08, 0.9, 0.01, 0.01, period)
@@ -88,6 +90,16 @@ def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25
                            list(allele_units), [])
     freqs = np.ones(len(allele_units)) / len(allele_units)
 
+    # optional phased het SNP in the left flank: haplotype 1 carries the
+    # reference base, haplotype 2 an alternate
+    snp_pos = None
+    snp_ref = snp_alt = None
+    if phased_snp_offset is not None:
+        snp_pos = region.start - phased_snp_offset
+        snp_ref = chrom_seq[snp_pos]
+        snp_alt = rng.choice([b for b in BASES if b != snp_ref])
+        locus.snp = dict(pos=snp_pos, ref=snp_ref, alt=snp_alt)
+
     for s in range(n_samples):
         name = f"SAMPLE{s:03d}"
         locus.sample_names.append(name)
@@ -96,8 +108,12 @@ def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25
         p1s, p2s = [], []
         sample_alns: List[Alignment] = []
         for r in range(reads_per_sample):
-            units = int(a1 if rng.random() < 0.5 else a2)
+            from_hap_one = rng.random() < 0.5
+            units = int(a1 if from_hap_one else a2)
             allele_seq = lflank + motif * units + rflank
+            if snp_pos is not None and not from_hap_one:
+                allele_seq = (allele_seq[:snp_pos] + snp_alt
+                              + allele_seq[snp_pos + 1:])
             str_start = flank_len
             str_len = period * units
             d = _sample_stutter(rng, stutter)
@@ -146,3 +162,20 @@ def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25
         locus.log_p1.append(p1s)
         locus.log_p2.append(p2s)
     return locus
+
+
+def write_phased_snp_vcf(locus: SimulatedLocus, path: str) -> None:
+    """Write a phased biallelic-SNP VCF for a simulated locus (every sample
+    heterozygous ref|alt at the simulated SNP)."""
+    assert getattr(locus, "snp", None) is not None
+    snp = locus.snp
+    lines = ["##fileformat=VCFv4.1",
+             f"##contig=<ID={locus.chrom},length={len(locus.chrom_seq)}>",
+             '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+             + "\t".join(locus.sample_names)]
+    gt = "\t".join("0|1" for _ in locus.sample_names)
+    lines.append(f"{locus.chrom}\t{snp['pos'] + 1}\t.\t{snp['ref']}\t"
+                 f"{snp['alt']}\t.\t.\t.\tGT\t{gt}")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
