@@ -1,0 +1,60 @@
+"""DenovoFinder command line interface.
+
+Capability parity with the reference DenovoFinder (reference:
+src/denovos/denovo_main.cpp): loads a FAM pedigree + HipSTR STR VCF (+SNP
+VCF), runs the family scan (phased GLs + SNP transmission) or the trio scan
+(unphased GLs), and writes a per-family/per-child VCF of mutation
+log-likelihoods.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .denovo.scanner import DenovoScanner, TrioDenovoScanner
+from .io.vcf_read import VCFReader
+from .phasing.pedigree import extract_pedigree_nuclear_families
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="denovo-finder-tpu",
+        description="Scan HipSTR VCFs + pedigrees for de novo STR mutations")
+    ap.add_argument("--fam", required=True, help="FAM pedigree file")
+    ap.add_argument("--str-vcf", required=True,
+                    help="HipSTR STR VCF with GL/PHASEDGL fields")
+    ap.add_argument("--snp-vcf",
+                    help="Phased SNP VCF (enables the family scan; without "
+                         "it the unphased trio scan runs)")
+    ap.add_argument("--denovo-vcf", required=True, help="Output VCF path")
+    ap.add_argument("--pop-priors", action="store_true",
+                    help="Use founder-derived allele frequency priors")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    str_vcf = VCFReader(args.str_vcf)
+    families = extract_pedigree_nuclear_families(args.fam,
+                                                 set(str_vcf.samples))
+    if not families:
+        print("ERROR: no usable nuclear families in pedigree", file=sys.stderr)
+        return 1
+
+    out = open(args.denovo_vcf, "w")
+    cmd = " ".join(sys.argv)
+    if args.snp_vcf:
+        scanner = DenovoScanner(families, out, args.pop_priors)
+        scanner.write_vcf_header(cmd)
+        scanner.scan(VCFReader(args.snp_vcf), str_vcf)
+    else:
+        scanner = TrioDenovoScanner(families, out, args.pop_priors)
+        scanner.write_vcf_header(cmd)
+        scanner.scan(str_vcf)
+    out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

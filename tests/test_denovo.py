@@ -1,0 +1,186 @@
+"""De novo scanner tests: dense kernels vs brute-force reference loops, and
+the DenovoFinder CLI end-to-end."""
+
+import math
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from hipstr_tpu.denovo.likelihoods import (
+    NEG, expand_unphased_gls, phased_family_lls, trio_unphased_lls,
+    uniform_log10_freqs)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def lse10(vals):
+    vals = [v for v in vals if v > -1e20]
+    if not vals:
+        return NEG
+    m = max(vals)
+    return m + math.log10(sum(10.0 ** (v - m) for v in vals))
+
+
+def brute_trio(gm, gf, gc, freqs, mut_prior):
+    """Literal transcription of the reference trio loops
+    (trio_denovo_scanner.cpp:81-180), without pruning."""
+    A = gm.shape[0]
+    L14 = -math.log10(4)
+    L2 = math.log10(2)
+    nomut, den, oth = [], [], []
+    for mat_i in range(A):
+        for mat_j in range(mat_i + 1):
+            pri_m = freqs[mat_i] + freqs[mat_j] + (L2 if mat_i != mat_j else 0)
+            mat_ll = pri_m + gm[mat_j, mat_i]
+            for pat_i in range(A):
+                for pat_j in range(pat_i + 1):
+                    pri_f = freqs[pat_i] + freqs[pat_j] + \
+                        (L2 if pat_i != pat_j else 0)
+                    config = mat_ll + pri_f + gf[pat_j, pat_i] + L14
+                    for mat_allele in (mat_i, mat_j):
+                        for pat_allele in (pat_i, pat_j):
+                            nomut.append(config + gc[min(mat_allele, pat_allele),
+                                                     max(mat_allele, pat_allele)])
+                            for m in range(A):
+                                if m != mat_allele:
+                                    p = config + gc[min(m, pat_allele),
+                                                    max(m, pat_allele)] + mut_prior
+                                    if m not in (mat_i, mat_j, pat_i, pat_j):
+                                        den.append(p)
+                                    else:
+                                        oth.append(p)
+                                if m != pat_allele:
+                                    p = config + gc[min(mat_allele, m),
+                                                    max(mat_allele, m)] + mut_prior
+                                    if m not in (mat_i, mat_j, pat_i, pat_j):
+                                        den.append(p)
+                                    else:
+                                        oth.append(p)
+    return lse10(nomut), lse10(den), lse10(oth)
+
+
+def brute_phased(gm, gf, gcs, mat_idx, pat_idx, freqs, mut_prior):
+    """Literal transcription of denovo_scanner.cpp:173-252, no pruning."""
+    A = gm.shape[0]
+    nomut = []
+    den = [[] for _ in gcs]
+    oth = [[] for _ in gcs]
+    for mi in range(A):
+        for mj in range(A):
+            mat_ll = freqs[mi] + freqs[mj] + gm[mi, mj]
+            for pi in range(A):
+                for pj in range(A):
+                    pat_ll = freqs[pi] + freqs[pj] + gf[pi, pj]
+                    cfg = mat_ll + pat_ll
+                    total_children = 0.0
+                    cvals = []
+                    for c, gc in enumerate(gcs):
+                        ci = cj = None
+                        if mat_idx[c] == 0:
+                            ci = mi
+                        elif mat_idx[c] == 1:
+                            ci = mj
+                        elif mat_idx[c] == 2:
+                            cj = mi
+                        else:
+                            cj = mj
+                        if pat_idx[c] == 0:
+                            ci = pi
+                        elif pat_idx[c] == 1:
+                            ci = pj
+                        elif pat_idx[c] == 2:
+                            cj = pi
+                        else:
+                            cj = pj
+                        cvals.append((ci, cj, gc[ci, cj]))
+                        total_children += gc[ci, cj]
+                    nomut.append(cfg + total_children)
+                    for c, gc in enumerate(gcs):
+                        ci, cj, v = cvals[c]
+                        base = cfg + total_children - v
+                        for m in range(A):
+                            if m != ci:
+                                p = base + gc[m, cj] + mut_prior
+                                (den if m not in (mi, mj, pi, pj)
+                                 else oth)[c].append(p)
+                            if m != cj:
+                                p = base + gc[ci, m] + mut_prior
+                                (den if m not in (mi, mj, pi, pj)
+                                 else oth)[c].append(p)
+    return (lse10(nomut), [lse10(x) for x in den], [lse10(x) for x in oth])
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_trio_kernel_matches_bruteforce(seed):
+    rng = np.random.default_rng(seed)
+    A = 4
+    freqs = uniform_log10_freqs(A)
+    mats = [np.round(rng.uniform(-8, 0, (A, A)), 2) for _ in range(3)]
+    mats = [np.minimum(m, m.T) * 0 + (m + m.T) / 2 for m in mats]  # symmetric
+    nomut, den, oth = trio_unphased_lls(np, mats[0], mats[1], mats[2],
+                                        freqs, -1.0)
+    bn, bd, bo = brute_trio(mats[0], mats[1], mats[2], freqs, -1.0)
+    assert np.isclose(float(nomut), bn, atol=1e-9)
+    assert np.isclose(float(den), bd, atol=1e-9)
+    assert np.isclose(float(oth), bo, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed,mat_idx,pat_idx", [
+    (1, [0], [2]), (2, [1], [3]), (3, [2], [0]), (4, [3], [1]),
+    (5, [0, 2], [3, 1]),
+])
+def test_phased_kernel_matches_bruteforce(seed, mat_idx, pat_idx):
+    rng = np.random.default_rng(seed)
+    A = 3
+    freqs = uniform_log10_freqs(A)
+    gm = np.round(rng.uniform(-8, 0, (A, A)), 2)
+    gf = np.round(rng.uniform(-8, 0, (A, A)), 2)
+    gcs = [np.round(rng.uniform(-8, 0, (A, A)), 2) for _ in mat_idx]
+    nomut, den, oth = phased_family_lls(np, gm, gf, gcs, mat_idx, pat_idx,
+                                        freqs, -1.0)
+    bn, bd, bo = brute_phased(gm, gf, gcs, mat_idx, pat_idx, freqs, -1.0)
+    assert np.isclose(float(nomut), bn, atol=1e-9)
+    for c in range(len(gcs)):
+        assert np.isclose(float(den[c]), bd[c], atol=1e-9), (c, den, bd)
+        assert np.isclose(float(oth[c]), bo[c], atol=1e-9)
+
+
+def test_denovo_finder_cli(tmp_path):
+    """Trio with a child allele absent from both parents -> DENOVO >> NOMUT."""
+    A = 3
+    # condensed diploid GL order for A=3: (0,0),(1,0),(1,1),(2,0),(2,1),(2,2)
+    def gl(best_pair):
+        out = []
+        for i in range(A):
+            for j in range(i + 1):
+                out.append(0.0 if (j, i) == best_pair else -8.0)
+        return ",".join(str(x) for x in out)
+
+    # mother 0/0, father 0/0, child 0/2 (allele 2 de novo)
+    vcf = tmp_path / "str.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.1\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+        '##FORMAT=<ID=GL,Number=G,Type=Float,Description="G">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tMOM\tDAD\tKID\n"
+        "chr1\t1000\t.\tACACAC\tACAC,ACACACAC\t.\t.\t"
+        "BPDIFFS=-2,2;START=1000;END=1005;PERIOD=2\tGT:GL\t"
+        f"0|0:{gl((0, 0))}\t0|0:{gl((0, 0))}\t0|2:{gl((0, 2))}\n")
+    fam = tmp_path / "ped.fam"
+    fam.write_text("F1\tKID\tDAD\tMOM\t1\t0\n")
+    out = tmp_path / "denovo.vcf"
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.denovo_finder",
+                    "--fam", str(fam), "--str-vcf", str(vcf),
+                    "--denovo-vcf", str(out)], check=True, env=env, cwd=REPO)
+    recs = [l for l in open(out) if not l.startswith("#")]
+    assert len(recs) == 1
+    fields = recs[0].strip().split("\t")
+    assert fields[8] == "NOMUT:DENOVO:OTHER"
+    nomut, denovo, other = (float(x) for x in fields[9].split(":"))
+    assert denovo > nomut + 2
+    assert denovo > other
