@@ -179,3 +179,23 @@ class VCFReader:
             if v.pos >= end:
                 break
             yield v
+
+
+def read_vcf_alleles(ref_vcf: "VCFReader", region) -> Optional[Tuple[int, List[str]]]:
+    """Match a reference-panel VCF record to a BED region via its START/END
+    INFO tags within a +/-50 bp pad; returns (pos_0based, alleles) or None.
+
+    Reference: read_vcf_alleles (src/vcf_input.cpp:21-50).
+    """
+    pad = 50
+    pad_start = max(0, region.start - pad)
+    for variant in ref_vcf.query(region.chrom, pad_start, region.stop + pad):
+        if "START" not in variant.info or "END" not in variant.info:
+            continue
+        str_start = int(variant.info["START"])
+        str_stop = int(variant.info["END"])
+        if str_start == region.start + 1 and str_stop == region.stop:
+            return variant.pos, list(variant.alleles)
+        if variant.pos + 1 > region.start + pad:
+            break
+    return None

@@ -63,6 +63,8 @@ class PipelineOptions:
     max_regions: int = 1000000000
     dtype: str = "float32"
     snp_vcf: Optional[str] = None
+    ref_vcf: Optional[str] = None
+    viz_out: Optional[str] = None
     fam_file: Optional[str] = None
     bams_from_10x: bool = False
     output: OutputConfig = field(default_factory=OutputConfig)
@@ -129,6 +131,11 @@ class GenotyperPipeline:
                     seen.add(sm)
                     self.samples.append(sm)
 
+        self.ref_vcf = None
+        if self.opts.ref_vcf:
+            from ..io.vcf_read import VCFReader
+            self.ref_vcf = VCFReader(self.opts.ref_vcf)
+
         # phased-SNP support (reference: snp_bam_processor.cpp)
         self.snp_vcf = None
         self.haplotype_tracker = None
@@ -143,6 +150,12 @@ class GenotyperPipeline:
                 fams = extract_pedigree_nuclear_families(
                     self.opts.fam_file, set(self.snp_vcf.samples))
                 self.haplotype_tracker = HaplotypeTracker(fams, self.snp_vcf)
+
+        self.viz_writer = None
+        if self.opts.viz_out:
+            from .viz import VizWriter
+            self.viz_writer = VizWriter(self.opts.viz_out)
+            self.opts.output.viz_out = True
 
         self.stutter_models: Dict[Tuple[str, int, int], StutterModel] = {}
         if self.opts.stutter_in:
@@ -508,9 +521,20 @@ class GenotyperPipeline:
         left_alns, filt_p1s, filt_p2s = self.left_align_reads(
             region, chrom_seq, alns_by_rg, log_p1s, log_p2s)
 
+        ref_vcf_alleles = None
+        if self.ref_vcf is not None:
+            from ..io.vcf_read import read_vcf_alleles
+            res = read_vcf_alleles(self.ref_vcf, region)
+            if res is None:
+                self.logger.log(f"No reference-panel alleles for {region}")
+                self.counters.genotype_fail += 1
+                return
+            ref_vcf_alleles = res
+
         g = SeqStutterGenotyper(
-            region, haploid, True, left_alns, filt_p1s, filt_p2s, rg_names,
-            chrom_seq, stutter_model, dtype=self.opts.dtype,
+            region, haploid, True, left_alns, filt_p1s,
+            filt_p2s, rg_names, chrom_seq, stutter_model,
+            ref_vcf_alleles=ref_vcf_alleles, dtype=self.opts.dtype,
             logger=self.logger)
         if not g.initialized:
             self.counters.genotype_fail += 1
@@ -521,6 +545,21 @@ class GenotyperPipeline:
             chrom, pos, text, stats = build_vcf_record(
                 g, self.samples, self.opts.output)
             vcf_writer.add_vcf_record(chrom, pos, text)
+            if self.viz_writer is not None and stats.viz_data is not None:
+                from .viz import visualize_alignments
+                alns_by_sample = {}
+                for s, entries in enumerate(stats.viz_data):
+                    if entries:
+                        one = sorted((a for st, a in entries if st == 0),
+                                     key=lambda a: a.start)
+                        two = sorted((a for st, a in entries if st == 1),
+                                     key=lambda a: a.start)
+                        alns_by_sample[rg_names[s]] = one + two
+                html = visualize_alignments(
+                    alns_by_sample, stats.sample_gb, chrom_seq,
+                    region.chrom, region.start, region.stop)
+                self.viz_writer.add(region.chrom, region.start + 1,
+                                    region.stop, html)
         else:
             self.counters.genotype_fail += 1
 
@@ -664,6 +703,8 @@ class GenotyperPipeline:
 
         if writer is not None:
             writer.close()
+        if self.viz_writer is not None:
+            self.viz_writer.close()
         if self.opts.stutter_out:
             with open(self.opts.stutter_out, "w") as fh:
                 write_stutter_models(self._stutter_out, fh)

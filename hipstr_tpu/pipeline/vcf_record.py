@@ -119,6 +119,7 @@ class RecordStats:
     filter_reasons: Dict[str, int] = field(default_factory=dict)
     num_alleles: int = 0
     viz_data: Optional[list] = None
+    sample_gb: Dict[str, str] = field(default_factory=dict)
 
 
 def build_vcf_record(g, sample_names: List[str],
@@ -354,6 +355,7 @@ def build_vcf_record(g, sample_names: List[str],
 
         ga, gb = int(ext.best_gt_a[s]), int(ext.best_gt_b[s])
         ha, hb = int(ext.best_hap_a[s]), int(ext.best_hap_b[s])
+        stats.sample_gb[name] = f"{allele_bp_diffs[ga]}|{allele_bp_diffs[gb]}"
 
         ab = 1.01
         fs = 1.01

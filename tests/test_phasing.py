@@ -122,3 +122,93 @@ def test_snp_vcf_pipeline_phases_reads(tmp_path):
             a, b = parts[psnp_idx].split("|")
             phased_any |= (int(a) > 0 and int(b) > 0)
     assert phased_any
+
+
+def test_ref_vcf_mode_roundtrip(tmp_path):
+    """Genotype de novo, then re-genotype with the emitted VCF as a
+    reference panel; genotypes must agree."""
+    from tests.test_genotyper_e2e import run_locus  # reuse simulator helpers
+    from hipstr_tpu.io.bam import BamRecord, BamWriter
+    from hipstr_tpu.io.fasta import write_fasta
+    from hipstr_tpu.utils.simulate import simulate_locus
+
+    locus = simulate_locus(seed=91, n_samples=3, reads_per_sample=30,
+                           period=3, ref_units=8)
+    out = str(tmp_path)
+    write_fasta(f"{out}/sim.fa", [(locus.chrom, locus.chrom_seq)])
+    r = locus.region
+    with open(f"{out}/regions.bed", "w") as fh:
+        fh.write(f"{r.chrom}\t{r.start + 1}\t{r.stop}\t{r.period}\t8.0\tSIM1\n")
+    rg = "".join(f"@RG\tID:rg{n}\tSM:{n}\tLB:lib{n}\n"
+                 for n in locus.sample_names)
+    header = ("@HD\tVN:1.6\tSO:coordinate\n"
+              f"@SQ\tSN:{locus.chrom}\tLN:{len(locus.chrom_seq)}\n" + rg)
+    writer = BamWriter(f"{out}/sim.bam", [locus.chrom],
+                       [len(locus.chrom_seq)], header)
+    for rd in sorted(locus.raw_reads, key=lambda d: d["start"]):
+        writer.write(BamRecord(
+            name=rd["name"], flag=0x10 if rd["rev"] else 0, ref_id=0,
+            pos=rd["start"], mapq=60, cigar=[(len(rd["seq"]), "M")],
+            mate_ref_id=-1, mate_pos=-1, tlen=0, seq=rd["seq"],
+            qual=rd["quals"], tags={"RG": ("Z", f"rg{rd['sample']}")}))
+    writer.close()
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    base_cmd = [sys.executable, "-m", "hipstr_tpu.cli",
+                "--bams", f"{out}/sim.bam", "--fasta", f"{out}/sim.fa",
+                "--regions", f"{out}/regions.bed", "--use-unpaired",
+                "--min-reads", "20", "--def-stutter-model",
+                "--dtype", "float64", "--silent"]
+    subprocess.run(base_cmd + ["--str-vcf", f"{out}/pass1.vcf"],
+                   check=True, env=env, cwd=REPO)
+    subprocess.run(base_cmd + ["--str-vcf", f"{out}/pass2.vcf",
+                               "--ref-vcf", f"{out}/pass1.vcf"],
+                   check=True, env=env, cwd=REPO)
+
+    def gts(path):
+        recs = [l for l in open(path) if not l.startswith("#")]
+        assert len(recs) == 1
+        fields = recs[0].split("\t")
+        return [f.split(":")[0] for f in fields[9:]]
+
+    assert gts(f"{out}/pass1.vcf") == gts(f"{out}/pass2.vcf")
+
+
+def test_viz_out_and_vizaln(tmp_path):
+    """--viz-out writes extractable per-locus HTML."""
+    from hipstr_tpu.io.bam import BamRecord, BamWriter
+    from hipstr_tpu.io.fasta import write_fasta
+    from hipstr_tpu.utils.simulate import simulate_locus
+    from hipstr_tpu.pipeline.viz import extract_locus_html
+
+    locus = simulate_locus(seed=13, n_samples=2, reads_per_sample=25,
+                           period=2, ref_units=9)
+    out = str(tmp_path)
+    write_fasta(f"{out}/sim.fa", [(locus.chrom, locus.chrom_seq)])
+    r = locus.region
+    with open(f"{out}/regions.bed", "w") as fh:
+        fh.write(f"{r.chrom}\t{r.start + 1}\t{r.stop}\t{r.period}\t9.0\tSIM1\n")
+    rg = "".join(f"@RG\tID:rg{n}\tSM:{n}\tLB:lib{n}\n"
+                 for n in locus.sample_names)
+    header = ("@HD\tVN:1.6\tSO:coordinate\n"
+              f"@SQ\tSN:{locus.chrom}\tLN:{len(locus.chrom_seq)}\n" + rg)
+    writer = BamWriter(f"{out}/sim.bam", [locus.chrom],
+                       [len(locus.chrom_seq)], header)
+    for rd in sorted(locus.raw_reads, key=lambda d: d["start"]):
+        writer.write(BamRecord(
+            name=rd["name"], flag=0, ref_id=0, pos=rd["start"], mapq=60,
+            cigar=[(len(rd["seq"]), "M")], mate_ref_id=-1, mate_pos=-1,
+            tlen=0, seq=rd["seq"], qual=rd["quals"],
+            tags={"RG": ("Z", f"rg{rd['sample']}")}))
+    writer.close()
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run(
+        [sys.executable, "-m", "hipstr_tpu.cli", "--bams", f"{out}/sim.bam",
+         "--fasta", f"{out}/sim.fa", "--regions", f"{out}/regions.bed",
+         "--str-vcf", f"{out}/out.vcf", "--viz-out", f"{out}/viz.gz",
+         "--use-unpaired", "--min-reads", "20", "--def-stutter-model",
+         "--dtype", "float64", "--silent"], check=True, env=env, cwd=REPO)
+    page = extract_locus_html(f"{out}/viz.gz", locus.chrom, r.start + 1)
+    assert page is not None
+    assert "SAMPLE000" in page and "class=\"str" in page
