@@ -51,8 +51,16 @@ def align(ref_seq: str, read_seq: str, use_ref_end_penalty: bool = False):
 
     ok is False when the read extends past the reference boundaries
     (soft-clip at either end), matching NeedlemanWunsch::Align
-    (NeedlemanWunsch.cpp:380-420).
+    (NeedlemanWunsch.cpp:380-420).  Uses the native C++ kernel when built
+    (native/nw_kernel.cpp), falling back to the vectorized numpy DP.
     """
+    from ..native import nw_align_native
+    res = nw_align_native(ref_seq, read_seq, use_ref_end_penalty)
+    if res is not None:
+        ref_al, read_al, score = res
+        cigar = cigar_from_alignment(ref_al, read_al)
+        ok = not (cigar and (cigar[0].type == "S" or cigar[-1].type == "S"))
+        return ok, ref_al, read_al, score, cigar
     L1, L2 = len(ref_seq), len(read_seq)
     ref_codes = _codes(ref_seq).astype(np.int16)
     read_codes = _codes(read_seq).astype(np.int16)

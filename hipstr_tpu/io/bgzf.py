@@ -142,6 +142,45 @@ class BgzfReader:
         return bytes(out)
 
     def read_all(self) -> bytes:
+        # fast path: scan block headers for the decompressed size, then let
+        # the native kernel inflate everything in one pass
+        try:
+            from ..native import bgzf_inflate_native
+            self._fh.seek(0, 2)
+            fsize = self._fh.tell()
+            self._fh.seek(0)
+            data = self._fh.read(fsize)
+            total = 0
+            ip = 0
+            ok = True
+            while ip + 18 <= len(data):
+                if data[ip] != 0x1f or data[ip + 1] != 0x8b:
+                    ok = False
+                    break
+                xlen = data[ip + 10] | (data[ip + 11] << 8)
+                bsize = None
+                xp = ip + 12
+                xend = xp + xlen
+                while xp + 4 <= xend:
+                    if data[xp] == 0x42 and data[xp + 1] == 0x43:
+                        bsize = (data[xp + 4] | (data[xp + 5] << 8)) + 1
+                    xp += 4 + (data[xp + 2] | (data[xp + 3] << 8))
+                if bsize is None:
+                    ok = False
+                    break
+                isize = int.from_bytes(data[ip + bsize - 4:ip + bsize],
+                                       "little")
+                total += isize
+                ip += bsize
+            if ok and total > 0:
+                res = bgzf_inflate_native(data, total)
+                if res is not None:
+                    self._block_coffset = 0
+                    self._block_data = b""
+                    return res
+        except Exception:
+            pass
+        self.seek_virtual(0)
         out = bytearray()
         while True:
             chunk = self.read(1 << 20)

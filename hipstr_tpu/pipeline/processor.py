@@ -29,6 +29,7 @@ from ..io.vcf_write import VCFWriter, build_vcf_header
 from ..models.base_quality import BaseQuality
 from ..models.stutter import StutterModel, read_stutter_models, write_stutter_models
 from ..ops.em import EMStutterGenotyper
+from .adapter_trimmer import AdapterTrimmer
 from .bam_align import BamAlign
 from .genotyper import SeqStutterGenotyper
 from .vcf_record import OutputConfig, build_vcf_record
@@ -104,6 +105,7 @@ class GenotyperPipeline:
         self.readers = [BamReader(p) for p in bam_paths]
         self.bq = BaseQuality()
         self.counters = LocusCounters()
+        self.adapter_trimmer = AdapterTrimmer()
 
         # RG -> sample / library maps (reference: hipstr_main.cpp:418-473)
         self.rg_to_sample: Dict[str, str] = {}
@@ -232,6 +234,7 @@ class GenotyperPipeline:
                         if aln.pos < g_stop and aln.end_pos >= g_start:
                             if aln.length == 0 or aln.length < length / 2:
                                 continue
+                    self.adapter_trimmer.trim_adapters(aln)
                     if not aln.cigar or aln.length == 0:
                         continue
 
