@@ -315,8 +315,11 @@ def align_seq_to_hap(hap: HaplotypeInstance, seq: str,
                      blw: np.ndarray, blc: np.ndarray):
     """Forward DP of one read segment against one haplotype.
 
-    Literal transcription of HapAligner::align_seq_to_hap
-    (src/SeqAlignment/HapAligner.cpp:26-161).  Matrices are
+    Semantics of HapAligner::align_seq_to_hap
+    (src/SeqAlignment/HapAligner.cpp:26-161) with numpy-vectorized rows: the
+    within-row insert recurrence is a cumulative max (same transform as the
+    device kernel), the delete/match states are shifted previous-row ops, and
+    stutter rows marginalize the per-offset artifact emissions.  Matrices are
     [hap_size, seq_len]; rows inside a stutter block other than its last are
     never written (NaN).  Returns (match, insert, delete, best_artifact_size,
     best_artifact_pos, left_prob).
@@ -329,17 +332,22 @@ def align_seq_to_hap(hap: HaplotypeInstance, seq: str,
     best_art_size = np.full((hap.num_blocks(), L), -10000, dtype=np.int64)
     best_art_pos = np.full((hap.num_blocks(), L), -1, dtype=np.int64)
 
-    def sc(idx: int, hap_char: str) -> float:
-        return blc[idx] if seq[idx] == hap_char else blw[idx]
+    codes = np.frombuffer(seq.encode("latin1"), dtype=np.uint8)
+
+    def emit_row(hap_char: str) -> np.ndarray:
+        eq = codes == ord(hap_char)
+        return np.where(eq, blc, blw)
+
+    C = np.cumsum(blc)
+    Csh = np.concatenate([[0.0], C[:-1]])
+    jj = np.arange(L)
 
     # first row: every read base vs the leftmost haplotype char
-    left_prob = 0.0
     first_char = hap.get_first_char()
-    for j in range(L):
-        match[0, j] = sc(j, first_char) + left_prob
-        insert[0, j] = blc[j] + left_prob
-        delete[0, j] = IMPOSSIBLE
-        left_prob += blc[j]
+    match[0] = emit_row(first_char) + Csh
+    insert[0] = C
+    delete[0] = IMPOSSIBLE
+    left_prob = float(C[-1])
 
     hap_index = 1
     stutter_R = -1
@@ -352,34 +360,53 @@ def align_seq_to_hap(hap: HaplotypeInstance, seq: str,
             prev_row = hap_index - 1
             row = hap_index + block_len - 1
             aligner = bi.stutter_aligner
-            aligner.load_read(seq, blw, blc)
-
-            offset = L - 1
+            Mprev = match[prev_row]
+            # dense emission tensor (verified identical to the incremental
+            # aligner; see ops/stutter_emission.py and its oracle test)
+            from ..ops.stutter_emission import stutter_emissions
+            brev = np.frombuffer(block_seq[::-1].encode("latin1"),
+                                 dtype=np.uint8).astype(np.int32)
+            E = stutter_emissions(np, codes.astype(np.int32), blw, blc,
+                                  np.concatenate([brev, np.full(1, 255,
+                                                                np.int32)]),
+                                  block_len, period)  # [L, nD]
+            art_list = list(range(rep.max_deletion, rep.max_insertion + 1,
+                                  period))
+            nD = len(art_list)
+            probs_cols = np.full((nD, L), IMPOSSIBLE)
+            jjj = np.arange(L)
+            for ai, D in enumerate(art_list):
+                if block_len + D < 0:
+                    continue
+                lpmf = rep.log_prob_pcr_artifact(bi.option, D)
+                shift = block_len + D
+                pre = np.where(jjj - shift >= 0,
+                               Mprev[np.clip(jjj - shift, 0, L - 1)], 0.0)
+                probs_cols[ai] = lpmf + E[:, ai] + pre
+            best = np.full(L, IMPOSSIBLE)
+            for ai, D in enumerate(art_list):
+                upd = probs_cols[ai] > best
+                best = np.where(upd, probs_cols[ai], best)
+                best_art_size[block_index][upd] = D
+            # best positions for the winning artifact only (traceback)
+            loaded = False
             for j in range(L):
-                best_LL = IMPOSSIBLE
-                probs = []
-                for artifact_size in range(rep.max_deletion, rep.max_insertion + 1,
-                                           period):
-                    base_len = min(block_len + artifact_size, j + 1)
-                    if base_len >= 0:
-                        prob, art_pos = aligner.align_stutter_region_reverse(
-                            base_len, j, offset, artifact_size)
-                        pre_prob = (0.0 if j - base_len < 0
-                                    else match[prev_row, j - base_len])
-                        total = (rep.log_prob_pcr_artifact(bi.option, artifact_size)
-                                 + prob + pre_prob)
-                    else:
-                        art_pos = -1
-                        total = IMPOSSIBLE
-                    probs.append(total)
-                    if total > best_LL:
-                        best_art_size[block_index, j] = artifact_size
-                        best_art_pos[block_index, j] = art_pos
-                        best_LL = total
-                match[row, j] = _lse(probs)
-                insert[row, j] = IMPOSSIBLE
-                delete[row, j] = IMPOSSIBLE
-                offset -= 1
+                D = int(best_art_size[block_index, j])
+                if D == -10000 or D == 0:
+                    best_art_pos[block_index, j] = -1
+                    continue
+                if not loaded:
+                    aligner.load_read(seq, blw, blc)
+                    loaded = True
+                base_len = min(block_len + D, j + 1)
+                _, art_pos = aligner.align_stutter_region_reverse(
+                    base_len, j, L - 1 - j, D)
+                best_art_pos[block_index, j] = art_pos
+            m = probs_cols.max(axis=0)
+            match[row] = m + np.log(
+                np.sum(np.exp(probs_cols - m[None, :]), axis=0))
+            insert[row] = IMPOSSIBLE
+            delete[row] = IMPOSSIBLE
 
             stutter_R = hap_index + block_len - 1
             hap_index += block_len
@@ -387,37 +414,46 @@ def align_seq_to_hap(hap: HaplotypeInstance, seq: str,
             coord = 1 if block_index == 0 else 0
             while coord < len(block_seq):
                 hap_char = block_seq[coord]
-                homop = min(
-                    MAX_HOMOP_LEN,
-                    max(hap.homopolymer_length(block_index, coord),
-                        hap.homopolymer_length(block_index, max(0, coord - 1))))
-
                 r = hap_index
-                match[r, 0] = sc(0, hap_char)
-                insert[r, 0] = IMPOSSIBLE if r == stutter_R + 1 else blc[0]
-                delete[r, 0] = (IMPOSSIBLE if r == stutter_R + 1 else
-                                max(delete[r - 1, 0] + LOG_DEL_TO_DEL,
-                                    match[r - 1, 0] + LOG_DEL_TO_MATCH))
+                emit = emit_row(hap_char)
+                Mp = match[r - 1]
+                Dp = delete[r - 1]
 
                 if r == stutter_R + 1:
                     # stutter block must be exited via a match
-                    for j in range(1, L):
-                        match[r, j] = sc(j, hap_char) + match[r - 1, j - 1]
-                        insert[r, j] = IMPOSSIBLE
-                        delete[r, j] = IMPOSSIBLE
+                    row_m = np.empty(L)
+                    row_m[0] = emit[0]
+                    row_m[1:] = emit[1:] + Mp[:-1]
+                    match[r] = row_m
+                    insert[r] = IMPOSSIBLE
+                    delete[r] = IMPOSSIBLE
                 else:
-                    for j in range(1, L):
-                        m_opts = (
-                            insert[r, j - 1] + LOG_MATCH_TO_INS[homop],
-                            match[r - 1, j - 1] + LOG_MATCH_TO_MATCH[homop],
-                            delete[r - 1, j - 1] + LOG_MATCH_TO_DEL[homop],
-                        )
-                        match[r, j] = sc(j, hap_char) + max(m_opts)
-                        insert[r, j] = blc[j] + max(
-                            match[r - 1, j - 1] + LOG_INS_TO_MATCH,
-                            insert[r, j - 1] + LOG_INS_TO_INS)
-                        delete[r, j] = max(match[r - 1, j] + LOG_DEL_TO_MATCH,
-                                           delete[r - 1, j] + LOG_DEL_TO_DEL)
+                    homop = min(
+                        MAX_HOMOP_LEN,
+                        max(hap.homopolymer_length(block_index, coord),
+                            hap.homopolymer_length(block_index,
+                                                   max(0, coord - 1))))
+                    am = LOG_MATCH_TO_MATCH[homop]
+                    ai_ = LOG_MATCH_TO_INS[homop]
+                    ad = LOG_MATCH_TO_DEL[homop]
+
+                    Dnew = np.maximum(Mp + LOG_DEL_TO_MATCH,
+                                      Dp + LOG_DEL_TO_DEL)
+                    # insert: I[j] = blc[j] + max(A[j], I[j-1]+ii), A[0]=0
+                    A = np.empty(L)
+                    A[0] = 0.0
+                    A[1:] = Mp[:-1] + LOG_INS_TO_MATCH
+                    F = A - Csh - jj * LOG_INS_TO_INS
+                    Inew = C + jj * LOG_INS_TO_INS + np.maximum.accumulate(F)
+
+                    T = np.empty(L)
+                    T[0] = 0.0
+                    T[1:] = np.maximum(
+                        Inew[:-1] + ai_,
+                        np.maximum(Mp[:-1] + am, Dp[:-1] + ad))
+                    match[r] = emit + T
+                    insert[r] = Inew
+                    delete[r] = Dnew
                 coord += 1
                 hap_index += 1
 

@@ -28,6 +28,7 @@ from ..io.regions import Region, read_regions
 from ..io.vcf_write import VCFWriter, build_vcf_header
 from ..models.base_quality import BaseQuality
 from ..models.stutter import StutterModel, read_stutter_models, write_stutter_models
+from ..utils.timers import ProcessTimer
 from ..ops.em import EMStutterGenotyper
 from .adapter_trimmer import AdapterTrimmer
 from .bam_align import BamAlign
@@ -106,6 +107,7 @@ class GenotyperPipeline:
         self.bq = BaseQuality()
         self.counters = LocusCounters()
         self.adapter_trimmer = AdapterTrimmer()
+        self.timer = ProcessTimer()
 
         # RG -> sample / library maps (reference: hipstr_main.cpp:418-473)
         self.rg_to_sample: Dict[str, str] = {}
@@ -445,11 +447,12 @@ class GenotyperPipeline:
                        vcf_writer: Optional[VCFWriter]) -> None:
         """Port of analyze_reads_and_phasing
         (genotyper_bam_processor.cpp:161-289), no-SNP-VCF path."""
-        (rg_names, paired_by_rg, mates_by_rg, unpaired_by_rg,
-         too_many) = self.read_and_filter_reads(region, chrom_seq)
-        if self.opts.remove_pcr_dups:
-            self.remove_pcr_duplicates(rg_names, paired_by_rg, mates_by_rg,
-                                       unpaired_by_rg)
+        with self.timer.time("Read filtering"):
+            (rg_names, paired_by_rg, mates_by_rg, unpaired_by_rg,
+             too_many) = self.read_and_filter_reads(region, chrom_seq)
+            if self.opts.remove_pcr_dups:
+                self.remove_pcr_duplicates(rg_names, paired_by_rg,
+                                           mates_by_rg, unpaired_by_rg)
 
         # merge paired + unpaired per rg; compute phasing LLs from the
         # phased-SNP VCF when available (reference: snp_bam_processor.cpp:35-124)
@@ -462,6 +465,7 @@ class GenotyperPipeline:
             log_p1s, log_p2s = self._phase_from_10x_tags(
                 paired_by_rg, unpaired_by_rg)
         elif self.snp_vcf is not None:
+            t0 = __import__("time").perf_counter()
             from ..phasing.snp_phasing import (calc_het_snp_factors,
                                                create_snp_sets)
             SKIP_PADDING = 15
@@ -486,6 +490,8 @@ class GenotyperPipeline:
                         log_p2s[k] = p2a + p2b
                 self.phase_match_count += counts.get("match", 0)
                 self.phase_mismatch_count += counts.get("mismatch", 0)
+            self.timer.add_time("SNP info extraction",
+                                __import__("time").perf_counter() - t0)
 
         total_reads = sum(len(a) for a in alns_by_rg)
         if total_reads < self.opts.min_reads:
@@ -510,8 +516,9 @@ class GenotyperPipeline:
                 self.counters.missing_model += 1
                 return
         else:
-            stutter_model = self.learn_stutter_model(
-                alns_by_rg, log_p1s, log_p2s, haploid, rg_names, region)
+            with self.timer.time("Stutter estimation"):
+                stutter_model = self.learn_stutter_model(
+                    alns_by_rg, log_p1s, log_p2s, haploid, rg_names, region)
             if stutter_model is None:
                 return
             if self.opts.stutter_out:
@@ -521,8 +528,9 @@ class GenotyperPipeline:
         if vcf_writer is None:
             return
 
-        left_alns, filt_p1s, filt_p2s = self.left_align_reads(
-            region, chrom_seq, alns_by_rg, log_p1s, log_p2s)
+        with self.timer.time("Left alignment"):
+            left_alns, filt_p1s, filt_p2s = self.left_align_reads(
+                region, chrom_seq, alns_by_rg, log_p1s, log_p2s)
 
         ref_vcf_alleles = None
         if self.ref_vcf is not None:
@@ -542,11 +550,15 @@ class GenotyperPipeline:
         if not g.initialized:
             self.counters.genotype_fail += 1
             return
-        if g.genotype(self.opts.max_haps, self.opts.max_hap_flanks,
-                      self.opts.min_flank_freq):
+        with self.timer.time("Genotyping"):
+            genotyped = g.genotype(self.opts.max_haps,
+                                   self.opts.max_hap_flanks,
+                                   self.opts.min_flank_freq)
+        if genotyped:
             self.counters.genotype_success += 1
-            chrom, pos, text, stats = build_vcf_record(
-                g, self.samples, self.opts.output)
+            with self.timer.time("VCF record construction"):
+                chrom, pos, text, stats = build_vcf_record(
+                    g, self.samples, self.opts.output)
             vcf_writer.add_vcf_record(chrom, pos, text)
             if self.viz_writer is not None and stats.viz_data is not None:
                 from .viz import visualize_alignments
