@@ -27,14 +27,15 @@ from ..align.haplotype import Haplotype
 from ..align.packing import pack_haplotypes, pack_reads
 from ..ops.hmm import HapMeta, IMPOSSIBLE, SeedMeta, SegmentInputs, hmm_forward
 
-BUCKETS_L = [48, 64, 96, 128, 160, 192, 256, 320, 512]
-BUCKETS_ROWS = [4, 8, 16, 24, 32, 48, 64, 96, 128, 160, 224]
-BUCKETS_H = [1, 2, 4, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512,
-             768, 1024]
-BUCKETS_P = [4, 8, 16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024]
-BUCKETS_S = [16, 32, 64, 96, 128, 192, 256, 384]
-BUCKETS_O = [1, 2, 4, 8, 16, 32, 64]
-BUCKETS_B = [16, 32, 64, 128, 192]
+# Coarse buckets: every distinct combination costs one XLA compile, so fewer,
+# larger buckets win even at some padding waste.
+BUCKETS_L = [64, 128, 192, 256, 384, 512]
+BUCKETS_ROWS = [16, 32, 64, 96, 128, 224]
+BUCKETS_H = [4, 8, 16, 32, 64, 128, 256, 512, 1024]
+BUCKETS_P = [16, 32, 64, 128, 256, 512, 1024]
+BUCKETS_S = [64, 128, 256, 384]
+BUCKETS_O = [4, 8, 16, 32, 64]
+BUCKETS_B = [32, 64, 128, 192]
 
 
 def _bucket(v: int, buckets) -> int:
