@@ -1,0 +1,180 @@
+"""Multi-locus batched execution: many loci per device dispatch.
+
+The reference processes loci strictly sequentially (reference:
+src/bam_processor.cpp:523-618); its scaling story is one process per BED
+shard.  Here the host prepares a window of loci (filters, haplotype
+generation, pooling, seeds), groups them by bucketed kernel shape, and runs
+each group's initial read<->haplotype alignment as ONE vmapped device call.
+The per-locus adaptive stages (stutter-candidate mining, allele pruning,
+flank reassembly) then run individually — they trigger on a minority of loci.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..pipeline.hap_aligner import _jitted, prepare_locus
+from ..ops.hmm import hmm_forward
+
+BATCH_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128]
+
+
+def _g_bucket(n: int) -> int:
+    for b in BATCH_BUCKETS:
+        if n <= b:
+            return b
+    return BATCH_BUCKETS[-1]
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_batch(R_f: int, R_r: int, sr_f: int, sr_r: int, period: int,
+                  dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+
+    def one(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sw, sb):
+        return hmm_forward(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sw, sb,
+                           R_f, R_r, period, sr_f, sr_r, dtype)
+
+    return jax.jit(jax.vmap(one))
+
+
+class LocusWorkItem:
+    def __init__(self, region, genotyper, arrays, statics, chrom_seq):
+        self.region = region
+        self.genotyper = genotyper
+        self.arrays = arrays
+        self.statics = statics
+        self.chrom_seq = chrom_seq
+
+    def shape_key(self):
+        leaves = jax.tree.leaves(self.arrays)
+        return (self.statics[:5],
+                tuple(getattr(x, "shape", ()) for x in leaves))
+
+
+class BatchedAligner:
+    """Accumulates per-locus prepared tensors; flushes shape groups through
+    one vmapped kernel call each."""
+
+    def __init__(self, dtype: str = "float32", batch_size: int = 32):
+        self.dtype = dtype
+        self.batch_size = batch_size
+        self.groups: Dict[tuple, List[LocusWorkItem]] = {}
+
+    def add(self, item: LocusWorkItem) -> Optional[List[Tuple[LocusWorkItem, np.ndarray]]]:
+        key = item.shape_key()
+        group = self.groups.setdefault(key, [])
+        group.append(item)
+        if len(group) >= self.batch_size:
+            del self.groups[key]
+            return self._flush_group(group)
+        return None
+
+    def flush_all(self) -> List[Tuple[LocusWorkItem, np.ndarray]]:
+        out = []
+        for key in list(self.groups):
+            group = self.groups.pop(key)
+            out.extend(self._flush_group(group))
+        return out
+
+    def _flush_group(self, group: List[LocusWorkItem]):
+        G = len(group)
+        Gp = _g_bucket(G)
+        padded = group + [group[-1]] * (Gp - G)
+        stacked = jax.tree.map(lambda *xs: np.stack(xs),
+                               *[it.arrays for it in padded])
+        R_f, R_r, sr_f, sr_r, period = group[0].statics[:5]
+        run = _jitted_batch(R_f, R_r, sr_f, sr_r, period, self.dtype)
+        LL = np.asarray(run(*stacked))
+        out = []
+        for gi, item in enumerate(group):
+            P_real, H_real = item.statics[5], item.statics[6]
+            out.append((item, LL[gi, :P_real, :H_real]))
+        return out
+
+
+def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
+                batch_size: int = 32, full_command: str = "hipstr-tpu"):
+    """Batched analogue of GenotyperPipeline.run; identical outputs."""
+    from ..io.regions import read_regions
+    from ..io.vcf_write import VCFWriter, build_vcf_header
+    from ..pipeline.vcf_record import build_vcf_record
+
+    opts = pipeline.opts
+    regions = read_regions(regions_bed, opts.max_regions, opts.chrom)
+    writer = None
+    if out_vcf:
+        header = build_vcf_header(pipeline.fasta_path, full_command,
+                                  pipeline.fasta.contig_header_lines(),
+                                  pipeline.samples, opts.output)
+        writer = VCFWriter(out_vcf, header)
+
+    aligner = BatchedAligner(opts.dtype, batch_size)
+    records: List[Tuple[str, int, str]] = []
+
+    def finish(results):
+        for item, LL in results:
+            g = item.genotyper
+            try:
+                g.set_pool_lls(LL)
+                with pipeline.timer.time("Genotyping (adaptive)"):
+                    ok = g.genotype_finish(opts.max_haps, opts.max_hap_flanks,
+                                           opts.min_flank_freq)
+                if not ok:
+                    pipeline.counters.genotype_fail += 1
+                    continue
+                pipeline.counters.genotype_success += 1
+                with pipeline.timer.time("VCF record construction"):
+                    chrom, pos, text, stats = build_vcf_record(
+                        g, pipeline.samples, opts.output)
+                records.append((chrom, pos, text))
+            except Exception as exc:
+                pipeline.counters.genotype_fail += 1
+                pipeline.logger.log(f"ERROR at {item.region}: {exc!r}")
+
+    chrom = None
+    chrom_seq = None
+    for region in regions:
+        if region.stop - region.start > opts.max_str_len:
+            pipeline.counters.too_long += 1
+            continue
+        if region.chrom != chrom:
+            finish(aligner.flush_all())
+            chrom = region.chrom
+            chrom_seq = pipeline.fasta.get_sequence(chrom)
+        pipeline.logger.log(f"Preparing region {region} ...")
+        try:
+            g = pipeline.prepare_locus_genotyper(region, chrom_seq)
+            if g is None:
+                continue
+            with pipeline.timer.time("Locus packing"):
+                seqs, quals, seeds = g.pool_inputs()
+                if not seqs:
+                    pipeline.counters.genotype_fail += 1
+                    continue
+                arrays, statics = prepare_locus(g.haplotype, seqs, quals,
+                                                seeds, opts.dtype)
+            results = aligner.add(
+                LocusWorkItem(region, g, arrays, statics, chrom_seq))
+            if results:
+                finish(results)
+        except Exception as exc:
+            pipeline.counters.genotype_fail += 1
+            pipeline.logger.log(f"ERROR at {region}: {exc!r}")
+
+    finish(aligner.flush_all())
+
+    if writer is not None:
+        for chrom_, pos, text in sorted(records, key=lambda r: (r[0], r[1])):
+            writer.add_vcf_record(chrom_, pos, text)
+        writer.close()
+    if opts.stutter_out:
+        from ..models.stutter import write_stutter_models
+        with open(opts.stutter_out, "w") as fh:
+            write_stutter_models(pipeline._stutter_out, fh)
+    return pipeline.counters

@@ -250,23 +250,29 @@ class SeqStutterGenotyper:
             self.pool_seeds[p] = calc_seed_base(aln, self.haplotype)
         self.seed_positions = self.pool_seeds[self.pool_index]
 
-    def calc_hap_aln_probs(self) -> None:
-        """Batched device alignment of every pool against every haplotype,
-        then mate-pair combination (reference calc_hap_aln_probs,
-        seq_stutter_genotyper.cpp:519-568)."""
-        pooled = self.pooler.pooled_alns
-        valid = [p for p in range(len(pooled)) if self.pool_seeds[p] >= 0]
-        A = self.num_alleles
-        self.pool_LLs = np.zeros((len(pooled), A))
-        if valid:
-            seqs = [pooled[p].sequence for p in valid]
-            quals = [pooled[p].base_qualities for p in valid]
-            seeds = [int(self.pool_seeds[p]) for p in valid]
-            LL = compute_hap_log_likelihoods(self.haplotype, seqs, quals,
-                                             seeds, dtype=self.dtype)
-            for row, p in enumerate(valid):
-                self.pool_LLs[p] = LL[row]
+    def valid_pools(self):
+        return [p for p in range(self.pooler.num_pools())
+                if self.pool_seeds[p] >= 0]
 
+    def pool_inputs(self):
+        """(seqs, quals, seeds) for pools with a valid seed — the inputs a
+        batched executor aligns externally."""
+        pooled = self.pooler.pooled_alns
+        valid = self.valid_pools()
+        return ([pooled[p].sequence for p in valid],
+                [pooled[p].base_qualities for p in valid],
+                [int(self.pool_seeds[p]) for p in valid])
+
+    def set_pool_lls(self, LL: np.ndarray) -> None:
+        """Install externally computed [valid_pools, A] log-likelihoods and
+        expand them to reads (mate pairs combined)."""
+        valid = self.valid_pools()
+        self.pool_LLs = np.zeros((self.pooler.num_pools(), self.num_alleles))
+        for row, p in enumerate(valid):
+            self.pool_LLs[p] = LL[row]
+        self._expand_pool_lls()
+
+    def _expand_pool_lls(self) -> None:
         # expand pools to reads; combine mate pairs (both get the sum)
         probs = self.pool_LLs[self.pool_index].astype(np.float64)
         i = 0
@@ -277,6 +283,18 @@ class SeqStutterGenotyper:
                 probs[i] = total
             i += 1
         self.log_aln_probs = probs
+
+    def calc_hap_aln_probs(self) -> None:
+        """Batched device alignment of every pool against every haplotype,
+        then mate-pair combination (reference calc_hap_aln_probs,
+        seq_stutter_genotyper.cpp:519-568)."""
+        seqs, quals, seeds = self.pool_inputs()
+        if seqs:
+            LL = compute_hap_log_likelihoods(self.haplotype, seqs, quals,
+                                             seeds, dtype=self.dtype)
+        else:
+            LL = np.zeros((0, self.num_alleles))
+        self.set_pool_lls(LL)
 
     def calc_log_sample_posteriors(self) -> float:
         priors = post_ops.log_genotype_priors(np, self.num_alleles, self.haploid)
@@ -561,14 +579,13 @@ class SeqStutterGenotyper:
         return True
 
     # ---------------------------------------------------------------- driver
-    def genotype(self, max_total_haplotypes: int = 1000,
-                 max_flank_haplotypes: int = 4,
-                 min_flank_freq: float = 0.01) -> bool:
-        """Reference: seq_stutter_genotyper.cpp:603-671."""
+    def genotype_prepare(self) -> bool:
+        """Guards + pooling + seed selection — everything before the first
+        batched alignment (the split lets an executor align many loci per
+        device dispatch)."""
         if not self.initialized:
             return False
-        if self.num_alleles > max_total_haplotypes:
-            self.logger.log("Aborting: too many candidate haplotypes")
+        if self.num_alleles > 1000000000:
             return False
 
         for flank in (0, -1):
@@ -580,8 +597,33 @@ class SeqStutterGenotyper:
 
         self.pooler.pool(self.base_quality)
         self._compute_seeds()
+        return True
+
+    def genotype_finish(self, max_total_haplotypes: int = 1000,
+                        max_flank_haplotypes: int = 4,
+                        min_flank_freq: float = 0.01) -> bool:
+        """Posteriors + adaptive allele loops; assumes pool LLs are set."""
+        self.calc_log_sample_posteriors()
+        return self._genotype_tail(max_total_haplotypes, max_flank_haplotypes,
+                                   min_flank_freq)
+
+    def genotype(self, max_total_haplotypes: int = 1000,
+                 max_flank_haplotypes: int = 4,
+                 min_flank_freq: float = 0.01) -> bool:
+        """Reference: seq_stutter_genotyper.cpp:603-671."""
+        if self.initialized and self.num_alleles > max_total_haplotypes:
+            self.logger.log("Aborting: too many candidate haplotypes")
+            return False
+        if not self.genotype_prepare():
+            return False
         self.calc_hap_aln_probs()
         self.calc_log_sample_posteriors()
+        return self._genotype_tail(max_total_haplotypes, max_flank_haplotypes,
+                                   min_flank_freq)
+
+    def _genotype_tail(self, max_total_haplotypes: int,
+                       max_flank_haplotypes: int,
+                       min_flank_freq: float) -> bool:
 
         if self.ref_vcf_alleles is None:
             if not self.id_and_align_to_stutter_alleles(max_total_haplotypes):

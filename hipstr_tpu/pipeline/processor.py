@@ -443,10 +443,11 @@ class GenotyperPipeline:
         return dup_count
 
     # --------------------------------------------------------------- genotype
-    def analyze_region(self, region: Region, chrom_seq: str,
-                       vcf_writer: Optional[VCFWriter]) -> None:
-        """Port of analyze_reads_and_phasing
-        (genotyper_bam_processor.cpp:161-289), no-SNP-VCF path."""
+    def prepare_locus_genotyper(self, region: Region, chrom_seq: str
+                                ) -> Optional[SeqStutterGenotyper]:
+        """Host phases of analyze_reads_and_phasing
+        (genotyper_bam_processor.cpp:161-289) up to the first batched
+        alignment; returns a prepared genotyper or None."""
         with self.timer.time("Read filtering"):
             (rg_names, paired_by_rg, mates_by_rg, unpaired_by_rg,
              too_many) = self.read_and_filter_reads(region, chrom_seq)
@@ -498,10 +499,10 @@ class GenotyperPipeline:
             self.logger.log(f"Skipping locus {region}: too few reads "
                             f"({total_reads} < {self.opts.min_reads})")
             self.counters.too_few_reads += 1
-            return
+            return None
         if too_many:
             self.counters.too_many_reads += 1
-            return
+            return None
 
         haploid = region.chrom in self.opts.haploid_chroms
 
@@ -514,19 +515,16 @@ class GenotyperPipeline:
             if stutter_model is None:
                 self.logger.log(f"WARNING: no stutter model for {region}")
                 self.counters.missing_model += 1
-                return
+                return None
         else:
             with self.timer.time("Stutter estimation"):
                 stutter_model = self.learn_stutter_model(
                     alns_by_rg, log_p1s, log_p2s, haploid, rg_names, region)
             if stutter_model is None:
-                return
+                return None
             if self.opts.stutter_out:
                 self._stutter_out[(region.chrom, region.start,
                                    region.stop)] = stutter_model
-
-        if vcf_writer is None:
-            return
 
         with self.timer.time("Left alignment"):
             left_alns, filt_p1s, filt_p2s = self.left_align_reads(
@@ -539,7 +537,7 @@ class GenotyperPipeline:
             if res is None:
                 self.logger.log(f"No reference-panel alleles for {region}")
                 self.counters.genotype_fail += 1
-                return
+                return None
             ref_vcf_alleles = res
 
         g = SeqStutterGenotyper(
@@ -549,11 +547,26 @@ class GenotyperPipeline:
             logger=self.logger)
         if not g.initialized:
             self.counters.genotype_fail += 1
+            return None
+        if g.num_alleles > self.opts.max_haps:
+            self.logger.log(f"Aborting {region}: too many candidate haplotypes")
+            self.counters.genotype_fail += 1
+            return None
+        if not g.genotype_prepare():
+            self.counters.genotype_fail += 1
+            return None
+        return g
+
+    def analyze_region(self, region: Region, chrom_seq: str,
+                       vcf_writer: Optional[VCFWriter]) -> None:
+        g = self.prepare_locus_genotyper(region, chrom_seq)
+        if g is None or vcf_writer is None:
             return
         with self.timer.time("Genotyping"):
-            genotyped = g.genotype(self.opts.max_haps,
-                                   self.opts.max_hap_flanks,
-                                   self.opts.min_flank_freq)
+            g.calc_hap_aln_probs()
+            genotyped = g.genotype_finish(self.opts.max_haps,
+                                          self.opts.max_hap_flanks,
+                                          self.opts.min_flank_freq)
         if genotyped:
             self.counters.genotype_success += 1
             with self.timer.time("VCF record construction"):
