@@ -582,7 +582,7 @@ class GenotyperPipeline:
                                      key=lambda a: a.start)
                         two = sorted((a for st, a in entries if st == 1),
                                      key=lambda a: a.start)
-                        alns_by_sample[rg_names[s]] = one + two
+                        alns_by_sample[g.sample_names[s]] = one + two
                 html = visualize_alignments(
                     alns_by_sample, stats.sample_gb, chrom_seq,
                     region.chrom, region.start, region.stop)
