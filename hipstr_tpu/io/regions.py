@@ -31,7 +31,8 @@ class Region:
 
 
 def read_regions(path: str, max_regions: int = 1000000000,
-                 chrom_limit: str = "") -> List[Region]:
+                 chrom_limit: str = "", shard: "Optional[Tuple[int, int]]" = None
+                 ) -> List[Region]:
     """BED reader (reference: src/region.cpp:14-56).
 
     Columns: chrom, start(1-based), stop(1-based inclusive), period, [score,
@@ -59,4 +60,8 @@ def read_regions(path: str, max_regions: int = 1000000000,
             if len(regions) >= max_regions:
                 break
     regions.sort(key=lambda r: (r.chrom, r.start, r.stop))
+    if shard is not None:
+        index, count = shard
+        assert 0 <= index < count
+        regions = regions[index::count]
     return regions

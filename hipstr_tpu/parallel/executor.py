@@ -106,7 +106,8 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
     from ..pipeline.vcf_record import build_vcf_record
 
     opts = pipeline.opts
-    regions = read_regions(regions_bed, opts.max_regions, opts.chrom)
+    regions = read_regions(regions_bed, opts.max_regions, opts.chrom,
+                           opts.locus_shard)
     writer = None
     if out_vcf:
         header = build_vcf_header(pipeline.fasta_path, full_command,

@@ -67,6 +67,7 @@ class PipelineOptions:
     snp_vcf: Optional[str] = None
     ref_vcf: Optional[str] = None
     viz_out: Optional[str] = None
+    locus_shard: Optional[Tuple[int, int]] = None  # (index, count)
     fam_file: Optional[str] = None
     bams_from_10x: bool = False
     output: OutputConfig = field(default_factory=OutputConfig)
@@ -703,7 +704,7 @@ class GenotyperPipeline:
     def run(self, regions_bed: str, out_vcf: Optional[str],
             full_command: str = "hipstr-tpu") -> LocusCounters:
         regions = read_regions(regions_bed, self.opts.max_regions,
-                               self.opts.chrom)
+                               self.opts.chrom, self.opts.locus_shard)
         writer = None
         if out_vcf:
             header = build_vcf_header(self.fasta_path, full_command,

@@ -212,3 +212,31 @@ def test_viz_out_and_vizaln(tmp_path):
     page = extract_locus_html(f"{out}/viz.gz", locus.chrom, r.start + 1)
     assert page is not None
     assert "SAMPLE000" in page and "class=\"str" in page
+
+
+def test_locus_sharding_partitions_work(tmp_path):
+    """--locus-shard i/N produces disjoint per-shard VCFs whose union equals
+    the unsharded run (the multi-host data-parallel contract)."""
+    import subprocess
+    out = str(tmp_path)
+    subprocess.run([sys.executable, os.path.join(REPO, "tools/make_golden_data.py"),
+                    out, "--loci", "4", "--samples", "2", "--reads", "30"],
+                   check=True)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    base = [sys.executable, "-m", "hipstr_tpu.cli", "--bams", f"{out}/sim.bam",
+            "--fasta", f"{out}/sim.fa", "--regions", f"{out}/regions.bed",
+            "--use-unpaired", "--min-reads", "10", "--def-stutter-model",
+            "--dtype", "float64", "--silent"]
+    subprocess.run(base + ["--str-vcf", f"{out}/all.vcf"], check=True,
+                   env=env, cwd=REPO)
+    for i in range(2):
+        subprocess.run(base + ["--str-vcf", f"{out}/shard{i}.vcf",
+                               "--locus-shard", f"{i}/2"],
+                       check=True, env=env, cwd=REPO)
+
+    def recs(p):
+        return sorted(l for l in open(p) if not l.startswith("#"))
+
+    merged = sorted(recs(f"{out}/shard0.vcf") + recs(f"{out}/shard1.vcf"))
+    assert merged == recs(f"{out}/all.vcf")
+    assert recs(f"{out}/shard0.vcf") and recs(f"{out}/shard1.vcf")
