@@ -218,8 +218,9 @@ class BamWriter:
     """Coordinate-sorted BAM writer with on-the-fly BAI indexing."""
 
     def __init__(self, path: str, ref_names: List[str], ref_lens: List[int],
-                 header_text: str = ""):
+                 header_text: str = "", build_index: bool = True):
         self.path = path
+        self.build_index = build_index
         self._w = BgzfWriter(path)
         self.ref_names = ref_names
         if not header_text:
@@ -240,13 +241,14 @@ class BamWriter:
 
     def write(self, rec: BamRecord) -> None:
         key = (rec.ref_id, rec.pos)
-        if self._last_key is not None and key < self._last_key:
-            raise ValueError("records must be coordinate-sorted")
+        if self.build_index:
+            if self._last_key is not None and key < self._last_key:
+                raise ValueError("records must be coordinate-sorted")
         self._last_key = key
         start_v = self._w.virtual_offset
         self._w.write(encode_record(rec))
         end_v = self._w.virtual_offset
-        if rec.ref_id >= 0:
+        if self.build_index and rec.ref_id >= 0:
             end_pos = max(rec.end_position(), rec.pos + 1)
             b = reg2bin(rec.pos, end_pos)
             chunks = self._bins[rec.ref_id].setdefault(b, [])
@@ -262,7 +264,8 @@ class BamWriter:
 
     def close(self) -> None:
         self._w.close()
-        self._write_bai()
+        if self.build_index:
+            self._write_bai()
 
     def _write_bai(self) -> None:
         with open(self.path + ".bai", "wb") as fh:

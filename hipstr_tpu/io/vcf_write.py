@@ -63,8 +63,17 @@ def build_vcf_header(fasta_path: str, full_command: str,
         ("FS", "1", "Float", "log10 of the strand bias pvalue from Fisher's exact test, where 0 is no bias and more negative values are increasingly biased. For homozygous genotypes, this can be negative if the haplotypes are heterozygous"),
         ("DAB", "1", "Integer", "Number of reads used in the AB and FS calculations"),
     ]
+    if getattr(cfg, "output_haplotype_data", False):
+        # reference: genotyper.cpp:282-308 (--output-hap-fields)
+        out.append('##INFO=<ID=LFLANKS,Number=.,Type=String,Description="Comma-separated sequence(s) of flank to the  left of the repeat. Only output if 1 or more non-ref  left flanks were detected">')
+        out.append('##INFO=<ID=RFLANKS,Number=.,Type=String,Description="Comma-separated sequence(s) of flank to the right of the repeat. Only output if 1 or more non-ref right flanks were detected">')
     for ident, num, typ, desc in fmt:
         out.append(f'##FORMAT=<ID={ident},Number={num},Type={typ},Description="{desc}">')
+    if getattr(cfg, "output_haplotype_data", False):
+        out.append('##FORMAT=<ID=HQ,Number=1,Type=Float,Description="Posterior probability of unphased haplotypes. Only output if 1 or more non-ref flanks were detected">')
+        out.append('##FORMAT=<ID=PHQ,Number=1,Type=Float,Description="Posterior probability of   phased haplotypes. Only output if 1 or more non-ref flanks were detected">')
+        out.append('##FORMAT=<ID=LFGT,Number=1,Type=String,Description="Genotype of  left flank with corresponding sequences reported in LFLANKS. Only output if 1 or more non-ref  left flanks were detected">')
+        out.append('##FORMAT=<ID=RFGT,Number=1,Type=String,Description="Genotype of right flank with corresponding sequences reported in RFLANKS. Only output if 1 or more non-ref right flanks were detected">')
     if cfg.output_allreads:
         out.append('##FORMAT=<ID=ALLREADS,Number=1,Type=String,Description="Base pair difference observed in each read\'s Needleman-Wunsch alignment">')
     if cfg.output_mallreads:

@@ -46,6 +46,21 @@ class BamAlign:
         t = self.rec.tags.get(tag)
         return None if t is None else t[1]
 
+    def to_record(self, extra_tags: Optional[dict] = None) -> BamRecord:
+        """Current (possibly trimmed) state as a writable BAM record, with
+        optional extra string tags (reference: BamProcessor
+        add_passes_filters_tag / write_filtered_alignment,
+        bam_processor.cpp:21-58 — PF/FT tags on --pass-bam/--filt-bam output)."""
+        tags = dict(self.rec.tags)
+        for k, v in (extra_tags or {}).items():
+            tags[k] = ("Z", v)
+        r = self.rec
+        return BamRecord(name=self.name, flag=r.flag, ref_id=r.ref_id,
+                         pos=self.pos, mapq=r.mapq, cigar=list(self.cigar),
+                         mate_ref_id=r.mate_ref_id, mate_pos=r.mate_pos,
+                         tlen=r.tlen, seq=self.bases, qual=self.quals,
+                         tags=tags)
+
     # ---- trimming ------------------------------------------------------------
     def trim_alignment(self, min_read_start: int, max_read_stop: int,
                        min_base_qual: str = "~") -> None:

@@ -63,6 +63,12 @@ class PipelineOptions:
     frac_ll_converge: float = 0.001
     chrom: str = ""
     max_regions: int = 1000000000
+    max_mate_dist: int = MAX_MATE_DIST
+    base_qual_trim: str = BASE_QUAL_TRIM
+    sample_set: Optional[Tuple[str, ...]] = None   # --sample-list
+    pass_bam: Optional[str] = None
+    filt_bam: Optional[str] = None
+    skip_genotyping: bool = False
     dtype: str = "float32"
     snp_vcf: Optional[str] = None
     ref_vcf: Optional[str] = None
@@ -99,7 +105,8 @@ class GenotyperPipeline:
                  options: Optional[PipelineOptions] = None,
                  logger: Optional[Logger] = None,
                  bam_samps: Optional[List[str]] = None,
-                 bam_libs: Optional[List[str]] = None):
+                 bam_libs: Optional[List[str]] = None,
+                 lib_field: str = "LB"):
         self.opts = options or PipelineOptions()
         self.logger = logger or Logger()
         self.fasta = FastaReader(fasta_path)
@@ -121,7 +128,13 @@ class GenotyperPipeline:
                 for rg in rdr.read_groups():
                     rg_id = rg.get("ID", "")
                     sm = rg.get("SM", "")
-                    lb = rg.get("LB", rg_id)
+                    # --lib-field selects the RG field naming the library
+                    # (reference: hipstr_main.cpp:451-453)
+                    lb = rg.get(lib_field)
+                    if lb is None:
+                        raise RuntimeError(
+                            f"RG in BAM header is missing the {lib_field} tag;"
+                            " see the --lib-field option")
                     self.rg_to_sample[rdr.path + rg_id] = sm
                     self.rg_to_library[rdr.path + rg_id] = lb
                     if sm not in seen:
@@ -162,6 +175,21 @@ class GenotyperPipeline:
             self.viz_writer = VizWriter(self.opts.viz_out)
             self.opts.output.viz_out = True
 
+        # --pass-bam / --filt-bam: BAM outputs of reads used / filtered, with
+        # PF (passes-filters per region) and FT (filter reason) tags
+        # (reference: hipstr_main.cpp pass/filt writers + bam_processor.cpp:21-58)
+        from ..io.bam import BamWriter
+        self.pass_writer = self.filt_writer = None
+        hdr = self.readers[0]
+        if self.opts.pass_bam:
+            self.pass_writer = BamWriter(self.opts.pass_bam, hdr.ref_names,
+                                         hdr.ref_lens, hdr.header_text,
+                                         build_index=False)
+        if self.opts.filt_bam:
+            self.filt_writer = BamWriter(self.opts.filt_bam, hdr.ref_names,
+                                         hdr.ref_lens, hdr.header_text,
+                                         build_index=False)
+
         self.stutter_models: Dict[Tuple[str, int, int], StutterModel] = {}
         if self.opts.stutter_in:
             with open(self.opts.stutter_in) as fh:
@@ -186,6 +214,17 @@ class GenotyperPipeline:
             return self.rg_to_library.get(aln.filename + str(rg), "")
         return self.rg_to_library[aln.filename]
 
+    def _write_pass(self, aln: BamAlign) -> None:
+        if self.pass_writer is not None:
+            tags = {}
+            if getattr(aln, "pass_two", None) is not None:
+                tags["PF"] = aln.pass_two
+            self.pass_writer.write(aln.to_record(tags))
+
+    def _write_filt(self, aln: BamAlign, reason: str) -> None:
+        if self.filt_writer is not None:
+            self.filt_writer.write(aln.to_record({"FT": reason}))
+
     @staticmethod
     def _trim_name(name: str) -> str:
         if len(name) > 2 and name[-2] == "/":
@@ -203,11 +242,13 @@ class GenotyperPipeline:
         too_many_reads = False
         g_start, g_stop = region.start, region.stop
 
+        mate_dist = self.opts.max_mate_dist
+        qual_trim = self.opts.base_qual_trim
         for file_index, rdr in enumerate(self.readers):
             potential_mates.clear()
             label = f"{file_index + 1}_"
-            for rec in rdr.fetch(region.chrom, max(0, g_start - MAX_MATE_DIST),
-                                 g_stop + MAX_MATE_DIST):
+            for rec in rdr.fetch(region.chrom, max(0, g_start - mate_dist),
+                                 g_stop + mate_dist):
                 if rec.is_unmapped or rec.is_secondary or rec.is_supplementary \
                         or rec.is_duplicate or (rec.flag & 0x200):
                     continue
@@ -229,11 +270,12 @@ class GenotyperPipeline:
 
                 overlaps = aln.pos < g_stop and aln.end_pos >= g_start
                 if overlaps:
-                    if BASE_QUAL_TRIM > " ":
+                    if qual_trim > " ":
                         if aln.starts_with_hard_clip() or aln.ends_with_hard_clip():
+                            self._write_filt(aln, "HARD_CLIPPED")
                             continue
                         length = aln.length
-                        aln.trim_low_quality_ends(BASE_QUAL_TRIM)
+                        aln.trim_low_quality_ends(qual_trim)
                         if aln.pos < g_stop and aln.end_pos >= g_start:
                             if aln.length == 0 or aln.length < length / 2:
                                 continue
@@ -246,10 +288,11 @@ class GenotyperPipeline:
                 if overlaps:
                     pass_one = False
                     pass_two = "0"
+                    filter_reason = ""
                     if "N" in aln.bases:
-                        pass
+                        filter_reason = "HAS_N_BASES"
                     elif self.bq.sum_log_prob_correct(aln.quals) < MIN_SUM_QUAL_LOG_PROB:
-                        pass
+                        filter_reason = "LOW_BASE_QUALS"
                     else:
                         pass_one = True
 
@@ -284,6 +327,10 @@ class GenotyperPipeline:
                             if self._valid_pairing(aln, mate):
                                 paired_strs.append(aln)
                                 mate_alns.append(mate)
+                                self._write_pass(aln)
+                                self._write_pass(mate)
+                            else:
+                                self._write_filt(aln, "NO_UNIQUE_MAPPING")
                         else:
                             other = potential_strs.get(aln_key)
                             if other is not None:
@@ -295,9 +342,15 @@ class GenotyperPipeline:
                                     mate_alns.append(other)
                                     paired_strs.append(other)
                                     mate_alns.append(aln)
+                                    self._write_pass(aln)
+                                    self._write_pass(other)
+                                else:
+                                    self._write_filt(aln, "NO_UNIQUE_MAPPING")
+                                    self._write_filt(other, "NO_UNIQUE_MAPPING")
                             else:
                                 potential_strs[aln_key] = aln
                     else:
+                        self._write_filt(aln, filter_reason)
                         potential_mates[aln_key] = aln
                 else:
                     other = potential_strs.get(aln_key)
@@ -308,6 +361,10 @@ class GenotyperPipeline:
                         if self._valid_pairing(other, aln):
                             paired_strs.append(other)
                             mate_alns.append(aln)
+                            self._write_pass(other)
+                            self._write_pass(aln)
+                        else:
+                            self._write_filt(other, "NO_UNIQUE_MAPPING")
                     else:
                         prev = potential_mates.get(aln_key)
                         if prev is not None:
@@ -320,10 +377,13 @@ class GenotyperPipeline:
 
         for aln in potential_strs.values():
             if aln.get_tag("XA") is not None:
+                self._write_filt(aln, "NO_UNIQUE_MAPPING")
                 continue
             if not self.opts.use_unpaired:
+                self._write_filt(aln, "NO_MATE_PAIR")
                 continue
             unpaired_strs.append(aln)
+            self._write_pass(aln)
 
         # group by read-group/sample
         rg_indices: Dict[str, int] = {}
@@ -381,7 +441,7 @@ class GenotyperPipeline:
         p1 = []
         for m1 in sorted(mappings(aln)):
             for m2 in sorted(mappings(mate)):
-                if m1[0] == m2[0] and abs(m1[1] - m2[1]) < MAX_MATE_DIST:
+                if m1[0] == m2[0] and abs(m1[1] - m2[1]) < self.opts.max_mate_dist:
                     p1.append(m1)
         return len(p1) == 1 and p1[0][1] == aln.pos
 
@@ -452,6 +512,15 @@ class GenotyperPipeline:
         with self.timer.time("Read filtering"):
             (rg_names, paired_by_rg, mates_by_rg, unpaired_by_rg,
              too_many) = self.read_and_filter_reads(region, chrom_seq)
+            if self.opts.sample_set is not None:
+                # --sample-list restriction (reference:
+                # bam_processor.cpp:589-609)
+                allowed = set(self.opts.sample_set)
+                keep = [i for i, rg in enumerate(rg_names) if rg in allowed]
+                rg_names = [rg_names[i] for i in keep]
+                paired_by_rg = [paired_by_rg[i] for i in keep]
+                mates_by_rg = [mates_by_rg[i] for i in keep]
+                unpaired_by_rg = [unpaired_by_rg[i] for i in keep]
             if self.opts.remove_pcr_dups:
                 self.remove_pcr_duplicates(rg_names, paired_by_rg,
                                            mates_by_rg, unpaired_by_rg)
@@ -474,8 +543,8 @@ class GenotyperPipeline:
             if self.haplotype_tracker is not None:
                 self.haplotype_tracker.advance(region.chrom, region.start)
             res = create_snp_sets(
-                region.chrom, max(1, region.start - MAX_MATE_DIST),
-                region.stop + MAX_MATE_DIST, [region], SKIP_PADDING,
+                region.chrom, max(1, region.start - self.opts.max_mate_dist),
+                region.stop + self.opts.max_mate_dist, [region], SKIP_PADDING,
                 self.snp_vcf, self.haplotype_tracker)
             if res is not None:
                 snp_sets, _ = res
@@ -526,6 +595,12 @@ class GenotyperPipeline:
             if self.opts.stutter_out:
                 self._stutter_out[(region.chrom, region.start,
                                    region.stop)] = stutter_model
+
+        if self.opts.skip_genotyping:
+            # --skip-genotyping: stop after stutter-model estimation
+            # (reference: hipstr_main.cpp:387,513 — no VCF writer is opened,
+            # so genotyper_bam_processor.cpp:222 skips the genotyping block)
+            return None
 
         with self.timer.time("Left alignment"):
             left_alns, filt_p1s, filt_p2s = self.left_align_reads(
@@ -734,6 +809,10 @@ class GenotyperPipeline:
             writer.close()
         if self.viz_writer is not None:
             self.viz_writer.close()
+        if self.pass_writer is not None:
+            self.pass_writer.close()
+        if self.filt_writer is not None:
+            self.filt_writer.close()
         if self.opts.stutter_out:
             with open(self.opts.stutter_out, "w") as fh:
                 write_stutter_models(self._stutter_out, fh)

@@ -36,6 +36,7 @@ class OutputConfig:
     output_haplotype_data: bool = False
     max_flank_indel_frac: float = 0.15
     viz_out: bool = False
+    viz_left_alns: bool = False
 
 
 def _order_key(seq: str):
@@ -135,6 +136,33 @@ def build_vcf_record(g, sample_names: List[str],
 
     allele_bp_diffs = [len(a) - len(alleles[0]) for a in alleles]
 
+    # --output-hap-fields: flank sequences adjusted for the bases moved
+    # in/out of the repeat block by get_alleles trimming (reference:
+    # seq_stutter_genotyper.cpp:1008-1041)
+    lflank_seqs = rflank_seqs = None
+    hap_to_lflank = hap_to_rflank = None
+    if cfg.output_haplotype_data and len(g.haplotype.blocks) == 3:
+        ref_str_seq = g.haplotype.blocks[block_index].get_seq(0)
+        lt, rt = trimmings
+        hap_to_lflank = g.haps_to_alleles(0)
+        lb = g.haplotype.blocks[0]
+        lflank_seqs = []
+        for i in range(lb.num_options()):
+            seq = lb.get_seq(i)
+            lflank_seqs.append(seq[:len(seq) + lt] if lt < 0
+                               else seq + ref_str_seq[:lt])
+        hap_to_rflank = g.haps_to_alleles(2)
+        rb = g.haplotype.blocks[2]
+        rflank_seqs = []
+        for i in range(rb.num_options()):
+            seq = rb.get_seq(i)
+            if rt < 0:
+                rflank_seqs.append(seq[-rt:])
+            elif rt > 0:
+                rflank_seqs.append(ref_str_seq[len(ref_str_seq) - rt:] + seq)
+            else:
+                rflank_seqs.append(seq)
+
     hap_to_allele = g.haps_to_alleles(block_index)
     num_variants = g.haplotype.blocks[block_index].num_options()
     ext = post_ops.extract_genotypes(
@@ -193,7 +221,12 @@ def build_vcf_record(g, sample_names: List[str],
             num_with_flank_indels[s] += 1
         num_aligned[s] += 1
         if viz_alns is not None:
-            viz_alns[s].append((read_strand, trace.traced_aln))
+            # --viz-left-alns renders the left-aligned input alignments
+            # instead of the ML-traced ones (reference:
+            # seq_stutter_genotyper.cpp:1129-1130, 1521-1527)
+            viz_alns[s].append((read_strand,
+                                g.alns[i] if cfg.viz_left_alns
+                                else trace.traced_aln))
 
         if abs(g.log_p1[i] - g.log_p2[i]) > TOLERANCE:
             num_with_snps[s] += 1
@@ -279,6 +312,15 @@ def build_vcf_record(g, sample_names: List[str],
     if len(allele_counts) > 1:
         info += ";AC=" + ",".join(
             str(allele_counts[new_to_old[i]]) for i in range(1, len(allele_counts)))
+
+    # LFLANKS/RFLANKS only when a non-ref flank exists (reference:
+    # seq_stutter_genotyper.cpp:1269-1286)
+    output_lflanks = lflank_seqs is not None and len(lflank_seqs) > 1
+    output_rflanks = rflank_seqs is not None and len(rflank_seqs) > 1
+    if output_lflanks:
+        info += ";LFLANKS=" + ",".join(lflank_seqs)
+    if output_rflanks:
+        info += ";RFLANKS=" + ",".join(rflank_seqs)
     out.append(info)
 
     output_allele_bias = (not g.haploid) and g.reassemble_flanks
@@ -304,6 +346,13 @@ def build_vcf_record(g, sample_names: List[str],
         fmt += ":PL"
     if not g.haploid and cfg.output_phased_gls:
         fmt += ":PHASEDGL"
+    if cfg.output_haplotype_data:
+        if output_lflanks or output_rflanks:
+            fmt += ":HQ:PHQ"
+        if output_lflanks:
+            fmt += ":LFGT"
+        if output_rflanks:
+            fmt += ":RFGT"
     if cfg.output_filters:
         fmt += ":FILTER"
     out.append("\t" + fmt)
@@ -312,7 +361,9 @@ def build_vcf_record(g, sample_names: List[str],
                    + (1 if output_strand_bias else 0)
                    + (1 if (not g.haploid and cfg.output_phased_gls) else 0))
     num_fields += (int(cfg.output_allreads) + int(cfg.output_mallreads)
-                   + int(cfg.output_gls) + int(cfg.output_pls))
+                   + int(cfg.output_gls) + int(cfg.output_pls)
+                   + (2 if (output_lflanks or output_rflanks) else 0)
+                   + int(output_lflanks) + int(output_rflanks))
     empty_str = ".:" * num_fields
 
     stats = RecordStats(num_alleles=len(alleles))
@@ -435,6 +486,21 @@ def build_vcf_record(g, sample_names: List[str],
                             continue
                         vals.append(ext.phased_gls[s][new_to_old[i] * V + new_to_old[j]])
                 parts.append(",".join(_f(v) for v in vals))
+        if cfg.output_haplotype_data and (output_lflanks or output_rflanks):
+            # HQ/PHQ + per-flank genotypes (reference:
+            # seq_stutter_genotyper.cpp:1485-1499)
+            parts.append(_f(math.exp(ext.hap_log_unphased_post[s])))
+            parts.append(_f(math.exp(ext.hap_log_phased_post[s])))
+            if not g.haploid:
+                if output_lflanks:
+                    parts.append(f"{hap_to_lflank[ha]}|{hap_to_lflank[hb]}")
+                if output_rflanks:
+                    parts.append(f"{hap_to_rflank[ha]}|{hap_to_rflank[hb]}")
+            else:
+                if output_lflanks:
+                    parts.append(str(hap_to_lflank[ha]))
+                if output_rflanks:
+                    parts.append(str(hap_to_rflank[ha]))
         if cfg.output_filters:
             parts.append("PASS")
         out.append(":".join(parts))

@@ -71,7 +71,8 @@ def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25
                    allele_units: Optional[List[int]] = None,
                    qual_char: str = "I", chrom: str = "chrSim",
                    paired: bool = False,
-                   phased_snp_offset: Optional[int] = None) -> SimulatedLocus:
+                   phased_snp_offset: Optional[int] = None,
+                   haploid: bool = False) -> SimulatedLocus:
     rng = np.random.default_rng(seed)
     if stutter is None:
         stutter = StutterModel(0.9, 0.05, 0.08, 0.9, 0.01, 0.01, period)
@@ -104,6 +105,8 @@ def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25
         name = f"SAMPLE{s:03d}"
         locus.sample_names.append(name)
         a1, a2 = rng.choice(allele_units, size=2, p=freqs)
+        if haploid:
+            a2 = a1
         locus.true_genotypes.append((int(a1), int(a2)))
         p1s, p2s = [], []
         sample_alns: List[Alignment] = []
@@ -156,7 +159,8 @@ def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25
             p2s.append(math.log(0.5))
             locus.raw_reads.append(dict(
                 name=f"{name}_read{r}", sample=name, seq=read_seq, quals=quals,
-                start=map_start, rev=aln.rev_strand))
+                start=map_start, rev=aln.rev_strand,
+                hap=1 if from_hap_one else 2))
         # reads must be grouped per sample, ordered consistently
         locus.alns.extend(sorted(sample_alns, key=lambda a: a.name))
         locus.log_p1.append(p1s)

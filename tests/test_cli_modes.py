@@ -1,0 +1,207 @@
+"""End-to-end CLI mode coverage: haploid chromosomes, stutter model
+file roundtrip (--stutter-out / --stutter-in), and 10x HP-tag phasing.
+
+Reference behaviors: haploid handling (reference: src/genotyper.cpp +
+src/main.cpp --haploid-chrs), regional stutter files (reference:
+src/stutter_model.cpp:81-110, main.cpp --stutter-in/--stutter-out),
+10x HP tags (reference: src/snp_bam_processor.cpp:141-204).
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_inputs(locus, out, hp_tags=False):
+    from hipstr_tpu.io.bam import BamRecord, BamWriter
+    from hipstr_tpu.io.fasta import write_fasta
+
+    write_fasta(f"{out}/sim.fa", [(locus.chrom, locus.chrom_seq)])
+    r = locus.region
+    with open(f"{out}/regions.bed", "w") as fh:
+        fh.write(f"{r.chrom}\t{r.start + 1}\t{r.stop}\t{r.period}\t8.0\tSIM1\n")
+    rg = "".join(f"@RG\tID:rg{n}\tSM:{n}\tLB:lib{n}\n"
+                 for n in locus.sample_names)
+    header = ("@HD\tVN:1.6\tSO:coordinate\n"
+              f"@SQ\tSN:{locus.chrom}\tLN:{len(locus.chrom_seq)}\n" + rg)
+    writer = BamWriter(f"{out}/sim.bam", [locus.chrom],
+                       [len(locus.chrom_seq)], header)
+    for rd in sorted(locus.raw_reads, key=lambda d: d["start"]):
+        tags = {"RG": ("Z", f"rg{rd['sample']}")}
+        if hp_tags:
+            tags["HP"] = ("i", rd["hap"])
+        writer.write(BamRecord(
+            name=rd["name"], flag=0x10 if rd["rev"] else 0, ref_id=0,
+            pos=rd["start"], mapq=60, cigar=[(len(rd["seq"]), "M")],
+            mate_ref_id=-1, mate_pos=-1, tlen=0, seq=rd["seq"],
+            qual=rd["quals"], tags=tags))
+    writer.close()
+
+
+def _run_cli(out, extra):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    cmd = [sys.executable, "-m", "hipstr_tpu.cli",
+           "--bams", f"{out}/sim.bam", "--fasta", f"{out}/sim.fa",
+           "--regions", f"{out}/regions.bed", "--use-unpaired",
+           "--min-reads", "20", "--dtype", "float64", "--silent"] + extra
+    subprocess.run(cmd, check=True, env=env, cwd=REPO)
+
+
+def _records(path):
+    return [l for l in open(path) if not l.startswith("#")]
+
+
+def test_haploid_chroms_e2e(tmp_path):
+    """--haploid-chrs emits single-allele GT/GB and recovers the truth."""
+    from hipstr_tpu.utils.simulate import simulate_locus
+
+    locus = simulate_locus(seed=123, n_samples=3, reads_per_sample=30,
+                           period=3, ref_units=8, haploid=True)
+    out = str(tmp_path)
+    _write_inputs(locus, out)
+    _run_cli(out, ["--str-vcf", f"{out}/out.vcf", "--def-stutter-model",
+                   "--haploid-chrs", locus.chrom])
+
+    recs = _records(f"{out}/out.vcf")
+    assert len(recs) == 1
+    fields = recs[0].rstrip("\n").split("\t")
+    fmt = fields[8].split(":")
+    gt_idx, gb_idx = fmt.index("GT"), fmt.index("GB")
+    for s in range(3):
+        parts = fields[9 + s].split(":")
+        if len(parts) == 1:   # uncalled sample
+            continue
+        assert "|" not in parts[gt_idx] and "/" not in parts[gt_idx]
+        assert "|" not in parts[gb_idx]
+        true_bp = (locus.true_genotypes[s][0] - locus.ref_units) * locus.region.period
+        assert int(parts[gb_idx]) == true_bp, (s, parts[gb_idx], true_bp)
+
+
+def test_stutter_out_in_roundtrip(tmp_path):
+    """--stutter-out learns per-locus models; --stutter-in reuses them
+    (skipping EM) and reproduces the same genotypes and INFO stutter
+    parameters."""
+    from hipstr_tpu.utils.simulate import simulate_locus
+
+    locus = simulate_locus(seed=207, n_samples=4, reads_per_sample=30,
+                           period=3, ref_units=8)
+    out = str(tmp_path)
+    _write_inputs(locus, out)
+    _run_cli(out, ["--str-vcf", f"{out}/pass1.vcf",
+                   "--stutter-out", f"{out}/models.txt"])
+
+    # model file parses and matches this locus's coordinates
+    from hipstr_tpu.models.stutter import read_stutter_models
+    with open(f"{out}/models.txt") as fh:
+        models = read_stutter_models(fh)
+    assert len(models) == 1
+    (chrom, start, end), model = next(iter(models.items()))
+    assert chrom == locus.chrom
+    assert model.period == locus.region.period
+
+    _run_cli(out, ["--str-vcf", f"{out}/pass2.vcf",
+                   "--stutter-in", f"{out}/models.txt"])
+
+    def gts_and_stutter(path):
+        recs = _records(path)
+        assert len(recs) == 1
+        fields = recs[0].rstrip("\n").split("\t")
+        info = dict(kv.split("=", 1) for kv in fields[7].split(";") if "=" in kv)
+        gts = [f.split(":")[0] for f in fields[9:]]
+        return gts, (info["INFRAME_PGEOM"], info["INFRAME_UP"],
+                     info["INFRAME_DOWN"], info["OUTFRAME_PGEOM"],
+                     info["OUTFRAME_UP"], info["OUTFRAME_DOWN"])
+
+    gts1, st1 = gts_and_stutter(f"{out}/pass1.vcf")
+    gts2, st2 = gts_and_stutter(f"{out}/pass2.vcf")
+    assert gts1 == gts2
+    assert st1 == st2
+
+
+def test_skip_genotyping_pass_filt_bams(tmp_path):
+    """--skip-genotyping learns stutter models without a VCF; --pass-bam /
+    --filt-bam capture used reads (PF tag) and filtered reads (FT tag)."""
+    from hipstr_tpu.utils.simulate import simulate_locus
+    from hipstr_tpu.io.bam import BamReader
+    from hipstr_tpu.models.stutter import read_stutter_models
+
+    locus = simulate_locus(seed=5, n_samples=3, reads_per_sample=30,
+                           period=3, ref_units=8)
+    out = str(tmp_path)
+    _write_inputs(locus, out)
+    _run_cli(out, ["--skip-genotyping", "--stutter-out", f"{out}/models.txt",
+                   "--pass-bam", f"{out}/pass.bam",
+                   "--filt-bam", f"{out}/filt.bam"])
+
+    with open(f"{out}/models.txt") as fh:
+        assert len(read_stutter_models(fh)) == 1
+    n = pf = 0
+    for rec in BamReader(f"{out}/pass.bam"):
+        n += 1
+        pf += "PF" in rec.tags
+    assert n > 0 and pf == n
+
+
+def test_sample_list_and_hide_allreads(tmp_path):
+    """--sample-list restricts genotyped samples; --hide-allreads /
+    --hide-mallreads drop those FORMAT fields."""
+    from hipstr_tpu.utils.simulate import simulate_locus
+
+    locus = simulate_locus(seed=19, n_samples=4, reads_per_sample=30,
+                           period=3, ref_units=8)
+    out = str(tmp_path)
+    _write_inputs(locus, out)
+    keep = locus.sample_names[:2]
+    _run_cli(out, ["--str-vcf", f"{out}/out.vcf", "--def-stutter-model",
+                   "--min-reads", "10",
+                   "--sample-list", ",".join(keep),
+                   "--hide-allreads", "--hide-mallreads"])
+
+    recs = _records(f"{out}/out.vcf")
+    assert len(recs) == 1
+    fields = recs[0].rstrip("\n").split("\t")
+    fmt = fields[8].split(":")
+    assert "ALLREADS" not in fmt and "MALLREADS" not in fmt
+    # samples outside the list have no reads -> uncalled ('.')
+    for s, name in enumerate(locus.sample_names):
+        call = fields[9 + s].split(":")[0]
+        if name in keep:
+            assert call != ".", (name, call)
+        else:
+            assert call == ".", (name, call)
+
+
+def test_10x_hp_tags_phase_reads(tmp_path):
+    """--10x-bams uses HP tags for read phasing: genotypes remain correct
+    and at least one het sample reports a phased-quality boost
+    (PQ present, haplotype order fixed by the tags)."""
+    from hipstr_tpu.utils.simulate import simulate_locus
+
+    locus = simulate_locus(seed=311, n_samples=3, reads_per_sample=30,
+                           period=3, ref_units=8)
+    out = str(tmp_path)
+    _write_inputs(locus, out, hp_tags=True)
+    _run_cli(out, ["--str-vcf", f"{out}/out.vcf", "--def-stutter-model",
+                   "--10x-bams"])
+
+    recs = _records(f"{out}/out.vcf")
+    assert len(recs) == 1
+    fields = recs[0].rstrip("\n").split("\t")
+    fmt = fields[8].split(":")
+    gb_idx, pq_idx = fmt.index("GB"), fmt.index("PQ")
+    period = locus.region.period
+    phased_het = False
+    for s in range(3):
+        parts = fields[9 + s].split(":")
+        if len(parts) == 1:
+            continue
+        a1, a2 = locus.true_genotypes[s]
+        got = sorted(int(x) for x in parts[gb_idx].split("|"))
+        want = sorted(((a1 - locus.ref_units) * period,
+                       (a2 - locus.ref_units) * period))
+        assert got == want, (s, got, want)
+        if a1 != a2 and float(parts[pq_idx]) > 0.9:
+            phased_het = True
+    assert phased_het

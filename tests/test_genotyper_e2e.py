@@ -96,3 +96,39 @@ def test_flank_reassembly_path_runs():
         g, locus.sample_names, OutputConfig())
     fmt = text.split("\t")[8].split(":")
     assert "AB" in fmt and "FS" in fmt and "DAB" in fmt
+
+
+def test_output_hap_fields():
+    """--output-hap-fields: LFLANKS INFO + HQ/PHQ/LFGT FORMAT appear when a
+    non-ref flank is assembled (reference: seq_stutter_genotyper.cpp:1008-1041,
+    1269-1286, 1485-1499)."""
+    from hipstr_tpu.utils.simulate import simulate_locus
+    from hipstr_tpu.models.stutter import StutterModel
+    from hipstr_tpu.pipeline.genotyper import SeqStutterGenotyper
+
+    locus = simulate_locus(seed=41, n_samples=3, reads_per_sample=30,
+                           period=3, ref_units=8, phased_snp_offset=12)
+    g = SeqStutterGenotyper(
+        locus.region, False, True, locus.alns, locus.log_p1, locus.log_p2,
+        locus.sample_names, locus.chrom_seq,
+        stutter_model=StutterModel(0.9, 0.05, 0.08, 0.9, 0.01, 0.01, 3),
+        dtype="float64")
+    assert g.initialized and g.genotype()
+    assert g.haplotype.blocks[0].num_options() == 2  # alt left flank found
+
+    cfg = OutputConfig(output_haplotype_data=True)
+    chrom, pos, text, stats = build_vcf_record(g, g.sample_names, cfg)
+    fields = text.split("\t")
+    assert any("LFLANKS=" in f for f in fields)
+    fmt_idx = next(i for i, f in enumerate(fields) if f.startswith("GT:"))
+    fmt = fields[fmt_idx].split(":")
+    for key in ("HQ", "PHQ", "LFGT"):
+        assert key in fmt
+    # per-sample columns carry matching field counts
+    for col in fields[fmt_idx + 1:fmt_idx + 4]:
+        if col.strip() != ".":
+            assert len(col.strip().split(":")) == len(fmt)
+
+    # without the flag the fields are absent
+    chrom, pos, text2, _ = build_vcf_record(g, g.sample_names, OutputConfig())
+    assert "LFLANKS" not in text2 and ":HQ" not in text2
