@@ -310,6 +310,95 @@ class HaplotypeInstance:
             hap_pos -= len(bi.seq)
         raise AssertionError("hap position out of range")
 
+    def native_meta(self):
+        """Flat row/stutter metadata for the C++ DP kernel
+        (native/hmm_kernel.cpp); built once per realized haplotype."""
+        cached = getattr(self, "_native_meta", None)
+        if cached is not None:
+            return cached
+        H = self.cur_size
+        row_kind = np.zeros(H, dtype=np.uint8)
+        row_char = np.zeros(H, dtype=np.uint8)
+        row_homop = np.zeros(H, dtype=np.int32)
+        st_row, st_block, st_seqs, st_len = [], [], [], []
+        st_period, st_max_ins, st_max_del, st_left = [], [], [], []
+        st_nD, st_art_off, art_sizes, art_lpmf = [], [], [], []
+
+        row_kind[0] = 0
+        row_char[0] = ord(self.get_first_char())
+        hap_index = 1
+        stutter_R = -1
+        for block_index, bi in enumerate(self.blocks):
+            block_seq = bi.seq
+            if bi.is_stutter:
+                rep = bi.repeat_info
+                blen = len(block_seq)
+                for k in range(blen - 1):
+                    row_kind[hap_index + k] = 4
+                row = hap_index + blen - 1
+                row_kind[row] = 3
+                st_row.append(row)
+                st_block.append(block_index)
+                st_seqs.append(block_seq.encode("latin1"))
+                st_len.append(blen)
+                st_period.append(rep.period)
+                st_max_ins.append(rep.max_insertion)
+                st_max_del.append(rep.max_deletion)
+                st_left.append(0 if self.reversed else 1)
+                arts = list(range(rep.max_deletion, rep.max_insertion + 1,
+                                  rep.period))
+                st_nD.append(len(arts))
+                st_art_off.append(len(art_sizes))
+                art_sizes.extend(arts)
+                art_lpmf.extend(rep.log_prob_pcr_artifact(bi.option, D)
+                                for D in arts)
+                stutter_R = row
+                hap_index += blen
+            else:
+                coord = 1 if block_index == 0 else 0
+                while coord < len(block_seq):
+                    r = hap_index
+                    row_char[r] = ord(block_seq[coord])
+                    if r == stutter_R + 1:
+                        row_kind[r] = 2
+                    else:
+                        row_kind[r] = 1
+                        row_homop[r] = min(
+                            MAX_HOMOP_LEN,
+                            max(self.homopolymer_length(block_index, coord),
+                                self.homopolymer_length(block_index,
+                                                        max(0, coord - 1))))
+                    coord += 1
+                    hap_index += 1
+        assert hap_index == H
+        seq_pool = b"".join(st_seqs)
+        offs, o = [], 0
+        for s in st_seqs:
+            offs.append(o)
+            o += len(s)
+        meta = (H, self.num_blocks(), row_kind, row_char, row_homop,
+                len(st_row),
+                np.asarray(st_row, np.int32), np.asarray(st_block, np.int32),
+                np.frombuffer(seq_pool, np.uint8).copy() if seq_pool
+                else np.zeros(1, np.uint8),
+                np.asarray(offs, np.int32), np.asarray(st_len, np.int32),
+                np.asarray(st_period, np.int32),
+                np.asarray(st_max_ins, np.int32),
+                np.asarray(st_max_del, np.int32),
+                np.asarray(st_left, np.int32), np.asarray(st_nD, np.int32),
+                np.asarray(st_art_off, np.int32),
+                np.asarray(art_sizes, np.int32) if art_sizes
+                else np.zeros(1, np.int32),
+                np.asarray(art_lpmf, np.float64) if art_lpmf
+                else np.zeros(1, np.float64),
+                np.asarray(LOG_MATCH_TO_MATCH, np.float64),
+                np.asarray(LOG_MATCH_TO_INS, np.float64),
+                np.asarray(LOG_MATCH_TO_DEL, np.float64),
+                float(LOG_INS_TO_INS), float(LOG_INS_TO_MATCH),
+                float(LOG_DEL_TO_DEL), float(LOG_DEL_TO_MATCH))
+        self._native_meta = meta
+        return meta
+
 
 def align_seq_to_hap(hap: HaplotypeInstance, seq: str,
                      blw: np.ndarray, blc: np.ndarray):
@@ -333,6 +422,17 @@ def align_seq_to_hap(hap: HaplotypeInstance, seq: str,
     best_art_pos = np.full((hap.num_blocks(), L), -1, dtype=np.int64)
 
     codes = np.frombuffer(seq.encode("latin1"), dtype=np.uint8)
+
+    # native C++ fast path (identical semantics; see native/hmm_kernel.cpp)
+    from .. import native as _native
+    if _native.available():
+        blw64 = np.ascontiguousarray(blw, dtype=np.float64)
+        blc64 = np.ascontiguousarray(blc, dtype=np.float64)
+        lp = _native.hmm_fill_dp_native(
+            np.ascontiguousarray(codes), blw64, blc64, hap.native_meta(),
+            match, insert, delete, best_art_size, best_art_pos)
+        if lp is not None:
+            return match, insert, delete, best_art_size, best_art_pos, lp
 
     def emit_row(hap_char: str) -> np.ndarray:
         eq = codes == ord(hap_char)

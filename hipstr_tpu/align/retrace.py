@@ -319,8 +319,17 @@ def trace_optimal_aln(haplotype: Haplotype, h: int, aln: Alignment,
     """
     seq = aln.sequence
     assert 0 < seed_base < len(seq) - 1
-    fw = HaplotypeInstance(haplotype, h, reverse=False)
-    rev = HaplotypeInstance(haplotype, h, reverse=True)
+    # realized instances are immutable w.r.t. (h, reverse); cache them on the
+    # haplotype so repeated traces reuse the native row metadata
+    cache = getattr(haplotype, "_inst_cache", None)
+    if cache is None:
+        cache = haplotype._inst_cache = {}
+    fw = cache.get((h, False))
+    if fw is None:
+        fw = cache[(h, False)] = HaplotypeInstance(haplotype, h, reverse=False)
+    rev = cache.get((h, True))
+    if rev is None:
+        rev = cache[(h, True)] = HaplotypeInstance(haplotype, h, reverse=True)
     trace = AlignmentTrace(fw.num_blocks())
 
     l_seq = seq[:seed_base]

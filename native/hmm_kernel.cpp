@@ -1,0 +1,320 @@
+// Per-(read, haplotype) stutter-aware forward DP, used by the host traceback
+// path.  Fills the match/insert/delete matrices and the per-column best
+// PCR-artifact summaries for one read segment against one realized haplotype.
+//
+// Semantics follow hipstr_tpu/align/hmm_reference.py (the project's parity
+// oracle for reference src/SeqAlignment/HapAligner.cpp:26-161 and
+// src/SeqAlignment/StutterAlignerClass.cpp); the haplotype arrives as flat
+// row-metadata arrays so no structure marshalling is needed per call.
+
+#include <cmath>
+#include <cstdint>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+constexpr double kImpossible = -1000000000.0;
+
+inline double lse(const std::vector<double>& v) {
+  double m = v[0];
+  for (double x : v) m = std::max(m, x);
+  double s = 0.0;
+  for (double x : v) s += std::exp(x - m);
+  return m + std::log(s);
+}
+
+// One stutter (repeat) block plus the read-dependent cumulative tables.
+struct StutterBlock {
+  const uint8_t* bseq;  // block chars, forward orientation of this segment
+  int blen, period, left_align;
+  int nD;
+  const int32_t* art;   // artifact sizes, ascending
+  const double* lpmf;   // per-artifact stutter log-PMF
+  int n_ins, n_del;     // adjusted artifact counts (block-length capped)
+  int max_ins, max_del_abs;
+  // periodic upstream-match-run tables, one per deletion shift
+  std::vector<std::vector<int32_t>> um;
+  // per-read-offset cumulative emission tables
+  std::vector<double> match_probs;  // [L]
+  std::vector<double> ins_probs;    // [L * n_ins]
+  std::vector<double> del_probs;    // [L * max(n_del,1)]
+
+  inline uint8_t brev(int k) const { return bseq[blen - 1 - k]; }
+
+  void init(const uint8_t* seq_, int blen_, int period_, int left_align_,
+            int nD_, const int32_t* art_, const double* lpmf_,
+            int rep_max_ins, int rep_max_del) {
+    bseq = seq_; blen = blen_; period = period_; left_align = left_align_;
+    nD = nD_; art = art_; lpmf = lpmf_;
+    n_ins = rep_max_ins / period;
+    n_del = -(rep_max_del / period);
+    while (n_del * period > blen) n_del--;
+    max_ins = period * n_ins;
+    max_del_abs = period * n_del;
+    int n_um = std::max(n_del, 1);
+    um.assign(n_um, std::vector<int32_t>(blen, 0));
+    for (int s = 0; s < n_um; ++s) {
+      int shift = (s + 1) * period;
+      for (int i = shift; i < blen; ++i)
+        um[s][i] = (bseq[i - shift] != bseq[i]) ? 0 : 1 + um[s][i - 1];
+    }
+  }
+
+  inline double sc(const uint8_t* seq, const double* blw, const double* blc,
+                   int idx, uint8_t ch) const {
+    return seq[idx] == ch ? blc[idx] : blw[idx];
+  }
+
+  // Reverse-cumulative per-offset tables (oracle load_read).
+  void load_read(const uint8_t* seq, int L, const double* blw,
+                 const double* blc) {
+    match_probs.assign(L, 0.0);
+    ins_probs.assign((size_t)L * std::max(n_ins, 1), 0.0);
+    del_probs.assign((size_t)L * std::max(n_del, 1), 0.0);
+    for (int o = 0; o < L; ++o) {
+      double lp = 0.0;
+      int j = 0;
+      int lim1 = std::min(L - o, max_del_abs);
+      for (; j < lim1; ++j) {
+        lp += sc(seq, blw, blc, L - 1 - o - j, brev(j));
+        if ((j + 1) % period == 0)
+          del_probs[(size_t)o * std::max(n_del, 1) + (j + 1) / period - 1] = lp;
+      }
+      int lim2 = std::min(L - o, blen);
+      for (; j < lim2; ++j) lp += sc(seq, blw, blc, L - 1 - o - j, brev(j));
+      match_probs[o] = lp;
+
+      double li = 0.0;
+      j = 0;
+      int lim3 = std::min(max_ins, L - o);
+      for (; j < lim3; ++j) {
+        if (j % period < blen)
+          li += sc(seq, blw, blc, L - 1 - o - j, brev(j % period));
+        else
+          li += blc[L - 1 - o - j];
+        if ((j + 1) % period == 0)
+          ins_probs[(size_t)o * std::max(n_ins, 1) + (j + 1) / period - 1] = li;
+      }
+      for (; j < max_ins; ++j)
+        if ((j + 1) % period == 0)
+          ins_probs[(size_t)o * std::max(n_ins, 1) + (j + 1) / period - 1] = li;
+    }
+  }
+
+  // PCR insertion of D bases; returns LL and writes the best (tie-broken)
+  // artifact position.
+  double ins_emission(const uint8_t* seq, int L, const double* blw,
+                      const double* blc, int base_len, int j, int offset,
+                      int D, int64_t* pos_out) const {
+    std::vector<double> probs;
+    const std::vector<int32_t>& um0 = um[0];
+    double lp = -std::log((double)(blen + 1))
+              + ins_probs[(size_t)offset * std::max(n_ins, 1) + D / period - 1]
+              + (base_len > D ? match_probs[offset + D] : 0.0);
+    int best_pos = 0;
+    double best = lp;
+    probs.push_back(lp);
+    int i = 0;
+    int limit = -std::min(std::max(0, base_len - D), blen);
+    while (i > limit) {
+      if (-i + period < blen) {
+        int um_i = um0[blen - 1 + i];
+        if (um_i == 0) {
+          for (int idx = i - period; idx >= i - D; idx -= period) {
+            lp -= sc(seq, blw, blc, j + idx, brev(-i));
+            lp += sc(seq, blw, blc, j + idx, brev(-i + period));
+          }
+          probs.push_back(lp);
+        } else {
+          probs.push_back(std::log((double)um_i) + lp);
+          i -= (um_i - 1);
+        }
+      } else {
+        probs.push_back(lp);
+      }
+      if (lp > best || (left_align && lp == best)) { best_pos = 1 - i; best = lp; }
+      i -= 1;
+    }
+    if (i > -blen) probs.push_back(std::log((double)(blen + i)) + lp);
+    if (pos_out) *pos_out = best_pos;
+    return lse(probs);
+  }
+
+  // PCR deletion of |D| bases (D < 0).
+  double del_emission(const uint8_t* seq, int L, const double* blw,
+                      const double* blc, int base_len, int j, int offset,
+                      int D, int64_t* pos_out) const {
+    std::vector<double> probs;
+    const std::vector<int32_t>& umk = um[-D / period - 1];
+    double lp = -std::log((double)(blen + D + 1));
+    if (offset + D >= 0) {
+      lp += match_probs[offset + D]
+          - del_probs[(size_t)(offset + D) * std::max(n_del, 1) - D / period - 1];
+    } else {
+      for (int jj = 0; jj > -base_len; --jj)
+        lp += sc(seq, blw, blc, j + jj, bseq[blen - 1 + jj + D]);
+    }
+    int best_pos = 0;
+    double best = lp;
+    probs.push_back(lp);
+    int i = 0;
+    while (i > -base_len) {
+      int um_i = umk[blen - 1 + i];
+      if (um_i == 0) {
+        lp -= sc(seq, blw, blc, j + i, bseq[blen - 1 + i + D]);
+        lp += sc(seq, blw, blc, j + i, bseq[blen - 1 + i]);
+        probs.push_back(lp);
+      } else {
+        probs.push_back(std::log((double)um_i) + lp);
+        i -= (um_i - 1);
+      }
+      if (lp > best || (left_align && lp == best)) { best_pos = 1 - i; best = lp; }
+      i -= 1;
+    }
+    if (-i < blen + D) probs.push_back(std::log((double)(blen + D + i)) + lp);
+    if (pos_out) *pos_out = best_pos;
+    return lse(probs);
+  }
+
+  double emission(const uint8_t* seq, int L, const double* blw,
+                  const double* blc, int j, int D, int64_t* pos_out) const {
+    int offset = L - 1 - j;
+    if (D == 0) {
+      if (pos_out) *pos_out = -1;
+      return match_probs[offset];
+    }
+    int base_len = std::min(blen + D, j + 1);
+    if (D > 0) return ins_emission(seq, L, blw, blc, base_len, j, offset, D, pos_out);
+    return del_emission(seq, L, blw, blc, base_len, j, offset, D, pos_out);
+  }
+};
+
+}  // namespace
+
+extern "C" int hmm_fill_dp(
+    const uint8_t* seq, int32_t L, const double* blw, const double* blc,
+    int32_t H, int32_t n_blocks,
+    const uint8_t* row_kind,   // [H] 0 first,1 flank,2 forced-match,3 stutter-last,4 stutter-inner
+    const uint8_t* row_char,   // [H] haplotype char for kinds 0-2
+    const int32_t* row_homop,  // [H] homopolymer transition index for kind 1
+    int32_t n_st,
+    const int32_t* st_row, const int32_t* st_block,
+    const uint8_t* st_seq_pool, const int32_t* st_off, const int32_t* st_len,
+    const int32_t* st_period, const int32_t* st_max_ins,
+    const int32_t* st_max_del, const int32_t* st_left_align,
+    const int32_t* st_nD, const int32_t* st_art_off,
+    const int32_t* art_sizes, const double* art_lpmf,
+    const double* m2m, const double* m2i, const double* m2d,
+    double i2i, double i2m, double d2d, double d2m,
+    double* match, double* insert_m, double* delete_m,
+    int64_t* best_art_size, int64_t* best_art_pos, double* out_left_prob) {
+  std::vector<double> C((size_t)L), Csh((size_t)L);
+  double acc = 0.0;
+  for (int j = 0; j < L; ++j) { Csh[j] = acc; acc += blc[j]; C[j] = acc; }
+  *out_left_prob = C[L - 1];
+
+  std::vector<StutterBlock> blocks((size_t)n_st);
+  for (int s = 0; s < n_st; ++s) {
+    blocks[s].init(st_seq_pool + st_off[s], st_len[s], st_period[s],
+                   st_left_align[s], st_nD[s], art_sizes + st_art_off[s],
+                   art_lpmf + st_art_off[s], st_max_ins[s], st_max_del[s]);
+    blocks[s].load_read(seq, L, blw, blc);
+  }
+
+  std::vector<double> probs_col((size_t)L);  // scratch per artifact
+  int st_cursor = 0;
+  for (int r = 0; r < H; ++r) {
+    double* M = match + (size_t)r * L;
+    double* I = insert_m + (size_t)r * L;
+    double* Dl = delete_m + (size_t)r * L;
+    int kind = row_kind[r];
+    if (kind == 4) continue;  // inner stutter row: never read
+    if (kind == 0) {
+      uint8_t ch = row_char[r];
+      for (int j = 0; j < L; ++j) {
+        M[j] = (seq[j] == ch ? blc[j] : blw[j]) + Csh[j];
+        I[j] = C[j];
+        Dl[j] = kImpossible;
+      }
+      continue;
+    }
+    if (kind == 3) {
+      // last row of a stutter block: logsumexp over artifact sizes of
+      // lpmf + block emission + upstream match entry
+      while (st_cursor < n_st && st_row[st_cursor] != r) st_cursor++;
+      const StutterBlock& B = blocks[st_cursor];
+      int bi = st_block[st_cursor];
+      const double* Mp = match + (size_t)(r - B.blen) * L;
+      int64_t* bas = best_art_size + (size_t)bi * L;
+      int64_t* bap = best_art_pos + (size_t)bi * L;
+      std::vector<double> col_m(L, kImpossible), col_s(L, 0.0);
+      std::vector<int> col_n(L, 0);
+      std::vector<double> all((size_t)B.nD * L, kImpossible);
+      for (int ai = 0; ai < B.nD; ++ai) {
+        int D = B.art[ai];
+        if (B.blen + D < 0) continue;
+        int shift = B.blen + D;
+        for (int j = 0; j < L; ++j) {
+          double pre = (j - shift >= 0) ? Mp[j - shift] : 0.0;
+          all[(size_t)ai * L + j] =
+              B.lpmf[ai] + B.emission(seq, L, blw, blc, j, D, nullptr) + pre;
+        }
+      }
+      for (int j = 0; j < L; ++j) {
+        double best = kImpossible;
+        int64_t best_D = -10000;
+        for (int ai = 0; ai < B.nD; ++ai) {
+          double v = all[(size_t)ai * L + j];
+          if (B.blen + B.art[ai] < 0) continue;
+          if (v > best) { best = v; best_D = B.art[ai]; }
+        }
+        bas[j] = best_D;
+        if (best_D == -10000 || best_D == 0) {
+          bap[j] = -1;
+        } else {
+          int64_t pos = -1;
+          B.emission(seq, L, blw, blc, j, (int)best_D, &pos);
+          bap[j] = pos;
+        }
+        // exact logsumexp over the artifact axis
+        double m = best, s = 0.0;
+        for (int ai = 0; ai < B.nD; ++ai) {
+          if (B.blen + B.art[ai] < 0) continue;
+          s += std::exp(all[(size_t)ai * L + j] - m);
+        }
+        M[j] = m + std::log(s);
+        I[j] = kImpossible;
+        Dl[j] = kImpossible;
+      }
+      continue;
+    }
+    const double* Mp = match + (size_t)(r - 1) * L;
+    const double* Dp = delete_m + (size_t)(r - 1) * L;
+    uint8_t ch = row_char[r];
+    if (kind == 2) {
+      // row just after a stutter block: must be entered via match
+      M[0] = (seq[0] == ch ? blc[0] : blw[0]);
+      for (int j = 1; j < L; ++j)
+        M[j] = (seq[j] == ch ? blc[j] : blw[j]) + Mp[j - 1];
+      for (int j = 0; j < L; ++j) { I[j] = kImpossible; Dl[j] = kImpossible; }
+      continue;
+    }
+    // regular flank row (kind == 1)
+    int h = row_homop[r];
+    double am = m2m[h], aio = m2i[h], ad = m2d[h];
+    double prevI = 0.0;
+    for (int j = 0; j < L; ++j) {
+      Dl[j] = std::max(Mp[j] + d2m, Dp[j] + d2d);
+      double A = (j == 0) ? 0.0 : Mp[j - 1] + i2m;
+      double Iv = blc[j] + ((j == 0) ? A : std::max(A, prevI + i2i));
+      I[j] = Iv;
+      double T = (j == 0) ? 0.0
+                          : std::max(prevI + aio,
+                                     std::max(Mp[j - 1] + am, Dp[j - 1] + ad));
+      M[j] = (seq[j] == ch ? blc[j] : blw[j]) + T;
+      prevI = Iv;
+    }
+  }
+  return 0;
+}

@@ -57,3 +57,49 @@ def test_native_bgzf_roundtrip(tmp_path):
     w.write(data)
     w.close()
     assert BgzfReader(path).read_all() == data
+
+
+def test_native_hmm_dp_matches_oracle():
+    """native/hmm_kernel.cpp fills identical DP matrices + artifact summaries
+    as the Python oracle on randomized loci (fw + rev segments)."""
+    import numpy as np
+    from tests.test_hmm_kernel import _mk_haplotype, _reads_from_hap
+    from hipstr_tpu.align import hmm_reference as hr
+    from hipstr_tpu.models.base_quality import BaseQuality
+    from hipstr_tpu import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(12)
+    bq = BaseQuality()
+    for trial in range(4):
+        period = int(rng.integers(1, 5))
+        units = int(rng.integers(4, 10))
+        hap = _mk_haplotype(rng, period, units, n_rep_alts=2,
+                            n_flank_alts=trial % 2)
+        seqs, quals, _ = _reads_from_hap(rng, hap, 4, 60)
+        for h in range(min(hap.num_combs, 3)):
+            for rev_flag in (False, True):
+                hi = hr.HaplotypeInstance(hap, h, rev_flag)
+                for seq, q in zip(seqs, quals):
+                    s = seq[::-1] if rev_flag else seq
+                    qq = q[::-1] if rev_flag else q
+                    blw = np.array([bq.log_prob_error(c) - np.log(3.0)
+                                    for c in qq])
+                    blc = np.array([bq.log_prob_correct(c) for c in qq])
+                    out_n = hr.align_seq_to_hap(hi, s, blw, blc)
+                    real = native.available
+                    native.available = lambda: False
+                    try:
+                        out_p = hr.align_seq_to_hap(hi, s, blw, blc)
+                    finally:
+                        native.available = real
+                    for a, b in zip(out_n, out_p):
+                        a = np.asarray(a, dtype=np.float64)
+                        b = np.asarray(b, dtype=np.float64)
+                        both_nan = np.isnan(a) & np.isnan(b)
+                        assert (np.isnan(a) == np.isnan(b)).all()
+                        diff = np.abs(np.where(both_nan, 0, a - b))
+                        assert np.nanmax(diff) < 1e-9
