@@ -2,9 +2,21 @@
 
 Runs both the reference binary (if built at /tmp/refbuild/HipSTR — see
 BASELINE.md) and our CLI on identical simulated BAM/FASTA/BED inputs and
-compares VCFs under the tolerance ladder: GT/GB exact, integer depths within
-1 read, float fields within 0.15 (the reference uses fast-math log-sum-exp
-approximations; we use exact log-sum-exp).
+compares VCFs: GT/GB exact, integer depths + read classifications exact,
+float fields within the reference's fast-math log-sum-exp tolerance.
+
+The reference is invoked once per chromosome (--chrom).  When it processes
+multiple loci in one run, its BamCramReader leaks per-locus iterator state
+across region switches: SetRegion (reference: src/bam_io.cpp:203-230)
+updates chrom_/start_ and only afterwards evaluates
+`reuse_offset = (... && chrom.compare(chrom_) == 0 && start >= start_)`,
+which is then always true, so a stale min_offset_/first_aln_ from the
+PREVIOUS locus is replayed into the next fetch.  The stale alignment
+carries the previous chromosome's coordinates/bases, collides with the
+same-named genuine read in read_and_filter_reads' mate maps, and knocks a
+real read out of the analysis (observed as DP off by one and shifted
+PDP/GLDIFF/MALLREADS).  Per-chromosome invocation avoids the bug and lets
+this test assert exact read-level parity.
 """
 
 import os
@@ -25,10 +37,19 @@ def test_golden_vcf_comparison(tmp_path):
                     out, "--loci", "3", "--samples", "3", "--reads", "40"],
                    check=True)
     common = ["--use-unpaired", "--min-reads", "20", "--def-stutter-model"]
-    subprocess.run([REF_BINARY, "--bams", f"{out}/sim.bam",
-                    "--fasta", f"{out}/sim.fa", "--regions", f"{out}/regions.bed",
-                    "--str-vcf", f"{out}/ref.vcf.gz", "--silent"] + common,
-                   check=True)
+
+    chroms = sorted({l.split()[0] for l in open(f"{out}/regions.bed")})
+    ref_recs = []
+    for chrom in chroms:
+        subprocess.run(
+            [REF_BINARY, "--bams", f"{out}/sim.bam", "--fasta", f"{out}/sim.fa",
+             "--regions", f"{out}/regions.bed", "--chrom", chrom,
+             "--str-vcf", f"{out}/ref_{chrom}.vcf.gz", "--silent"] + common,
+            check=True)
+        from hipstr_tpu.io.bgzf import BgzfReader
+        text = BgzfReader(f"{out}/ref_{chrom}.vcf.gz").read_all().decode()
+        ref_recs.extend(l for l in text.splitlines() if not l.startswith("#"))
+
     env = dict(os.environ, PYTHONPATH=REPO)
     subprocess.run([sys.executable, "-m", "hipstr_tpu.cli",
                     "--bams", f"{out}/sim.bam", "--fasta", f"{out}/sim.fa",
@@ -36,40 +57,34 @@ def test_golden_vcf_comparison(tmp_path):
                     "--str-vcf", f"{out}/tpu.vcf", "--dtype", "float64",
                     "--silent"] + common, check=True, env=env, cwd=REPO)
 
-    from hipstr_tpu.io.bgzf import BgzfReader
-    ref = BgzfReader(f"{out}/ref.vcf.gz").read_all().decode()
     tpu = open(f"{out}/tpu.vcf").read()
-    ref_recs = [l for l in ref.splitlines() if not l.startswith("#")]
     tpu_recs = [l for l in tpu.splitlines() if not l.startswith("#")]
     assert len(ref_recs) == len(tpu_recs) > 0
 
-    for rr, tr in zip(ref_recs, tpu_recs):
+    for rr, tr in zip(sorted(ref_recs), sorted(tpu_recs)):
         rf, tf = rr.split("\t"), tr.split("\t")
         # site-level columns
         assert rf[:5] == tf[:5], (rf[:5], tf[:5])
         fmt = rf[8].split(":")
         assert rf[8] == tf[8]
         int_fields = {"DP", "DSNP", "DSTUTTER", "DFLANKINDEL", "DAB"}
-        exact_fields = {"GT", "GB"}
+        exact_fields = {"GT", "GB", "ALLREADS", "MALLREADS", "PSNP"}
         for s in range(9, len(rf)):
-            rparts = rf[s].split(":")
-            tparts = tf[s].split(":")
-            if rf[s] == "." or tf[s] == ".":
-                assert rf[s] == tf[s]
+            rparts = rf[s].strip().split(":")
+            tparts = tf[s].strip().split(":")
+            if rf[s].strip() == "." or tf[s].strip() == ".":
+                assert rf[s].strip() == tf[s].strip()
                 continue
             assert len(rparts) == len(tparts)
             for name, rv, tv in zip(fmt, rparts, tparts):
                 if name in exact_fields:
                     assert rv == tv, (rf[0], name, rv, tv)
                 elif name in int_fields:
-                    assert abs(int(rv) - int(tv)) <= 1, (rf[0], name, rv, tv)
-                elif name in ("Q", "PQ", "AB", "FS"):
-                    if rv != "." and tv != ".":
-                        assert abs(float(rv) - float(tv)) <= 1.2, \
-                            (rf[0], name, rv, tv)
-                elif name == "GLDIFF":
-                    # a rare read aligns differently (NW tie-break detail);
-                    # GLDIFF absorbs the read's full LL shift
-                    if rv != "." and tv != ".":
-                        assert abs(float(rv) - float(tv)) <= 2.0, \
+                    assert int(rv) == int(tv), (rf[0], name, rv, tv)
+                elif rv != "." and tv != ".":
+                    # Q/PQ/AB/FS/GLDIFF/PDP: the reference uses the Mineiro
+                    # fast-math log-sum-exp (src/mathops.cpp:86-106); we are
+                    # exact.  0.2 bounds the observed fast-math drift.
+                    for rx, tx in zip(rv.split("|"), tv.split("|")):
+                        assert abs(float(rx) - float(tx)) <= 0.2, \
                             (rf[0], name, rv, tv)
