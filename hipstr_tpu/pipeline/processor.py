@@ -111,7 +111,11 @@ class GenotyperPipeline:
         self.logger = logger or Logger()
         self.fasta = FastaReader(fasta_path)
         self.fasta_path = fasta_path
-        self.readers = [BamReader(p) for p in bam_paths]
+        # BAM or CRAM per file, as in the reference's BamCramMultiReader
+        # (reference: src/bam_io.h:505-569); CRAM decode needs the FASTA
+        from ..io.cram import CramReader
+        self.readers = [CramReader(p, fasta_path) if p.endswith(".cram")
+                        else BamReader(p) for p in bam_paths]
         self.bq = BaseQuality()
         self.counters = LocusCounters()
         self.adapter_trimmer = AdapterTrimmer()

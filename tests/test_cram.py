@@ -1,0 +1,75 @@
+"""CRAM 3.0 reader tests.
+
+The committed fixture (tests/data/cram_fix.{bam,cram,fa}) was produced by an
+htslib BAM->CRAM conversion; the CRAM decode must reproduce the BAM records
+exactly (reference capability: src/bam_io.{h,cpp} BamCramReader).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.path.join(REPO, "tests", "data")
+
+
+def test_cram_matches_bam_fixture():
+    from hipstr_tpu.io.bam import BamReader
+    from hipstr_tpu.io.cram import CramReader
+
+    cram = CramReader(os.path.join(DATA, "cram_fix.cram"),
+                      os.path.join(DATA, "cram_fix.fa"))
+    bam = list(BamReader(os.path.join(DATA, "cram_fix.bam")))
+    crecs = list(cram)
+    assert len(crecs) == len(bam) > 0
+    bidx = {(r.name, r.ref_id): r for r in bam}
+    for r in crecs:
+        b = bidx[(r.name, r.ref_id)]
+        for attr in ("pos", "flag", "mapq", "seq", "qual", "cigar"):
+            assert getattr(r, attr) == getattr(b, attr), (r.name, attr)
+        for tag in ("RG", "XT"):
+            assert set(r.tags) == set(b.tags)
+            assert r.tags.get(tag) == b.tags.get(tag), (r.name, tag)
+
+
+def test_cram_region_fetch():
+    from hipstr_tpu.io.bam import BamReader
+    from hipstr_tpu.io.cram import CramReader
+
+    cram = CramReader(os.path.join(DATA, "cram_fix.cram"),
+                      os.path.join(DATA, "cram_fix.fa"))
+    bam = BamReader(os.path.join(DATA, "cram_fix.bam"))
+    chrom = cram.ref_names[0]
+    for window in ((0, 1000), (100, 180), (150, 151)):
+        got = sorted((r.name, r.pos) for r in cram.fetch(chrom, *window))
+        want = sorted((r.name, r.pos) for r in bam.fetch(chrom, *window))
+        assert got == want, window
+
+
+def test_cram_pipeline_identical_to_bam(tmp_path):
+    """Genotyping from CRAM input produces a byte-identical VCF."""
+    from hipstr_tpu.utils.simulate import simulate_locus
+    from tests.test_cli_modes import _write_inputs, _run_cli, _records
+
+    gen = "/tmp/cramgen/bam2cram"
+    if not os.path.exists(gen):
+        pytest.skip("htslib BAM->CRAM generator not built")
+
+    locus = simulate_locus(seed=71, n_samples=3, reads_per_sample=30,
+                           period=3, ref_units=8)
+    out = str(tmp_path)
+    _write_inputs(locus, out)
+    subprocess.run([gen, f"{out}/sim.bam", f"{out}/sim.fa",
+                    f"{out}/sim.cram", "3.0"], check=True)
+
+    _run_cli(out, ["--str-vcf", f"{out}/from_bam.vcf", "--def-stutter-model"])
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.cli",
+                    "--bams", f"{out}/sim.cram", "--fasta", f"{out}/sim.fa",
+                    "--regions", f"{out}/regions.bed", "--use-unpaired",
+                    "--min-reads", "20", "--dtype", "float64", "--silent",
+                    "--str-vcf", f"{out}/from_cram.vcf",
+                    "--def-stutter-model"], check=True, env=env, cwd=REPO)
+    assert _records(f"{out}/from_bam.vcf") == _records(f"{out}/from_cram.vcf")
