@@ -63,6 +63,12 @@ def _load():
             ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_double,                      # i2i,i2m,d2d,d2m
             f64p, f64p, f64p, i64p, i64p, f64p]                    # outputs
+        for fn in (lib.adapter_trim_3p, lib.adapter_trim_5p):
+            fn.restype = ctypes.c_int32
+            fn.argtypes = [ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
+                           ctypes.POINTER(ctypes.c_int32),
+                           ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                           ctypes.c_int32, ctypes.c_double]
         _lib = lib
         return _lib
 
@@ -128,6 +134,25 @@ def hmm_fill_dp_native(seq_codes, blw, blc, meta, match, insert, delete,
     if rc != 0:
         return None
     return out_lp.value
+
+
+def adapter_trim_native(bases: str, adapters, min_overlap: int,
+                        max_err: float, five_prime: bool) -> Optional[int]:
+    """Adapter-overlap search in C; None when the library is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    blob = "".join(adapters).encode("latin1")
+    offs = (ctypes.c_int32 * len(adapters))()
+    lens = (ctypes.c_int32 * len(adapters))()
+    o = 0
+    for i, a in enumerate(adapters):
+        offs[i] = o
+        lens[i] = len(a)
+        o += len(a)
+    fn = lib.adapter_trim_5p if five_prime else lib.adapter_trim_3p
+    return int(fn(bases.encode("latin1"), len(bases), blob, offs, lens,
+                  len(adapters), min_overlap, max_err))
 
 
 def bgzf_inflate_native(data: bytes, expected_cap: int) -> Optional[bytes]:

@@ -29,13 +29,25 @@ def reverse_complement(seq: str) -> str:
 
 
 def _mismatches(a: str, b: str) -> int:
-    return sum(1 for x, y in zip(a, b) if x != y)
+    # early exit at 2: callers only distinguish 0 / 1 / more
+    mm = 0
+    for x, y in zip(a, b):
+        if x != y:
+            mm += 1
+            if mm > 1:
+                return mm
+    return mm
 
 
 def _trim_three_prime_index(bases: str, adapters: List[str]) -> int:
     """Leftmost index whose suffix matches an adapter prefix with <=1
     mismatch (mismatch allowed only when overlap >= 1/MAX_ERROR_RATE).
     Returns read_length when nothing matches."""
+    from ..native import adapter_trim_native
+    idx = adapter_trim_native(bases, adapters, MIN_OVERLAP, MAX_ERROR_RATE,
+                              five_prime=False)
+    if idx is not None:
+        return idx
     read_len = len(bases)
     trim_index = read_len
     for adapter in adapters:
@@ -54,6 +66,11 @@ def _trim_three_prime_index(bases: str, adapters: List[str]) -> int:
 def _trim_five_prime_index(bases: str, adapters: List[str]) -> int:
     """Rightmost index whose prefix matches an adapter suffix with <=1
     mismatch.  Returns -1 when nothing matches."""
+    from ..native import adapter_trim_native
+    idx = adapter_trim_native(bases, adapters, MIN_OVERLAP, MAX_ERROR_RATE,
+                              five_prime=True)
+    if idx is not None:
+        return idx
     read_len = len(bases)
     trim_index = -1
     for adapter in adapters:

@@ -318,3 +318,56 @@ extern "C" int hmm_fill_dp(
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Adapter-trim index search (semantics of hipstr_tpu/pipeline/adapter_trimmer,
+// reference: src/adapter_trimmer.cpp — <=1 mismatch, overlap >= min_overlap,
+// mismatch only allowed when 1/overlap < max_err).
+
+static inline int mm_le1(const char* a, const char* b, int n) {
+  int mm = 0;
+  for (int i = 0; i < n; ++i)
+    if (a[i] != b[i] && ++mm > 1) return 2;
+  return mm;
+}
+
+extern "C" int32_t adapter_trim_3p(const char* bases, int32_t read_len,
+                                   const char* adapters, const int32_t* offs,
+                                   const int32_t* alens, int32_t n_adapters,
+                                   int32_t min_overlap, double max_err) {
+  int trim_index = read_len;
+  for (int a = 0; a < n_adapters; ++a) {
+    const char* ad = adapters + offs[a];
+    int alen = alens[a];
+    for (int index = 0; index <= read_len - min_overlap; ++index) {
+      int max_match = std::min(alen, read_len - index);
+      int mm = mm_le1(bases + index, ad, max_match);
+      if (mm == 0 || (mm == 1 && 1.0 / max_match < max_err)) {
+        if (index < trim_index) trim_index = index;
+        break;
+      }
+    }
+  }
+  return trim_index;
+}
+
+extern "C" int32_t adapter_trim_5p(const char* bases, int32_t read_len,
+                                   const char* adapters, const int32_t* offs,
+                                   const int32_t* alens, int32_t n_adapters,
+                                   int32_t min_overlap, double max_err) {
+  int trim_index = -1;
+  for (int a = 0; a < n_adapters; ++a) {
+    const char* ad = adapters + offs[a];
+    int alen = alens[a];
+    for (int index = read_len - 1; index >= min_overlap - 1; --index) {
+      int max_match = std::min(alen, index + 1);
+      int mm = mm_le1(bases + index - max_match + 1,
+                      ad + alen - max_match, max_match);
+      if (mm == 0 || (mm == 1 && 1.0 / max_match < max_err)) {
+        if (index > trim_index) trim_index = index;
+        break;
+      }
+    }
+  }
+  return trim_index;
+}

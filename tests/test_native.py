@@ -103,3 +103,40 @@ def test_native_hmm_dp_matches_oracle():
                         assert (np.isnan(a) == np.isnan(b)).all()
                         diff = np.abs(np.where(both_nan, 0, a - b))
                         assert np.nanmax(diff) < 1e-9
+
+
+def test_native_adapter_trim_matches_python():
+    """C adapter-overlap search agrees with the Python implementation."""
+    import numpy as np
+    from hipstr_tpu.pipeline import adapter_trimmer as at
+    from hipstr_tpu import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(9)
+    adapters3 = [at.TRUSEQ_R1, at.NEXTERA_R1]
+    adapters5 = [at.reverse_complement(a) for a in adapters3]
+    for t in range(400):
+        n = int(rng.integers(8, 90))
+        read = "".join(rng.choice(list("ACGT"), n))
+        if t % 3 == 0:
+            ad = adapters3[t % 2]
+            k = int(rng.integers(5, len(ad) + 1))
+            ins = list(ad[:k])
+            for _ in range(int(rng.integers(0, 3))):
+                p = int(rng.integers(0, k))
+                ins[p] = rng.choice(list("ACGT"))
+            pos = int(rng.integers(0, max(1, n - k + 1)))
+            read = read[:pos] + "".join(ins) + read[pos + k:]
+        real = native.available
+        try:
+            i3n = native.adapter_trim_native(read, adapters3, at.MIN_OVERLAP,
+                                             at.MAX_ERROR_RATE, False)
+            i5n = native.adapter_trim_native(read, adapters5, at.MIN_OVERLAP,
+                                             at.MAX_ERROR_RATE, True)
+            native.available = lambda: False
+            assert i3n == at._trim_three_prime_index(read, adapters3)
+            assert i5n == at._trim_five_prime_index(read, adapters5)
+        finally:
+            native.available = real
