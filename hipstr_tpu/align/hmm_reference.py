@@ -297,6 +297,20 @@ class HaplotypeInstance:
     def homopolymer_length(self, block_index: int, base_index: int) -> int:
         return self._src.homopolymer_length_digits(self._digits, block_index, base_index)
 
+    def homop_table(self, block_index: int) -> List[int]:
+        """Per-base transition index min(MAX, max(h[b], h[b-1])), cached."""
+        tables = getattr(self, "_homop_tables", None)
+        if tables is None:
+            tables = self._homop_tables = {}
+        tbl = tables.get(block_index)
+        if tbl is None:
+            n = len(self.blocks[block_index].seq)
+            hl = [self.homopolymer_length(block_index, c) for c in range(n)]
+            tbl = [min(MAX_HOMOP_LEN, max(hl[c], hl[max(0, c - 1)]))
+                   for c in range(n)]
+            tables[block_index] = tbl
+        return tbl
+
     def get_first_char(self) -> str:
         return self.blocks[0].seq[0]
 
@@ -376,26 +390,37 @@ class HaplotypeInstance:
         for s in st_seqs:
             offs.append(o)
             o += len(s)
-        meta = (H, self.num_blocks(), row_kind, row_char, row_homop,
-                len(st_row),
-                np.asarray(st_row, np.int32), np.asarray(st_block, np.int32),
-                np.frombuffer(seq_pool, np.uint8).copy() if seq_pool
-                else np.zeros(1, np.uint8),
-                np.asarray(offs, np.int32), np.asarray(st_len, np.int32),
-                np.asarray(st_period, np.int32),
-                np.asarray(st_max_ins, np.int32),
-                np.asarray(st_max_del, np.int32),
-                np.asarray(st_left, np.int32), np.asarray(st_nD, np.int32),
-                np.asarray(st_art_off, np.int32),
-                np.asarray(art_sizes, np.int32) if art_sizes
-                else np.zeros(1, np.int32),
-                np.asarray(art_lpmf, np.float64) if art_lpmf
-                else np.zeros(1, np.float64),
-                np.asarray(LOG_MATCH_TO_MATCH, np.float64),
-                np.asarray(LOG_MATCH_TO_INS, np.float64),
-                np.asarray(LOG_MATCH_TO_DEL, np.float64),
-                float(LOG_INS_TO_INS), float(LOG_INS_TO_MATCH),
-                float(LOG_DEL_TO_DEL), float(LOG_DEL_TO_MATCH))
+        arrays = (row_kind, row_char, row_homop,
+                  np.asarray(st_row, np.int32),
+                  np.asarray(st_block, np.int32),
+                  np.frombuffer(seq_pool, np.uint8).copy() if seq_pool
+                  else np.zeros(1, np.uint8),
+                  np.asarray(offs, np.int32), np.asarray(st_len, np.int32),
+                  np.asarray(st_period, np.int32),
+                  np.asarray(st_max_ins, np.int32),
+                  np.asarray(st_max_del, np.int32),
+                  np.asarray(st_left, np.int32), np.asarray(st_nD, np.int32),
+                  np.asarray(st_art_off, np.int32),
+                  np.asarray(art_sizes, np.int32) if art_sizes
+                  else np.zeros(1, np.int32),
+                  np.asarray(art_lpmf, np.float64) if art_lpmf
+                  else np.zeros(1, np.float64),
+                  np.asarray(LOG_MATCH_TO_MATCH, np.float64),
+                  np.asarray(LOG_MATCH_TO_INS, np.float64),
+                  np.asarray(LOG_MATCH_TO_DEL, np.float64))
+        a = arrays
+        # precomputed raw-pointer argument block for the C kernel; the
+        # arrays above are kept alive in the same tuple
+        ptr_block = (H, self.num_blocks(), a[0].ctypes.data, a[1].ctypes.data,
+                     a[2].ctypes.data, len(st_row), a[3].ctypes.data,
+                     a[4].ctypes.data, a[5].ctypes.data, a[6].ctypes.data,
+                     a[7].ctypes.data, a[8].ctypes.data, a[9].ctypes.data,
+                     a[10].ctypes.data, a[11].ctypes.data, a[12].ctypes.data,
+                     a[13].ctypes.data, a[14].ctypes.data, a[15].ctypes.data,
+                     a[16].ctypes.data, a[17].ctypes.data, a[18].ctypes.data,
+                     float(LOG_INS_TO_INS), float(LOG_INS_TO_MATCH),
+                     float(LOG_DEL_TO_DEL), float(LOG_DEL_TO_MATCH))
+        meta = arrays + (ptr_block,)
         self._native_meta = meta
         return meta
 

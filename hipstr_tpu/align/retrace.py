@@ -130,11 +130,9 @@ def retrace(hap: HaplotypeInstance, read_seq: str, blc: np.ndarray,
             indel_position = -1
             flank_parts = []
 
+            homop_tbl = hap.homop_table(block_index)
             while base_index >= 0 and seq_index >= 0:
-                homop = min(
-                    MAX_HOMOP_LEN,
-                    max(hap.homopolymer_length(block_index, base_index),
-                        hap.homopolymer_length(block_index, max(0, base_index - 1))))
+                homop = homop_tbl[base_index]
 
                 if matrix_type != prev_matrix_type:
                     if prev_matrix_type == DEL_T:

@@ -92,6 +92,21 @@ class VcfVariant:
 class VCFReader:
     def __init__(self, path: str):
         self.path = path
+        # Tabix streaming mode: with a .tbi present, queries seek BGZF
+        # chunks instead of loading the file (reference capability:
+        # src/vcf_reader.cpp htslib tbx region seek) — required for
+        # multi-GB SNP VCFs.
+        self._tbi = None
+        import os
+        if os.path.exists(path + ".tbi"):
+            try:
+                from .tabix import read_tabix
+                self._tbi = read_tabix(path + ".tbi")
+            except Exception:
+                self._tbi = None
+        if self._tbi is not None:
+            self._init_streaming(path)
+            return
         self._lines = self._read_lines(path)
         self.samples: List[str] = []
         self._sample_index: Dict[str, int] = {}
@@ -118,6 +133,70 @@ class VCFReader:
                 start = i
         if cur is not None:
             self._chrom_ranges[cur] = (start, len(self._lines))
+
+    def _init_streaming(self, path: str) -> None:
+        from .bgzf import BgzfReader
+        self._bgzf = BgzfReader(path)
+        self._lines = None
+        self.samples = []
+        self._sample_index = {}
+        header = []
+        buf = b""
+        while True:
+            chunk = self._bgzf.read(65536)
+            if not chunk:
+                break
+            buf += chunk
+            stop = False
+            while b"\n" in buf:
+                line, buf = buf.split(b"\n", 1)
+                text = line.decode("latin1")
+                if text.startswith("##"):
+                    header.append(text)
+                    continue
+                if text.startswith("#CHROM"):
+                    cols = text.split("\t")
+                    self.samples = cols[9:]
+                    self._sample_index = {s: j
+                                          for j, s in enumerate(self.samples)}
+                stop = True
+                break
+            if stop:
+                break
+        self._chrom_ranges = {n: None for n in self._tbi.names}
+
+    def _stream_query(self, chrom: str, start: int, end: int):
+        chunks = self._tbi.chunks(chrom, start, end)
+        for u, v in chunks:
+            self._bgzf.seek_virtual(u)
+            buf = b""
+            done = False
+            while not done:
+                if self._bgzf.virtual_offset >= v and b"\n" not in buf:
+                    break
+                chunk = self._bgzf.read(65536)
+                if not chunk:
+                    done = True
+                buf += chunk
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    text = line.decode("latin1")
+                    if not text or text.startswith("#"):
+                        continue
+                    cols = text.split("\t", 2)
+                    if cols[0] != chrom:
+                        if self._tbi.name_index.get(cols[0], -1) > \
+                                self._tbi.name_index.get(chrom, -1):
+                            done = True
+                            break
+                        continue
+                    pos = int(cols[1]) - 1
+                    if pos >= end:
+                        done = True
+                        break
+                    if pos < start:
+                        continue
+                    yield self._parse(text)
 
     @staticmethod
     def _read_lines(path: str) -> List[str]:
@@ -156,11 +235,28 @@ class VCFReader:
                           sample_fields, self.samples, self._sample_index)
 
     def __iter__(self) -> Iterator[VcfVariant]:
+        if self._lines is None:
+            self._bgzf.seek_virtual(0)
+            buf = b""
+            while True:
+                chunk = self._bgzf.read(65536)
+                if not chunk:
+                    break
+                buf += chunk
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    text = line.decode("latin1")
+                    if text and not text.startswith("#"):
+                        yield self._parse(text)
+            return
         for i in range(self._header_end, len(self._lines)):
             yield self._parse(self._lines[i])
 
     def query(self, chrom: str, start: int, end: int) -> Iterator[VcfVariant]:
         """Variants with pos in [start, end) (0-based)."""
+        if self._lines is None:
+            yield from self._stream_query(chrom, start, end)
+            return
         rng = self._chrom_ranges.get(chrom)
         if rng is None:
             return

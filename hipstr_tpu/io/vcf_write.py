@@ -95,14 +95,22 @@ def build_vcf_header(fasta_path: str, full_command: str,
 class VCFWriter:
     """Buffered sorted writer (reference: src/vcf_writer.h:25-83)."""
 
-    def __init__(self, path: str, header: str, bgzip: Optional[bool] = None):
+    def __init__(self, path: str, header: str, bgzip: Optional[bool] = None,
+                 build_index: Optional[bool] = None):
         if bgzip is None:
             bgzip = path.endswith(".gz")
         self._bgzip = bgzip
+        self._path = path
         if bgzip:
             self._w = BgzfWriter(path)
         else:
             self._w = open(path, "w")
+        self._tbi = None
+        if build_index is None:
+            build_index = bgzip
+        if bgzip and build_index:
+            from .tabix import TabixBuilder
+            self._tbi = TabixBuilder()
         self._write(header)
         self._heap: List = []
         self._chrom: Optional[str] = None
@@ -110,6 +118,14 @@ class VCFWriter:
 
     def _write(self, text: str) -> None:
         if self._bgzip:
+            if self._tbi is not None and text and not text.startswith("#"):
+                cols = text.split("\t", 4)
+                beg = int(cols[1]) - 1
+                v_start = self._w.virtual_offset
+                self._w.write(text.encode())
+                self._tbi.add(cols[0], beg, beg + len(cols[3]),
+                              v_start, self._w.virtual_offset)
+                return
             self._w.write(text.encode())
         else:
             self._w.write(text)
@@ -130,3 +146,5 @@ class VCFWriter:
     def close(self) -> None:
         self._drain(None)
         self._w.close()
+        if self._tbi is not None and self._tbi.names:
+            self._tbi.write(self._path + ".tbi")

@@ -47,22 +47,21 @@ def _load():
         lib.bgzf_inflate_all.restype = ctypes.c_int64
         lib.bgzf_inflate_all.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        i64p = ctypes.POINTER(ctypes.c_int64)
-        f64p = ctypes.POINTER(ctypes.c_double)
+        vp = ctypes.c_void_p
         lib.hmm_fill_dp.restype = ctypes.c_int32
+        # raw data pointers: cheaper per call than typed POINTER casts, and
+        # the meta pointer block is cached per haplotype instance
         lib.hmm_fill_dp.argtypes = [
-            u8p, ctypes.c_int32, f64p, f64p,                       # seq,L,blw,blc
+            vp, ctypes.c_int32, vp, vp,                            # seq,L,blw,blc
             ctypes.c_int32, ctypes.c_int32,                        # H, n_blocks
-            u8p, u8p, i32p,                                        # row meta
+            vp, vp, vp,                                            # row meta
             ctypes.c_int32,                                        # n_st
-            i32p, i32p, u8p, i32p, i32p, i32p, i32p, i32p, i32p,   # st tables
-            i32p, i32p, i32p, f64p,                                # nD/art_off/art/lpmf
-            f64p, f64p, f64p,                                      # m2m/m2i/m2d
+            vp, vp, vp, vp, vp, vp, vp, vp, vp,                    # st tables
+            vp, vp, vp, vp,                                        # nD/art_off/art/lpmf
+            vp, vp, vp,                                            # m2m/m2i/m2d
             ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_double,                      # i2i,i2m,d2d,d2m
-            f64p, f64p, f64p, i64p, i64p, f64p]                    # outputs
+            vp, vp, vp, vp, vp, vp]                                # outputs
         for fn in (lib.adapter_trim_3p, lib.adapter_trim_5p):
             fn.restype = ctypes.c_int32
             fn.argtypes = [ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
@@ -108,29 +107,16 @@ def hmm_fill_dp_native(seq_codes, blw, blc, meta, match, insert, delete,
     lib = _load()
     if lib is None:
         return None
-    import numpy as np
-    (H, n_blocks, row_kind, row_char, row_homop, n_st, st_row, st_block,
-     st_seq_pool, st_off, st_len, st_period, st_max_ins, st_max_del,
-     st_left_align, st_nD, st_art_off, art_sizes, art_lpmf,
-     m2m, m2i, m2d, i2i, i2m, d2d, d2m) = meta
-    L = len(seq_codes)
-
-    def P(a, t):
-        return a.ctypes.data_as(ctypes.POINTER(t))
-
-    u8, i32, i64, f64 = (ctypes.c_uint8, ctypes.c_int32, ctypes.c_int64,
-                         ctypes.c_double)
+    # meta[-1] is the precomputed pointer/scalar argument block; the arrays
+    # it points into are owned by the same meta tuple, so the raw addresses
+    # stay valid for its lifetime (built in HaplotypeInstance.native_meta)
     out_lp = ctypes.c_double(0.0)
     rc = lib.hmm_fill_dp(
-        P(seq_codes, u8), L, P(blw, f64), P(blc, f64),
-        H, n_blocks, P(row_kind, u8), P(row_char, u8), P(row_homop, i32),
-        n_st, P(st_row, i32), P(st_block, i32), P(st_seq_pool, u8),
-        P(st_off, i32), P(st_len, i32), P(st_period, i32),
-        P(st_max_ins, i32), P(st_max_del, i32), P(st_left_align, i32),
-        P(st_nD, i32), P(st_art_off, i32), P(art_sizes, i32), P(art_lpmf, f64),
-        P(m2m, f64), P(m2i, f64), P(m2d, f64), i2i, i2m, d2d, d2m,
-        P(match, f64), P(insert, f64), P(delete, f64),
-        P(best_art_size, i64), P(best_art_pos, i64), ctypes.byref(out_lp))
+        seq_codes.ctypes.data, len(seq_codes), blw.ctypes.data,
+        blc.ctypes.data, *meta[-1],
+        match.ctypes.data, insert.ctypes.data, delete.ctypes.data,
+        best_art_size.ctypes.data, best_art_pos.ctypes.data,
+        ctypes.byref(out_lp))
     if rc != 0:
         return None
     return out_lp.value

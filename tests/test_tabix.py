@@ -1,0 +1,83 @@
+"""Tabix index write/read + streaming VCF queries."""
+
+import os
+import random
+import subprocess
+
+import pytest
+
+
+def _write_test_vcf(path):
+    from hipstr_tpu.io.vcf_write import VCFWriter
+    header = ("##fileformat=VCFv4.1\n"
+              "##contig=<ID=chr1,length=100000000>\n"
+              "##contig=<ID=chr2,length=100000000>\n"
+              '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+              "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n")
+    rng = random.Random(0)
+    recs = []
+    for chrom in ("chr1", "chr2"):
+        pos = 0
+        for _ in range(2000):
+            pos += rng.randint(50, 60000)
+            recs.append((chrom, pos,
+                         f"{chrom}\t{pos}\t.\tA\tC\t.\t.\t.\tGT\t0|1"))
+    w = VCFWriter(path, header)
+    for chrom, pos, text in recs:
+        w.add_vcf_record(chrom, pos, text)
+    w.close()
+    return recs
+
+
+WINDOWS = ((0, 10**9), (1000000, 2000000), (55_000_000, 58_000_000),
+           (110_000_000, 10**9))
+
+
+def test_tabix_streaming_query_matches_memory(tmp_path):
+    from hipstr_tpu.io.vcf_read import VCFReader
+
+    path = str(tmp_path / "t.vcf.gz")
+    _write_test_vcf(path)
+    assert os.path.exists(path + ".tbi")
+
+    streaming = VCFReader(path)
+    assert streaming._tbi is not None
+    os.rename(path + ".tbi", path + ".tbi.bak")
+    memory = VCFReader(path)
+    assert memory._tbi is None
+    os.rename(path + ".tbi.bak", path + ".tbi")
+
+    def q(rd, chrom, a, b):
+        return [(v.chrom, v.pos, v.alleles[0]) for v in rd.query(chrom, a, b)]
+
+    for chrom in ("chr1", "chr2"):
+        for a, b in WINDOWS:
+            assert q(streaming, chrom, a, b) == q(memory, chrom, a, b)
+    assert sum(1 for _ in streaming) == sum(1 for _ in memory) == 4000
+    assert streaming.samples == ["S1"]
+
+
+def test_tabix_interop_with_htslib(tmp_path):
+    """Cross-validation: htslib-written .tbi readable by us, and vice versa."""
+    tbxgen = "/tmp/cramgen/tbxgen"
+    tbxq = "/tmp/cramgen/tbxq"
+    if not (os.path.exists(tbxgen) and os.path.exists(tbxq)):
+        pytest.skip("htslib tabix tools not built")
+    from hipstr_tpu.io.vcf_read import VCFReader
+
+    path = str(tmp_path / "t.vcf.gz")
+    _write_test_vcf(path)
+    ours = VCFReader(path)
+    n_ours = len(list(ours.query("chr1", 1000000, 2000000)))
+
+    # htslib queries our index
+    out = subprocess.run([tbxq, path, "chr1:1000001-2000000"],
+                         capture_output=True, text=True, check=True)
+    assert int(out.stdout.strip()) == n_ours
+
+    # we query htslib's index
+    os.remove(path + ".tbi")
+    subprocess.run([tbxgen, path], check=True)
+    theirs = VCFReader(path)
+    assert theirs._tbi is not None
+    assert len(list(theirs.query("chr1", 1000000, 2000000))) == n_ours
