@@ -62,6 +62,11 @@ def _load():
             ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_double,                      # i2i,i2m,d2d,d2m
             vp, vp, vp, vp, vp, vp]                                # outputs
+        for fn in (lib.prefix_match_counts, lib.suffix_match_counts):
+            fn.restype = None
+            fn.argtypes = [ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
+                           ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                           ctypes.c_void_p]
         for fn in (lib.adapter_trim_3p, lib.adapter_trim_5p):
             fn.restype = ctypes.c_int32
             fn.argtypes = [ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
@@ -120,6 +125,23 @@ def hmm_fill_dp_native(seq_codes, blw, blc, meta, match, insert, delete,
     if rc != 0:
         return None
     return out_lp.value
+
+
+def end_match_counts_native(s1: str, s2: str, lo: int, hi: int,
+                            suffix: bool):
+    """prefix/suffix end-match window scan in C; None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    n = hi - lo + 1
+    if n <= 0:
+        return []
+    out = np.empty(n, dtype=np.int32)
+    fn = lib.suffix_match_counts if suffix else lib.prefix_match_counts
+    fn(s1.encode("latin1"), len(s1), s2.encode("latin1"), len(s2),
+       lo, hi, out.ctypes.data)
+    return out.tolist()
 
 
 def adapter_trim_native(bases: str, adapters, min_overlap: int,

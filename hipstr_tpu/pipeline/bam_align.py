@@ -238,16 +238,31 @@ class BamAlign:
 
     def has_largest_end_matches(self, ref_seq: str, ref_start: int,
                                 max_external: int, max_internal: int) -> bool:
-        """Reference: AlignmentFilters::HasLargestEndMatches."""
+        """Reference: AlignmentFilters::HasLargestEndMatches.
+
+        Works on a bounded, lowercased window of the reference (lowercasing
+        the whole chromosome per read is quadratic on real genomes)."""
+        from ..native import end_match_counts_native
         bases, start, end = self._unclipped_info()
         lb = bases.lower()
-        lref = ref_seq.lower()
+        L = len(lb)
+
+        def scan(lo, hi, suffix):
+            # the match can reach at most L characters beyond the window
+            wlo = max(0, lo - L) if suffix else lo
+            whi = hi if suffix else min(len(ref_seq) - 1, hi + L)
+            seg = ref_seq[wlo:whi + 1].lower()
+            res = end_match_counts_native(lb, seg, lo - wlo, hi - wlo, suffix)
+            if res is not None:
+                return res
+            return (_suffix_match_counts if suffix
+                    else _prefix_match_counts)(lb, seg, lo - wlo, hi - wlo)
 
         if start >= ref_start and start < ref_start + len(ref_seq):
             start_index = start - ref_start
             lo = max(0, start_index - max_external)
             hi = min(len(ref_seq) - 1, start_index + max_internal)
-            counts = _prefix_match_counts(lb, lref, lo, hi)
+            counts = scan(lo, hi, suffix=False)
             align_index = start_index - lo
             num = counts[align_index]
             for i, c in enumerate(counts):
@@ -257,7 +272,7 @@ class BamAlign:
             end_index = end - ref_start
             lo = max(0, end_index - max_internal)
             hi = min(len(ref_seq) - 1, end_index + max_external)
-            counts = _suffix_match_counts(lb, lref, lo, hi)
+            counts = scan(lo, hi, suffix=True)
             align_index = end_index - lo
             num = counts[align_index]
             for i, c in enumerate(counts):

@@ -371,3 +371,28 @@ extern "C" int32_t adapter_trim_5p(const char* bases, int32_t read_len,
   }
   return trim_index;
 }
+
+// ---------------------------------------------------------------------------
+// End-match window scans for HasLargestEndMatches (reference:
+// src/alignment_filters.cpp via src/zalgorithm.cpp).  out must hold
+// hi - lo + 1 entries.
+
+extern "C" void prefix_match_counts(const char* s1, int32_t n1,
+                                    const char* s2, int32_t n2,
+                                    int32_t lo, int32_t hi, int32_t* out) {
+  for (int i = lo; i <= hi; ++i) {
+    int a = 0;
+    while (a < n1 && i + a < n2 && s1[a] == s2[i + a]) a++;
+    out[i - lo] = a;
+  }
+}
+
+extern "C" void suffix_match_counts(const char* s1, int32_t n1,
+                                    const char* s2, int32_t n2,
+                                    int32_t lo, int32_t hi, int32_t* out) {
+  for (int i = lo; i <= hi; ++i) {
+    int a = 0;
+    while (a < n1 && i - a >= 0 && s1[n1 - 1 - a] == s2[i - a]) a++;
+    out[i - lo] = a;
+  }
+}
