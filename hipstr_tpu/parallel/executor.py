@@ -90,12 +90,10 @@ class BatchedAligner:
                                *[it.arrays for it in padded])
         R_f, R_r, sr_f, sr_r, period = group[0].statics[:5]
         run = _jitted_batch(R_f, R_r, sr_f, sr_r, period, self.dtype)
-        LL = np.asarray(run(*stacked))
-        out = []
-        for gi, item in enumerate(group):
-            P_real, H_real = item.statics[5], item.statics[6]
-            out.append((item, LL[gi, :P_real, :H_real]))
-        return out
+        # asynchronous dispatch: the caller defers the host fetch so device
+        # compute overlaps with preparing the next loci
+        LL_dev = run(*stacked)
+        return [(item, LL_dev, gi) for gi, item in enumerate(group)]
 
 
 def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
@@ -119,7 +117,13 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
     records: List[Tuple[str, int, str]] = []
 
     def finish(results):
-        for item, LL in results:
+        fetched: Dict[int, np.ndarray] = {}
+        for item, LL_dev, gi in results:
+            key = id(LL_dev)
+            if key not in fetched:
+                fetched[key] = np.asarray(LL_dev)
+            P_real, H_real = item.statics[5], item.statics[6]
+            LL = fetched[key][gi, :P_real, :H_real]
             g = item.genotyper
             try:
                 g.set_pool_lls(LL)
@@ -140,12 +144,22 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
 
     chrom = None
     chrom_seq = None
+    pending: List = []   # dispatched groups whose fetch is deferred
+
+    def settle(new_results):
+        # finish previously-dispatched work now that a fresh group is on the
+        # device; keeps one group in flight to hide device latency
+        nonlocal pending
+        done, pending = pending, list(new_results)
+        if done:
+            finish(done)
+
     for region in regions:
         if region.stop - region.start > opts.max_str_len:
             pipeline.counters.too_long += 1
             continue
         if region.chrom != chrom:
-            finish(aligner.flush_all())
+            settle(aligner.flush_all())
             chrom = region.chrom
             chrom_seq = pipeline.fasta.get_sequence(chrom)
         pipeline.logger.log(f"Preparing region {region} ...")
@@ -163,12 +177,13 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
             results = aligner.add(
                 LocusWorkItem(region, g, arrays, statics, chrom_seq))
             if results:
-                finish(results)
+                settle(results)
         except Exception as exc:
             pipeline.counters.genotype_fail += 1
             pipeline.logger.log(f"ERROR at {region}: {exc!r}")
 
-    finish(aligner.flush_all())
+    settle(aligner.flush_all())
+    settle([])
 
     if writer is not None:
         for chrom_, pos, text in sorted(records, key=lambda r: (r[0], r[1])):

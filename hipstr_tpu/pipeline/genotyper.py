@@ -355,7 +355,29 @@ class SeqStutterGenotyper:
         for blk, adds in zip(new_blocks, alleles_to_add):
             for seq in adds:
                 blk.add_alternate(seq)
+
+        # remap surviving traces to the new haplotype indexing instead of
+        # recomputing them (reference remaps its caches incrementally,
+        # seq_stutter_genotyper.cpp:324-415): removals compress each block's
+        # option indices, additions append after the kept options
+        old_hap = self.haplotype
+        old_cache = dict(self.trace_cache)  # _set_haplotype clears the dict
+        digit_maps = []
+        for b, rm in zip(blocks, alleles_to_remove):
+            removed = set(rm)
+            kept = [d for d in range(b.num_options()) if d not in removed]
+            digit_maps.append({d: i for i, d in enumerate(kept)})
+
         self._set_haplotype(Haplotype(new_blocks))
+        for (pool, h_old), trace in old_cache.items():
+            try:
+                new_digits = [digit_maps[bi][d]
+                              for bi, d in enumerate(old_hap.digits(h_old))]
+            except KeyError:
+                continue  # trace's haplotype used a removed allele
+            h_new = self.haplotype.hap_index_for_options(new_digits)
+            self.trace_cache[(pool, h_new)] = trace
+
         self.calc_hap_aln_probs()
         self.calc_log_sample_posteriors()
 

@@ -173,6 +173,52 @@ def test_sample_list_and_hide_allreads(tmp_path):
             assert call == ".", (name, call)
 
 
+def test_batch_loci_identical_output(tmp_path):
+    """--batch-loci (multi-locus batched executor with deferred device
+    fetches) produces byte-identical records to the sequential path."""
+    from hipstr_tpu.utils.simulate import simulate_locus
+    from hipstr_tpu.io.bam import BamRecord, BamWriter
+    from hipstr_tpu.io.fasta import write_fasta
+
+    out = str(tmp_path)
+    locs = [simulate_locus(seed=900 + i, n_samples=3, reads_per_sample=25,
+                           period=3, ref_units=8, chrom=f"chrB{i}")
+            for i in range(6)]
+    write_fasta(f"{out}/sim.fa", [(l.chrom, l.chrom_seq) for l in locs])
+    with open(f"{out}/regions.bed", "w") as fh:
+        for l in locs:
+            r = l.region
+            fh.write(f"{r.chrom}\t{r.start + 1}\t{r.stop}\t{r.period}\t8.0\tX\n")
+    rg = "".join(f"@RG\tID:rg{n}\tSM:{n}\tLB:lib{n}\n"
+                 for n in locs[0].sample_names)
+    hdr = ("@HD\tVN:1.6\tSO:coordinate\n"
+           + "".join(f"@SQ\tSN:{l.chrom}\tLN:{len(l.chrom_seq)}\n"
+                     for l in locs) + rg)
+    w = BamWriter(f"{out}/sim.bam", [l.chrom for l in locs],
+                  [len(l.chrom_seq) for l in locs], hdr)
+    ref_ids = {l.chrom: i for i, l in enumerate(locs)}
+    recs = []
+    for l in locs:
+        for rd in l.raw_reads:
+            recs.append(BamRecord(
+                name=f"{l.chrom}_{rd['name']}", flag=0x10 if rd["rev"] else 0,
+                ref_id=ref_ids[l.chrom], pos=rd["start"], mapq=60,
+                cigar=[(len(rd["seq"]), "M")], mate_ref_id=-1, mate_pos=-1,
+                tlen=0, seq=rd["seq"], qual=rd["quals"],
+                tags={"RG": ("Z", f"rg{rd['sample']}")}))
+    recs.sort(key=lambda r: (r.ref_id, r.pos))
+    for r in recs:
+        w.write(r)
+    w.close()
+
+    _run_cli(out, ["--str-vcf", f"{out}/seq.vcf", "--def-stutter-model"])
+    _run_cli(out, ["--str-vcf", f"{out}/bat.vcf", "--def-stutter-model",
+                   "--batch-loci", "4"])
+    a = _records(f"{out}/seq.vcf")
+    b = _records(f"{out}/bat.vcf")
+    assert len(a) == 6 and a == b
+
+
 def test_10x_hp_tags_phase_reads(tmp_path):
     """--10x-bams uses HP tags for read phasing: genotypes remain correct
     and at least one het sample reports a phased-quality boost
