@@ -378,7 +378,22 @@ class SeqStutterGenotyper:
             h_new = self.haplotype.hap_index_for_options(new_digits)
             self.trace_cache[(pool, h_new)] = trace
 
-        self.calc_hap_aln_probs()
+        if not any(alleles_to_add) and getattr(self, "pool_LLs", None) is not None:
+            # pruning only: every kept haplotype's sequence is unchanged, so
+            # its per-pool likelihood column is too — remap instead of
+            # re-running the device alignment (reference remaps
+            # log_aln_probs_ the same way, seq_stutter_genotyper.cpp:324-415)
+            inv_maps = [{new: old for old, new in dm.items()}
+                        for dm in digit_maps]
+            old_cols = np.empty(self.num_alleles, dtype=np.int64)
+            for h_new in range(self.num_alleles):
+                digits_old = [inv_maps[bi][d] for bi, d in
+                              enumerate(self.haplotype.digits(h_new))]
+                old_cols[h_new] = old_hap.hap_index_for_options(digits_old)
+            self.pool_LLs = self.pool_LLs[:, old_cols]
+            self._expand_pool_lls()
+        else:
+            self.calc_hap_aln_probs()
         self.calc_log_sample_posteriors()
 
     def remove_alleles(self, allele_indices: List[List[int]]) -> None:
