@@ -184,3 +184,40 @@ def test_denovo_finder_cli(tmp_path):
     nomut, denovo, other = (float(x) for x in fields[9].split(":"))
     assert denovo > nomut + 2
     assert denovo > other
+
+
+def test_denovo_kernels_run_under_jit():
+    """The de novo contractions are xp-generic: under jax.jit they produce
+    the same log10 likelihoods as the numpy path (device kernel parity)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+
+    rng = np.random.default_rng(5)
+    A = 4
+    def rand_gl():
+        m = rng.uniform(-8, 0, size=(A, A))
+        return m
+    gm, gf, gc = rand_gl(), rand_gl(), rand_gl()
+    freqs = np.log10(np.ones(A) / A)
+    mut_prior = -np.log10(2.0 * (A - 1))
+
+    n_np = trio_unphased_lls(np, gm, gf, gc, freqs, mut_prior)
+
+    @partial(jax.jit, static_argnums=())
+    def run(gm, gf, gc, freqs):
+        return trio_unphased_lls(jnp, gm, gf, gc, freqs, mut_prior)
+
+    n_j = run(gm, gf, gc, freqs)
+    for a, b in zip(n_np, n_j):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+    gcs = [rand_gl() for _ in range(2)]
+    p_np = phased_family_lls(np, gm, gf, gcs, [0, 1], [2, 3], freqs,
+                             mut_prior)
+    p_j = phased_family_lls(jnp, jnp.asarray(gm), jnp.asarray(gf),
+                            [jnp.asarray(g) for g in gcs], [0, 1], [2, 3],
+                            jnp.asarray(freqs), mut_prior)
+    for a, b in zip(p_np, p_j):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-10)
