@@ -90,6 +90,17 @@ class BatchedAligner:
                                *[it.arrays for it in padded])
         R_f, R_r, sr_f, sr_r, period = group[0].statics[:5]
         run = _jitted_batch(R_f, R_r, sr_f, sr_r, period, self.dtype)
+        # multi-chip: shard the locus axis over the device mesh (GSPMD) —
+        # loci are independent, so the only communication is the result
+        # gather on fetch
+        devs = jax.devices()
+        n_dev = len(devs)
+        if n_dev > 1 and Gp % n_dev == 0:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            mesh = Mesh(np.array(devs), ("loci",))
+            sharding = NamedSharding(mesh, PartitionSpec("loci"))
+            stacked = jax.tree.map(
+                lambda x: jax.device_put(x, sharding), stacked)
         # asynchronous dispatch: the caller defers the host fetch so device
         # compute overlaps with preparing the next loci
         LL_dev = run(*stacked)

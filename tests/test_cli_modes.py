@@ -251,3 +251,64 @@ def test_10x_hp_tags_phase_reads(tmp_path):
         if a1 != a2 and float(parts[pq_idx]) > 0.9:
             phased_het = True
     assert phased_het
+
+
+def test_batched_mesh_sharded_identical():
+    """With multiple devices, the batched executor shards the locus axis
+    over a GSPMD mesh; outputs must stay byte-identical to sequential.
+    Runs in-process on the 8-device CPU mesh from conftest."""
+    import tempfile
+    import jax
+    from hipstr_tpu.utils.simulate import simulate_locus
+    from hipstr_tpu.io.bam import BamRecord, BamWriter
+    from hipstr_tpu.io.fasta import write_fasta
+    from hipstr_tpu.pipeline.processor import (GenotyperPipeline, Logger,
+                                               PipelineOptions)
+    from hipstr_tpu.models.stutter import StutterModel
+    from hipstr_tpu.parallel.executor import run_batched
+
+    assert len(jax.devices()) == 8
+    tmp = tempfile.mkdtemp()
+    locs = [simulate_locus(seed=900 + i, n_samples=3, reads_per_sample=25,
+                           period=3, ref_units=8, chrom=f"chrB{i}")
+            for i in range(8)]
+    write_fasta(f"{tmp}/sim.fa", [(l.chrom, l.chrom_seq) for l in locs])
+    with open(f"{tmp}/regions.bed", "w") as fh:
+        for l in locs:
+            r = l.region
+            fh.write(f"{r.chrom}\t{r.start + 1}\t{r.stop}\t{r.period}\t8.0\tX\n")
+    hdr = ("@HD\tVN:1.6\tSO:coordinate\n"
+           + "".join(f"@SQ\tSN:{l.chrom}\tLN:{len(l.chrom_seq)}\n"
+                     for l in locs)
+           + "".join(f"@RG\tID:rg{n}\tSM:{n}\tLB:lib{n}\n"
+                     for n in locs[0].sample_names))
+    w = BamWriter(f"{tmp}/sim.bam", [l.chrom for l in locs],
+                  [len(l.chrom_seq) for l in locs], hdr)
+    ref_ids = {l.chrom: i for i, l in enumerate(locs)}
+    recs = []
+    for l in locs:
+        for rd in l.raw_reads:
+            recs.append(BamRecord(
+                name=f"{l.chrom}_{rd['name']}", flag=0x10 if rd["rev"] else 0,
+                ref_id=ref_ids[l.chrom], pos=rd["start"], mapq=60,
+                cigar=[(len(rd["seq"]), "M")], mate_ref_id=-1, mate_pos=-1,
+                tlen=0, seq=rd["seq"], qual=rd["quals"],
+                tags={"RG": ("Z", f"rg{rd['sample']}")}))
+    recs.sort(key=lambda r: (r.ref_id, r.pos))
+    for r in recs:
+        w.write(r)
+    w.close()
+
+    def mk():
+        opts = PipelineOptions(
+            min_reads=15, use_unpaired=True, dtype="float64",
+            def_stutter_model=StutterModel(0.95, 0.05, 0.05, 0.95, 0.01,
+                                           0.01, 2))
+        return GenotyperPipeline([f"{tmp}/sim.bam"], f"{tmp}/sim.fa", opts,
+                                 Logger(quiet=True))
+
+    mk().run(f"{tmp}/regions.bed", f"{tmp}/seq.vcf")
+    run_batched(mk(), f"{tmp}/regions.bed", f"{tmp}/bat.vcf", batch_size=8)
+    a = [l for l in open(f"{tmp}/seq.vcf") if not l.startswith("#")]
+    b = [l for l in open(f"{tmp}/bat.vcf") if not l.startswith("#")]
+    assert len(a) == 8 and a == b
