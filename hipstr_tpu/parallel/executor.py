@@ -50,6 +50,7 @@ class LocusWorkItem:
         self.arrays = arrays
         self.statics = statics
         self.chrom_seq = chrom_seq
+        self.gen = None   # resumable adaptive loop, created after initial LLs
 
     def shape_key(self):
         leaves = jax.tree.leaves(self.arrays)
@@ -127,28 +128,56 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
     aligner = BatchedAligner(opts.dtype, batch_size)
     records: List[Tuple[str, int, str]] = []
 
+    def emit_record(item):
+        g = item.genotyper
+        pipeline.counters.genotype_success += 1
+        with pipeline.timer.time("VCF record construction"):
+            chrom, pos, text, stats = build_vcf_record(
+                g, pipeline.samples, opts.output)
+        records.append((chrom, pos, text))
+
+    def advance(item, LL) -> bool:
+        """Feed fresh LLs to one locus; True when it needs another batched
+        realignment (item.arrays updated for the new haplotype)."""
+        g = item.genotyper
+        g.set_pool_lls(LL)
+        with pipeline.timer.time("Genotyping (adaptive)"):
+            g.calc_log_sample_posteriors()
+            if item.gen is None:
+                item.gen = g.adaptive_steps(opts.max_haps,
+                                            opts.max_hap_flanks,
+                                            opts.min_flank_freq)
+            try:
+                next(item.gen)
+            except StopIteration as stop:
+                if stop.value:
+                    emit_record(item)
+                else:
+                    pipeline.counters.genotype_fail += 1
+                return False
+        with pipeline.timer.time("Locus packing"):
+            seqs, quals, seeds = g.pool_inputs()
+            item.arrays, item.statics = prepare_locus(
+                g.haplotype, seqs, quals, seeds, opts.dtype)
+        return True
+
     def finish(results):
+        # process a batch of deferred results; loci needing further
+        # realignment re-enqueue, possibly flushing new groups
         fetched: Dict[int, np.ndarray] = {}
-        for item, LL_dev, gi in results:
+        queue = list(results)
+        while queue:
+            item, LL_dev, gi = queue.pop(0)
             key = id(LL_dev)
             if key not in fetched:
                 fetched[key] = np.asarray(LL_dev)
             P_real, H_real = item.statics[5], item.statics[6]
             LL = fetched[key][gi, :P_real, :H_real]
-            g = item.genotyper
             try:
-                g.set_pool_lls(LL)
-                with pipeline.timer.time("Genotyping (adaptive)"):
-                    ok = g.genotype_finish(opts.max_haps, opts.max_hap_flanks,
-                                           opts.min_flank_freq)
-                if not ok:
-                    pipeline.counters.genotype_fail += 1
-                    continue
-                pipeline.counters.genotype_success += 1
-                with pipeline.timer.time("VCF record construction"):
-                    chrom, pos, text, stats = build_vcf_record(
-                        g, pipeline.samples, opts.output)
-                records.append((chrom, pos, text))
+                if advance(item, LL):
+                    more = aligner.add(item)
+                    if more:
+                        queue.extend(more)
             except Exception as exc:
                 pipeline.counters.genotype_fail += 1
                 pipeline.logger.log(f"ERROR at {item.region}: {exc!r}")
@@ -193,7 +222,9 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
             pipeline.counters.genotype_fail += 1
             pipeline.logger.log(f"ERROR at {region}: {exc!r}")
 
-    settle(aligner.flush_all())
+    # drain: adaptive re-enqueues can keep producing partial groups
+    while pending or aligner.groups:
+        settle(aligner.flush_all())
     settle([])
 
     if writer is not None:

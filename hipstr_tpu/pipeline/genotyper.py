@@ -343,11 +343,20 @@ class SeqStutterGenotyper:
     # ----------------------------------------------------- allele management
     def add_and_remove_alleles(self, alleles_to_remove: List[List[int]],
                                alleles_to_add: List[List[str]]) -> None:
-        """Rebuild blocks and rerun the batched kernel + posteriors.
+        """Rebuild blocks, then realign (additions) or remap (pruning) and
+        recompute posteriors."""
+        if self._apply_allele_changes(alleles_to_remove, alleles_to_add):
+            self.calc_hap_aln_probs()
+        self.calc_log_sample_posteriors()
 
-        The reference incrementally remaps probability arrays
-        (seq_stutter_genotyper.cpp:324-415); here the batched device pass
-        recomputes everything, which is deterministic-identical.
+    def _apply_allele_changes(self, alleles_to_remove: List[List[int]],
+                              alleles_to_add: List[List[str]]) -> bool:
+        """Host side of an allele change: rebuild blocks, remap caches.
+
+        Returns True when the new haplotype needs a device realignment
+        (alleles were added); False when the pool likelihood columns were
+        remapped in place (pruning only — the reference remaps its arrays
+        the same way, seq_stutter_genotyper.cpp:324-415).
         """
         blocks = self.haplotype.blocks
         new_blocks = [b.remove_alleles(rm) for b, rm in
@@ -392,9 +401,8 @@ class SeqStutterGenotyper:
                 old_cols[h_new] = old_hap.hap_index_for_options(digits_old)
             self.pool_LLs = self.pool_LLs[:, old_cols]
             self._expand_pool_lls()
-        else:
-            self.calc_hap_aln_probs()
-        self.calc_log_sample_posteriors()
+            return False
+        return True
 
     def remove_alleles(self, allele_indices: List[List[int]]) -> None:
         self.add_and_remove_alleles(
@@ -482,41 +490,31 @@ class SeqStutterGenotyper:
                         candidates.add(seq)
         return sorted(candidates)
 
-    def id_and_align_to_stutter_alleles(self, max_total_haplotypes: int) -> bool:
-        """Reference: seq_stutter_genotyper.cpp:570-601."""
-        empty_remove = [[] for _ in self.haplotype.blocks]
-        while True:
-            added = False
-            stutter_seqs: List[List[str]] = []
-            new_total = self.num_alleles
-            for bi, block in enumerate(self.haplotype.blocks):
-                if block.is_repeat:
-                    seqs = self.get_stutter_candidate_alleles(bi)
-                    added |= bool(seqs)
-                    seqs.sort(key=order_key)
-                    stutter_seqs.append(seqs)
-                    new_total = (new_total // block.num_options()
-                                 * (block.num_options() + len(seqs)))
-                else:
-                    stutter_seqs.append([])
-            if not added:
-                break
-            if new_total > max_total_haplotypes:
-                self.logger.log(
-                    f"Aborting: too many candidate haplotypes ({new_total})")
-                return False
-            self.logger.log("Identified additional stutter alleles: "
-                            + str([s for s in stutter_seqs if s]))
-            self.add_and_remove_alleles(
-                [list(x) for x in empty_remove], stutter_seqs)
-        return True
-
     # -------------------------------------------------------- flank assembly
     def assemble_flanks(self, max_total_haplotypes: int,
                         max_flank_haplotypes: int,
                         min_flank_freq: float) -> bool:
+        """Synchronous flank reassembly: candidates + realign + prune."""
+        adds = self._assemble_flank_candidates(
+            max_total_haplotypes, max_flank_haplotypes, min_flank_freq)
+        if adds is None:
+            return False
+        if any(adds):
+            self.logger.log("Realigning to include assembled flanks")
+            self.add_and_remove_alleles([[] for _ in adds], adds)
+            if self.ref_vcf_alleles is None:
+                unused, nb, na = self.get_unused_alleles(False, True)
+                if na:
+                    self.remove_alleles(unused)
+        return True
+
+    def _assemble_flank_candidates(self, max_total_haplotypes: int,
+                                   max_flank_haplotypes: int,
+                                   min_flank_freq: float
+                                   ) -> Optional[List[List[str]]]:
         """Per-sample de Bruijn reassembly of flanking sequences
-        (reference: seq_stutter_genotyper.cpp:40-217)."""
+        (reference: seq_stutter_genotyper.cpp:40-217).  Returns the per-block
+        alternate flank sequences to add, or None to abort the locus."""
         traces = self.retrace_alignments()
         nblocks = self.haplotype.num_blocks()
         alleles_to_add: List[List[str]] = [[] for _ in range(nblocks)]
@@ -532,7 +530,7 @@ class SeqStutterGenotyper:
 
             kmer_length = DebruijnGraph.calc_kmer_length(ref_seq, MIN_KMER, max_k)
             if kmer_length is None:
-                return False
+                return None
 
             hap_indexes: Dict[str, int] = {}
             hap_to_sample: List[List[int]] = []
@@ -596,24 +594,15 @@ class SeqStutterGenotyper:
                 if len(hap_indexes) > max_flank_haplotypes:
                     self.logger.log(
                         f"Skipping locus: too many {flank_dir} flanks")
-                    return False
+                    return None
                 for seq in sorted(hap_indexes, key=lambda q: hap_indexes[q]):
                     alleles_to_add[block_index].append(seq)
                 new_total_haps *= (1 + len(hap_indexes))
 
         if new_total_haps > max_total_haplotypes:
             self.logger.log("Aborting: too many haplotypes after flank assembly")
-            return False
-
-        if any(alleles_to_add[b] for b in range(nblocks)):
-            self.logger.log("Realigning to include assembled flanks")
-            self.add_and_remove_alleles([[] for _ in range(nblocks)],
-                                        alleles_to_add)
-            if self.ref_vcf_alleles is None:
-                unused, nb, na = self.get_unused_alleles(False, True)
-                if na:
-                    self.remove_alleles(unused)
-        return True
+            return None
+        return alleles_to_add
 
     # ---------------------------------------------------------------- driver
     def genotype_prepare(self) -> bool:
@@ -661,21 +650,92 @@ class SeqStutterGenotyper:
     def _genotype_tail(self, max_total_haplotypes: int,
                        max_flank_haplotypes: int,
                        min_flank_freq: float) -> bool:
+        # drive the resumable adaptive loop synchronously: service each
+        # requested realignment with an immediate device call
+        gen = self.adaptive_steps(max_total_haplotypes, max_flank_haplotypes,
+                                  min_flank_freq)
+        while True:
+            try:
+                next(gen)
+            except StopIteration as stop:
+                return bool(stop.value)
+            self.calc_hap_aln_probs()
+            self.calc_log_sample_posteriors()
 
+    def adaptive_steps(self, max_total_haplotypes: int = 1000,
+                       max_flank_haplotypes: int = 4,
+                       min_flank_freq: float = 0.01):
+        """Resumable adaptive-allele loop (stutter mining -> pruning ->
+        flank reassembly; reference seq_stutter_genotyper.cpp:603-671).
+
+        Yields whenever the CURRENT haplotype needs externally computed pool
+        likelihoods: the caller must align `pool_inputs()` against
+        `self.haplotype`, call `set_pool_lls(LL)` and
+        `calc_log_sample_posteriors()`, then resume.  A batched executor
+        services the yields of many loci with one device dispatch.  Returns
+        the genotyping success bool.
+        """
         if self.ref_vcf_alleles is None:
-            if not self.id_and_align_to_stutter_alleles(max_total_haplotypes):
-                return False
-            unused, nb, na = self.get_unused_alleles(False, True)
-            if na:
-                self.remove_alleles(unused)
-            unused, nb, na = self.get_unused_alleles(True, False)
-            if na:
-                self.remove_alleles(unused)
+            # stutter-candidate mining rounds
+            # (reference: seq_stutter_genotyper.cpp:570-601)
+            while True:
+                added = False
+                stutter_seqs: List[List[str]] = []
+                new_total = self.num_alleles
+                for bi, block in enumerate(self.haplotype.blocks):
+                    if block.is_repeat:
+                        seqs = self.get_stutter_candidate_alleles(bi)
+                        added |= bool(seqs)
+                        seqs.sort(key=order_key)
+                        stutter_seqs.append(seqs)
+                        new_total = (new_total // block.num_options()
+                                     * (block.num_options() + len(seqs)))
+                    else:
+                        stutter_seqs.append([])
+                if not added:
+                    break
+                if new_total > max_total_haplotypes:
+                    self.logger.log("Aborting: too many candidate haplotypes "
+                                    f"({new_total})")
+                    return False
+                self.logger.log("Identified additional stutter alleles: "
+                                + str([s for s in stutter_seqs if s]))
+                if self._apply_allele_changes(
+                        [[] for _ in self.haplotype.blocks], stutter_seqs):
+                    yield
+                else:
+                    self.calc_log_sample_posteriors()
+
+            # unused-allele pruning (host-only LL remap)
+            for check_spanned, check_called in ((False, True), (True, False)):
+                unused, nb, na = self.get_unused_alleles(check_spanned,
+                                                         check_called)
+                if na:
+                    if self._apply_allele_changes(
+                            unused, [[] for _ in self.haplotype.blocks]):
+                        yield
+                    else:
+                        self.calc_log_sample_posteriors()
 
         if self.reassemble_flanks:
-            if not self.assemble_flanks(max_total_haplotypes,
-                                        max_flank_haplotypes, min_flank_freq):
+            adds = self._assemble_flank_candidates(
+                max_total_haplotypes, max_flank_haplotypes, min_flank_freq)
+            if adds is None:
                 return False
+            if any(adds):
+                self.logger.log("Realigning to include assembled flanks")
+                if self._apply_allele_changes([[] for _ in adds], adds):
+                    yield
+                else:
+                    self.calc_log_sample_posteriors()
+                if self.ref_vcf_alleles is None:
+                    unused, nb, na = self.get_unused_alleles(False, True)
+                    if na:
+                        if self._apply_allele_changes(
+                                unused, [[] for _ in self.haplotype.blocks]):
+                            yield
+                        else:
+                            self.calc_log_sample_posteriors()
         return True
 
     def recompute_stutter_models(self, max_total_haplotypes=1000,
