@@ -127,6 +127,7 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
 
     aligner = BatchedAligner(opts.dtype, batch_size)
     records: List[Tuple[str, int, str]] = []
+    viz_records: List[Tuple[str, int, int, str]] = []
 
     def emit_record(item):
         g = item.genotyper
@@ -135,6 +136,21 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
             chrom, pos, text, stats = build_vcf_record(
                 g, pipeline.samples, opts.output)
         records.append((chrom, pos, text))
+        if pipeline.viz_writer is not None and stats.viz_data is not None:
+            from ..pipeline.viz import visualize_alignments
+            alns_by_sample = {}
+            for s, entries in enumerate(stats.viz_data):
+                if entries:
+                    one = sorted((a for st, a in entries if st == 0),
+                                 key=lambda a: a.start)
+                    two = sorted((a for st, a in entries if st == 1),
+                                 key=lambda a: a.start)
+                    alns_by_sample[g.sample_names[s]] = one + two
+            html = visualize_alignments(
+                alns_by_sample, stats.sample_gb, item.chrom_seq,
+                item.region.chrom, item.region.start, item.region.stop)
+            viz_records.append((item.region.chrom, item.region.start + 1,
+                                item.region.stop, html))
 
     def advance(item, LL) -> bool:
         """Feed fresh LLs to one locus; True when it needs another batched
@@ -231,6 +247,11 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
         for chrom_, pos, text in sorted(records, key=lambda r: (r[0], r[1])):
             writer.add_vcf_record(chrom_, pos, text)
         writer.close()
+    if pipeline.viz_writer is not None:
+        for chrom_, start, stop, html in sorted(viz_records,
+                                                key=lambda r: (r[0], r[1])):
+            pipeline.viz_writer.add(chrom_, start, stop, html)
+        pipeline.viz_writer.close()
     if opts.stutter_out:
         from ..models.stutter import write_stutter_models
         with open(opts.stutter_out, "w") as fh:

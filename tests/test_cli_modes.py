@@ -312,3 +312,19 @@ def test_batched_mesh_sharded_identical():
     a = [l for l in open(f"{tmp}/seq.vcf") if not l.startswith("#")]
     b = [l for l in open(f"{tmp}/bat.vcf") if not l.startswith("#")]
     assert len(a) == 8 and a == b
+
+
+def test_batch_loci_viz_out(tmp_path):
+    """--batch-loci honours --viz-out (extractable per-locus HTML)."""
+    from hipstr_tpu.utils.simulate import simulate_locus
+    from hipstr_tpu.pipeline.viz import extract_locus_html
+
+    locus = simulate_locus(seed=311, n_samples=3, reads_per_sample=30,
+                           period=3, ref_units=8)
+    out = str(tmp_path)
+    _write_inputs(locus, out)
+    _run_cli(out, ["--str-vcf", f"{out}/out.vcf", "--def-stutter-model",
+                   "--batch-loci", "4", "--viz-out", f"{out}/viz.gz"])
+    html = extract_locus_html(f"{out}/viz.gz", locus.chrom,
+                              locus.region.start + 1)
+    assert html is not None and "SAMPLE000" in html
