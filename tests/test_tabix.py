@@ -81,3 +81,52 @@ def test_tabix_interop_with_htslib(tmp_path):
     theirs = VCFReader(path)
     assert theirs._tbi is not None
     assert len(list(theirs.query("chr1", 1000000, 2000000))) == n_ours
+
+
+def test_snp_vcf_streaming_pipeline(tmp_path):
+    """--snp-vcf given as bgzipped VCF + .tbi goes through the tabix
+    streaming reader and still phases reads end to end."""
+    import subprocess
+    import sys
+    from hipstr_tpu.utils.simulate import simulate_locus, write_phased_snp_vcf
+    from hipstr_tpu.io.bgzf import BgzfWriter
+    from hipstr_tpu.io.tabix import TabixBuilder
+    from tests.test_cli_modes import _write_inputs, REPO
+
+    locus = simulate_locus(seed=77, n_samples=3, reads_per_sample=30,
+                           period=3, ref_units=8, phased_snp_offset=20)
+    out = str(tmp_path)
+    _write_inputs(locus, out)
+    write_phased_snp_vcf(locus, f"{out}/snps.vcf")
+
+    # bgzip + tabix the SNP VCF
+    gz = f"{out}/snps.vcf.gz"
+    w = BgzfWriter(gz)
+    tbi = TabixBuilder()
+    for line in open(f"{out}/snps.vcf"):
+        if line.startswith("#"):
+            w.write(line.encode())
+            continue
+        cols = line.split("\t", 4)
+        beg = int(cols[1]) - 1
+        v0 = w.virtual_offset
+        w.write(line.encode())
+        tbi.add(cols[0], beg, beg + len(cols[3]), v0, w.virtual_offset)
+    w.close()
+    tbi.write(gz + ".tbi")
+
+    from hipstr_tpu.io.vcf_read import VCFReader
+    assert VCFReader(gz)._tbi is not None   # streaming mode engages
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run(
+        [sys.executable, "-m", "hipstr_tpu.cli", "--bams", f"{out}/sim.bam",
+         "--fasta", f"{out}/sim.fa", "--regions", f"{out}/regions.bed",
+         "--str-vcf", f"{out}/out.vcf", "--snp-vcf", gz,
+         "--use-unpaired", "--min-reads", "20", "--def-stutter-model",
+         "--dtype", "float64", "--silent"], check=True, env=env, cwd=REPO)
+    recs = [l for l in open(f"{out}/out.vcf") if not l.startswith("#")]
+    assert len(recs) == 1
+    info = dict(kv.split("=", 1) for kv in recs[0].split("\t")[7].split(";")
+                if "=" in kv)
+    assert int(info["DSNP"]) > 0
