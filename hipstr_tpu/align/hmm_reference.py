@@ -596,49 +596,56 @@ def compute_aln_logprob(fw_hap: HaplotypeInstance,
     Reference: HapAligner::compute_aln_logprob
     (src/SeqAlignment/HapAligner.cpp:163-231).  Returns (LL, max_index).
     """
-    L = len(seq)
     hapsize = fw_hap.cur_size
-    seed_char = seq[seed_base]
+    seed_char_code = ord(seq[seed_base])
 
-    num_seeds = sum(len(bi.seq) for bi in fw_hap.blocks if not bi.is_stutter)
-    seed_log_prior = -math.log(num_seeds)
+    meta = getattr(fw_hap, "_seed_meta", None)
+    if meta is None:
+        # cached per-instance seed metadata: rows that can anchor the seed,
+        # their haplotype characters, and the anchor ordering the reference
+        # iterates (off-hap-left, off-hap-right, then interior rows)
+        mid_rows, mid_chars = [], []
+        hap_index = 1
+        for block_index, bi in enumerate(fw_hap.blocks):
+            if bi.is_stutter:
+                hap_index += len(bi.seq)
+                continue
+            coord = 1 if block_index == 0 else 0
+            end_coord = (len(bi.seq) - 1
+                         if block_index == fw_hap.num_blocks() - 1
+                         else len(bi.seq))
+            while coord < end_coord:
+                mid_rows.append(hap_index)
+                mid_chars.append(ord(bi.seq[coord]))
+                coord += 1
+                hap_index += 1
+        num_seeds = sum(len(bi.seq) for bi in fw_hap.blocks
+                        if not bi.is_stutter)
+        meta = (np.asarray(mid_rows, dtype=np.int64),
+                np.asarray(mid_chars, dtype=np.int64),
+                -math.log(num_seeds),
+                ord(fw_hap.get_first_char()), ord(fw_hap.get_last_char()))
+        fw_hap._seed_meta = meta
+    mid_rows, mid_chars, seed_log_prior, first_code, last_code = meta
 
-    def seed_sc(hap_char: str) -> float:
-        return blc[seed_base] if seed_char == hap_char else blw[seed_base]
-
-    log_probs = []
-    # left flank entirely off-haplotype; seed aligned with hap position 0
-    log_probs.append(seed_log_prior + seed_sc(fw_hap.get_first_char())
-                     + l_prob + r_match[hapsize - 2, -1])
-    max_index = 0
-    max_LL = log_probs[0]
-
-    # right flank entirely off-haplotype; seed aligned with position n-1
-    log_probs.append(seed_log_prior + seed_sc(fw_hap.get_last_char())
-                     + r_prob + l_match[hapsize - 2, -1])
-    if log_probs[1] > max_LL:
+    blc_s = blc[seed_base]
+    blw_s = blw[seed_base]
+    lp0 = (seed_log_prior + (blc_s if seed_char_code == first_code else blw_s)
+           + l_prob + r_match[hapsize - 2, -1])
+    lp1 = (seed_log_prior + (blc_s if seed_char_code == last_code else blw_s)
+           + r_prob + l_match[hapsize - 2, -1])
+    mids = (seed_log_prior
+            + np.where(mid_chars == seed_char_code, blc_s, blw_s)
+            + l_match[mid_rows - 1, -1]
+            + r_match[hapsize - mid_rows - 2, -1])
+    log_probs = np.concatenate([[lp0, lp1], mids])
+    best = int(np.argmax(log_probs))  # first max wins, like the scalar loop
+    if best == 0:
+        max_index = 0
+    elif best == 1:
         max_index = hapsize - 1
-        max_LL = log_probs[1]
-
-    hap_index = 1
-    for block_index, bi in enumerate(fw_hap.blocks):
-        if bi.is_stutter:
-            hap_index += len(bi.seq)
-            continue
-        coord = 1 if block_index == 0 else 0
-        end_coord = (len(bi.seq) - 1 if block_index == fw_hap.num_blocks() - 1
-                     else len(bi.seq))
-        while coord < end_coord:
-            ll = (seed_log_prior + seed_sc(bi.seq[coord])
-                  + l_match[hap_index - 1, -1]
-                  + r_match[hapsize - hap_index - 2, -1])
-            log_probs.append(ll)
-            if ll > max_LL:
-                max_index = hap_index
-                max_LL = ll
-            coord += 1
-            hap_index += 1
-
+    else:
+        max_index = int(mid_rows[best - 2])
     return _lse(log_probs), max_index
 
 
