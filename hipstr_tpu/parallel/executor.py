@@ -252,6 +252,10 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                                                 key=lambda r: (r[0], r[1])):
             pipeline.viz_writer.add(chrom_, start, stop, html)
         pipeline.viz_writer.close()
+    if pipeline.pass_writer is not None:
+        pipeline.pass_writer.close()
+    if pipeline.filt_writer is not None:
+        pipeline.filt_writer.close()
     if opts.stutter_out:
         from ..models.stutter import write_stutter_models
         with open(opts.stutter_out, "w") as fh:
