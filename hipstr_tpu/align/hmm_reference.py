@@ -311,6 +311,49 @@ class HaplotypeInstance:
             tables[block_index] = tbl
         return tbl
 
+    def walk_meta(self):
+        """Flat block metadata for the C traceback walk
+        (native/hmm_kernel.cpp hmm_retrace_walk); built once per instance."""
+        cached = getattr(self, "_walk_meta", None)
+        if cached is not None:
+            return cached
+        nb = self.num_blocks()
+        seqs = [bi.seq.encode("latin1") for bi in self.blocks]
+        bseq_pool = np.frombuffer(b"".join(seqs), np.uint8).copy() \
+            if any(seqs) else np.zeros(1, np.uint8)
+        offs, o = [], 0
+        for s in seqs:
+            offs.append(o)
+            o += len(s)
+        blk_off = np.asarray(offs, np.int32)
+        blk_len = np.asarray([len(s) for s in seqs], np.int32)
+        blk_is_st = np.asarray([1 if bi.is_stutter else 0
+                                for bi in self.blocks], np.uint8)
+        blk_start = np.asarray([b.start for b in self._src.blocks], np.int32)
+        hp, hoffs, ho = [], [], 0
+        for bi_idx, bi in enumerate(self.blocks):
+            hoffs.append(ho)
+            if bi.is_stutter:
+                hp.extend([0] * len(bi.seq))
+            else:
+                hp.extend(self.homop_table(bi_idx))
+            ho += len(bi.seq)
+        homop_pool = np.asarray(hp, np.int32) if hp else np.zeros(1, np.int32)
+        homop_off = np.asarray(hoffs, np.int32)
+        m2m = np.asarray(LOG_MATCH_TO_MATCH, np.float64)
+        m2i = np.asarray(LOG_MATCH_TO_INS, np.float64)
+        m2d = np.asarray(LOG_MATCH_TO_DEL, np.float64)
+        ptr_block = (nb, bseq_pool.ctypes.data, blk_off.ctypes.data,
+                     blk_len.ctypes.data, blk_is_st.ctypes.data,
+                     blk_start.ctypes.data, homop_pool.ctypes.data,
+                     homop_off.ctypes.data)
+        cached = (nb, bseq_pool, blk_off, blk_len, blk_is_st, blk_start,
+                  homop_pool, homop_off, m2m, m2i, m2d,
+                  float(LOG_INS_TO_INS), float(LOG_INS_TO_MATCH),
+                  float(LOG_DEL_TO_DEL), float(LOG_DEL_TO_MATCH), ptr_block)
+        self._walk_meta = cached
+        return cached
+
     def get_first_char(self) -> str:
         return self.blocks[0].seq[0]
 

@@ -69,6 +69,44 @@ def retrace(hap: HaplotypeInstance, read_seq: str, blc: np.ndarray,
     (row, col) is the starting cell (haplotype position, read index);
     matrix_type starts at MATCH.
     """
+    # native C walk (identical semantics; see native/hmm_kernel.cpp)
+    from .. import native as _native
+    if _native.available():
+        res = _native.hmm_retrace_walk_native(
+            np.frombuffer(read_seq.encode("latin1"), dtype=np.uint8),
+            np.ascontiguousarray(blc, dtype=np.float64), hap.walk_meta(),
+            hap.reversed, block_index, base_index, row, col,
+            M, I, D, best_art_size, best_art_pos,
+            MIN_SNP_LOG_PROB_CORRECT, TRACE_LL_TOL)
+        if res is not None:
+            (aln_b, frag_block, frag_end, frag_pool, str_block, str_size,
+             str_end, str_pool, snp_pos, snp_base, indel_pos, indel_size,
+             n_ins, n_del) = res
+            nb = hap.num_blocks()
+            prev = 0
+            for bi_idx, end in zip(frag_block, frag_end):
+                frag = frag_pool[prev:end].tobytes().decode("latin1")
+                prev = end
+                if hap.reversed:
+                    trace.add_flank_data(nb - 1 - int(bi_idx), frag)
+                else:
+                    trace.add_flank_data(int(bi_idx), frag[::-1])
+            prev = 0
+            for bi_idx, size, end in zip(str_block, str_size, str_end):
+                s = str_pool[prev:end].tobytes().decode("latin1")
+                prev = end
+                if hap.reversed:
+                    trace.add_str_data(nb - 1 - int(bi_idx), int(size), s)
+                else:
+                    trace.add_str_data(int(bi_idx), int(size), s[::-1])
+            for pos_, base_ in zip(snp_pos, snp_base):
+                trace.add_flank_snp(int(pos_), chr(int(base_)))
+            for pos_, size_ in zip(indel_pos, indel_size):
+                trace.add_flank_indel((int(pos_), int(size_)))
+            trace.flank_ins_size += n_ins
+            trace.flank_del_size += n_del
+            return aln_b.tobytes().decode("latin1")
+
     MATCH_T, DEL_T, INS_T, NONE_T = 0, 1, 2, -1
     seq_index = seq_len - 1
     matrix_type = MATCH_T

@@ -62,6 +62,21 @@ def _load():
             ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_double,                      # i2i,i2m,d2d,d2m
             vp, vp, vp, vp, vp, vp]                                # outputs
+        vp2 = ctypes.c_void_p
+        lib.hmm_retrace_walk.restype = ctypes.c_int32
+        lib.hmm_retrace_walk.argtypes = (
+            [vp2, ctypes.c_int32, vp2,                       # seq, seg_len, blc
+             ctypes.c_int32, vp2, vp2, vp2, vp2, vp2, vp2, vp2,  # blocks+homop
+             ctypes.c_int32,                                 # reversed
+             ctypes.c_int32, ctypes.c_int32,
+             ctypes.c_int32, ctypes.c_int32,                 # start state
+             vp2, vp2, vp2, ctypes.c_int32,                  # M I D Lcols
+             vp2, vp2,                                       # bas bap
+             vp2, vp2, vp2,                                  # m2m m2i m2d
+             ctypes.c_double, ctypes.c_double,
+             ctypes.c_double, ctypes.c_double,               # i2i i2m d2d d2m
+             ctypes.c_double, ctypes.c_double]               # min_snp, tol
+            + [vp2] * 16)
         for fn in (lib.prefix_match_counts, lib.suffix_match_counts):
             fn.restype = None
             fn.argtypes = [ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
@@ -125,6 +140,71 @@ def hmm_fill_dp_native(seq_codes, blw, blc, meta, match, insert, delete,
     if rc != 0:
         return None
     return out_lp.value
+
+
+def hmm_retrace_walk_native(seq_codes, blc, walk_meta, reversed_flag,
+                            block_index, base_index, row, col,
+                            M, I, D, bas, bap, min_snp_lpc, tol):
+    """C traceback walk; returns the raw event arrays or None.
+
+    walk_meta is HaplotypeInstance.walk_meta(): (n_blocks, bseq_pool,
+    blk_off, blk_len, blk_is_stutter, blk_src_start, homop_pool, homop_off,
+    m2m, m2i, m2d, i2i, i2m, d2d, d2m, ptr_block).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    seg_len = len(seq_codes)
+    n_rows = M.shape[0]
+    cap = n_rows + seg_len + 8
+    aln = np.empty(cap, dtype=np.uint8)
+    aln_len = ctypes.c_int32(0)
+    nb = walk_meta[0]
+    frag_block = np.empty(nb + 2, dtype=np.int32)
+    frag_end = np.empty(nb + 2, dtype=np.int32)
+    n_frags = ctypes.c_int32(0)
+    frag_pool = np.empty(seg_len + 2, dtype=np.uint8)
+    str_block = np.empty(nb + 1, dtype=np.int32)
+    str_size = np.empty(nb + 1, dtype=np.int32)
+    str_end = np.empty(nb + 1, dtype=np.int32)
+    n_str = ctypes.c_int32(0)
+    str_pool = np.empty(seg_len + 2, dtype=np.uint8)
+    snp_pos = np.empty(seg_len + 2, dtype=np.int32)
+    snp_base = np.empty(seg_len + 2, dtype=np.uint8)
+    n_snps = ctypes.c_int32(0)
+    indel_pos = np.empty(cap, dtype=np.int64)
+    indel_size = np.empty(cap, dtype=np.int64)
+    n_indels = ctypes.c_int32(0)
+    flank_ins = ctypes.c_int32(0)
+    flank_del = ctypes.c_int32(0)
+    i2i, i2m, d2d, d2m = walk_meta[11:15]
+    rc = lib.hmm_retrace_walk(
+        seq_codes.ctypes.data, seg_len, blc.ctypes.data,
+        *walk_meta[15],
+        int(reversed_flag), block_index, base_index, row, col,
+        M.ctypes.data, I.ctypes.data, D.ctypes.data, M.shape[1],
+        bas.ctypes.data, bap.ctypes.data,
+        walk_meta[8].ctypes.data, walk_meta[9].ctypes.data,
+        walk_meta[10].ctypes.data, i2i, i2m, d2d, d2m,
+        min_snp_lpc, tol,
+        aln.ctypes.data, ctypes.byref(aln_len),
+        frag_block.ctypes.data, frag_end.ctypes.data, ctypes.byref(n_frags),
+        frag_pool.ctypes.data,
+        str_block.ctypes.data, str_size.ctypes.data, str_end.ctypes.data,
+        ctypes.byref(n_str), str_pool.ctypes.data,
+        snp_pos.ctypes.data, snp_base.ctypes.data, ctypes.byref(n_snps),
+        indel_pos.ctypes.data, indel_size.ctypes.data, ctypes.byref(n_indels),
+        ctypes.byref(flank_ins), ctypes.byref(flank_del))
+    if rc != 0:
+        return None
+    return (aln[:aln_len.value], frag_block[:n_frags.value],
+            frag_end[:n_frags.value], frag_pool,
+            str_block[:n_str.value], str_size[:n_str.value],
+            str_end[:n_str.value], str_pool,
+            snp_pos[:n_snps.value], snp_base[:n_snps.value],
+            indel_pos[:n_indels.value], indel_size[:n_indels.value],
+            int(flank_ins.value), int(flank_del.value))
 
 
 def end_match_counts_native(s1: str, s2: str, lo: int, hi: int,

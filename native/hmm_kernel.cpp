@@ -396,3 +396,229 @@ extern "C" void suffix_match_counts(const char* s1, int32_t n1,
     out[i - lo] = a;
   }
 }
+
+// ---------------------------------------------------------------------------
+// Viterbi-style traceback walk over one segment's DP matrices (semantics of
+// hipstr_tpu/align/retrace.py `retrace`, itself the parity port of reference
+// src/SeqAlignment/HapAligner.cpp:363-571).  Emits the alignment op string
+// plus ordered flank fragments / stutter data / SNP + indel events; the
+// Python wrapper applies orientation fix-ups and fills AlignmentTrace.
+
+extern "C" int32_t hmm_retrace_walk(
+    const uint8_t* seq, int32_t seg_len, const double* blc,
+    int32_t n_blocks, const uint8_t* bseq_pool, const int32_t* blk_off,
+    const int32_t* blk_len, const uint8_t* blk_is_stutter,
+    const int32_t* blk_src_start, const int32_t* homop_pool,
+    const int32_t* homop_off, int32_t reversed_flag,
+    int32_t block_index, int32_t base_index, int32_t row, int32_t col,
+    const double* M, const double* I, const double* D, int32_t Lcols,
+    const int64_t* bas, const int64_t* bap,
+    const double* m2m, const double* m2i, const double* m2d,
+    double i2i, double i2m, double d2d, double d2m,
+    double min_snp_lpc, double tol,
+    uint8_t* aln_out, int32_t* aln_len,
+    int32_t* frag_block, int32_t* frag_end, int32_t* n_frags,
+    uint8_t* frag_pool,
+    int32_t* str_block, int32_t* str_size, int32_t* str_end, int32_t* n_str,
+    uint8_t* str_pool,
+    int32_t* snp_pos, uint8_t* snp_base, int32_t* n_snps,
+    int64_t* indel_pos, int64_t* indel_size, int32_t* n_indels,
+    int32_t* flank_ins, int32_t* flank_del) {
+  const int MATCH_T = 0, DEL_T = 1, INS_T = 2, NONE_T = -1;
+  int seq_index = seg_len - 1;
+  int matrix_type = MATCH_T;
+  int na = 0, nf = 0, ns = 0, nq = 0, ni = 0, fpool = 0, spool = 0;
+  *flank_ins = 0;
+  *flank_del = 0;
+  const bool rev = reversed_flag != 0;
+
+  int n_rows_guess = 0;
+  for (int b = 0; b < n_blocks; ++b) n_rows_guess += blk_len[b];
+  auto Mat = [&](const double* X, int r, int c) -> double {
+    // numpy-style negative-index wrap, for exact parity with the Python walk
+    if (c < 0) c += Lcols;
+    if (r < 0) r += n_rows_guess;
+    return X[(size_t)r * Lcols + c];
+  };
+  // tie-break selectors (fw prefers the LAST of tied options, rev the FIRST;
+  // reference triple_min_index / matching Python fns with TRACE_LL_TOL)
+  auto triple = [&](double v1, double v2, double v3) -> int {
+    if (!rev) {
+      if (v1 > v2 + tol) return (v1 > v3 + tol) ? 0 : 2;
+      return (v2 > v3 + tol) ? 1 : 2;
+    }
+    if (v3 > v2 + tol) return (v3 > v1 + tol) ? 2 : 0;
+    return (v2 > v1 + tol) ? 1 : 0;
+  };
+  auto pair_sel = [&](double v1, double v2) -> int {
+    if (!rev) return (v1 > v2 + tol) ? 0 : 1;
+    return (v2 > v1 + tol) ? 1 : 0;
+  };
+
+  while (block_index >= 0) {
+    const uint8_t* bseq = bseq_pool + blk_off[block_index];
+    int blen = blk_len[block_index];
+    if (blk_is_stutter[block_index]) {
+      long stutter_size = bas[(size_t)block_index * Lcols + seq_index];
+      long art_pos = bap[(size_t)block_index * Lcols + seq_index];
+      // str sequence collected back-to-front
+      int sp_start = spool;
+      int i = 0;
+      long lim1 = std::min((long)seq_index + 1, art_pos);
+      while (i < lim1) {
+        aln_out[na++] = 'M';
+        str_pool[spool++] = seq[seq_index - i];
+        i++;
+      }
+      if (stutter_size < 0) {
+        for (long k = 0; k < -stutter_size; ++k) aln_out[na++] = 'D';
+      } else {
+        long lim2 = std::min((long)seq_index + 1, art_pos + stutter_size);
+        while (i < lim2) {
+          aln_out[na++] = 'I';
+          str_pool[spool++] = seq[seq_index - i];
+          i++;
+        }
+      }
+      long lim3 = std::min((long)blen + stutter_size, (long)seq_index + 1);
+      while (i < lim3) {
+        aln_out[na++] = 'M';
+        str_pool[spool++] = seq[seq_index - i];
+        i++;
+      }
+      str_block[ns] = block_index;
+      str_size[ns] = (int32_t)stutter_size;
+      str_end[ns] = spool;
+      ns++;
+      (void)sp_start;
+      if (blen + stutter_size >= seq_index + 1) {
+        goto done;  // read doesn't span the stutter block
+      }
+      int consumed = blen + (int)stutter_size;
+      seq_index -= consumed;
+      col -= consumed;
+      row -= blen;
+      matrix_type = MATCH_T;
+    } else {
+      int prev_matrix_type = NONE_T;
+      long pos = blk_src_start[block_index]
+               + (rev ? -base_index : base_index);
+      int increment = rev ? 1 : -1;
+      int indel_seq_index = -1;
+      long indel_position = -1;
+      const int32_t* homop_tbl = homop_pool + homop_off[block_index];
+      int frag_start = fpool;
+
+      while (base_index >= 0 && seq_index >= 0) {
+        int homop = homop_tbl[base_index];
+
+        if (matrix_type != prev_matrix_type) {
+          if (prev_matrix_type == DEL_T) {
+            if (rev) {
+              indel_pos[ni] = indel_position;
+              indel_size[ni] = indel_position - pos;
+            } else {
+              indel_pos[ni] = pos + 1;
+              indel_size[ni] = pos - indel_position;
+            }
+            ni++;
+          } else if (prev_matrix_type == INS_T) {
+            indel_pos[ni] = indel_position + (rev ? 0 : 1);
+            indel_size[ni] = indel_seq_index - seq_index;
+            ni++;
+          }
+          if (matrix_type == DEL_T || matrix_type == INS_T) {
+            indel_seq_index = seq_index;
+            indel_position = pos;
+          }
+          prev_matrix_type = matrix_type;
+        }
+
+        if (matrix_type == MATCH_T) {
+          if (bseq[base_index] != seq[seq_index]
+              && blc[seq_index] > min_snp_lpc) {
+            snp_pos[nq] = (int32_t)pos;
+            snp_base[nq] = seq[seq_index];
+            nq++;
+          }
+          frag_pool[fpool++] = seq[seq_index];
+          aln_out[na++] = 'M';
+          seq_index--;
+          base_index--;
+          pos += increment;
+        } else if (matrix_type == DEL_T) {
+          (*flank_del)++;
+          aln_out[na++] = 'D';
+          base_index--;
+          pos += increment;
+        } else {
+          (*flank_ins)++;
+          frag_pool[fpool++] = seq[seq_index];
+          aln_out[na++] = 'I';
+          seq_index--;
+        }
+
+        if (seq_index == -1 || (base_index == -1 && block_index == 0)) {
+          while (seq_index != -1) {
+            aln_out[na++] = 'S';
+            seq_index--;
+          }
+          frag_block[nf] = block_index;
+          frag_end[nf] = fpool;
+          nf++;
+          (void)frag_start;
+          goto done;
+        }
+
+        if (matrix_type == MATCH_T) {
+          int best = triple(Mat(I, row, col - 1) + m2i[homop],
+                            Mat(D, row - 1, col - 1) + m2d[homop],
+                            Mat(M, row - 1, col - 1) + m2m[homop]);
+          if (best == 0) {
+            matrix_type = INS_T;
+            col--;
+          } else if (best == 1) {
+            matrix_type = DEL_T;
+            row--;
+            col--;
+          } else {
+            matrix_type = MATCH_T;
+            row--;
+            col--;
+          }
+        } else if (matrix_type == DEL_T) {
+          int best = pair_sel(Mat(D, row - 1, col) + d2d,
+                              Mat(M, row - 1, col) + d2m);
+          matrix_type = (best == 0) ? DEL_T : MATCH_T;
+          row--;
+        } else {
+          int best = pair_sel(Mat(I, row, col - 1) + i2i,
+                              Mat(M, row - 1, col - 1) + i2m);
+          if (best == 0) {
+            matrix_type = INS_T;
+            col--;
+          } else {
+            matrix_type = MATCH_T;
+            row--;
+            col--;
+          }
+        }
+      }
+
+      frag_block[nf] = block_index;
+      frag_end[nf] = fpool;
+      nf++;
+    }
+    block_index--;
+    if (block_index >= 0) base_index = blk_len[block_index] - 1;
+  }
+
+done:
+  *aln_len = na;
+  *n_frags = nf;
+  *n_str = ns;
+  *n_snps = nq;
+  *n_indels = ni;
+  (void)spool;
+  return 0;
+}

@@ -140,3 +140,52 @@ def test_native_adapter_trim_matches_python():
             assert i5n == at._trim_five_prime_index(read, adapters5)
         finally:
             native.available = real
+
+
+def test_native_retrace_walk_matches_python():
+    """C traceback walk produces identical AlignmentTrace contents."""
+    import numpy as np
+    from tests.test_hmm_kernel import _mk_haplotype, _reads_from_hap
+    from hipstr_tpu.align.retrace import trace_optimal_aln, HapAlignInfo
+    from hipstr_tpu.align.alignment_data import Alignment
+    from hipstr_tpu.models.base_quality import BaseQuality
+    from hipstr_tpu import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    bq = BaseQuality()
+    checks = 0
+    for trial in range(5):
+        period = int(rng.integers(1, 5))
+        units = int(rng.integers(4, 10))
+        hap = _mk_haplotype(rng, period, units, n_rep_alts=2,
+                            n_flank_alts=trial % 2)
+        seqs, quals, seeds = _reads_from_hap(rng, hap, 4, 60)
+        info = HapAlignInfo(hap)
+        for h in range(min(hap.num_combs, 3)):
+            for seq, q, seed in zip(seqs, quals, seeds):
+                blw = np.array([bq.log_prob_error(c) - np.log(3.0)
+                                for c in q])
+                blc = np.array([bq.log_prob_correct(c) for c in q])
+                aln = Alignment(1000, 1000 + len(seq), False, "r", q, seq, "")
+                LL_n, tr_n = trace_optimal_aln(hap, h, aln, seed, blw, blc,
+                                               info)
+                real = native.available
+                native.available = lambda: False
+                try:
+                    LL_p, tr_p = trace_optimal_aln(hap, h, aln, seed, blw,
+                                                   blc, info)
+                finally:
+                    native.available = real
+                checks += 1
+                assert tr_n.hap_aln == tr_p.hap_aln
+                assert tr_n.flank_seqs == tr_p.flank_seqs
+                assert tr_n.flank_indels == tr_p.flank_indels
+                assert tr_n.flank_snps == tr_p.flank_snps
+                assert tr_n._str_data == tr_p._str_data
+                assert (tr_n.flank_ins_size, tr_n.flank_del_size) == \
+                    (tr_p.flank_ins_size, tr_p.flank_del_size)
+                assert abs(LL_n - LL_p) < 1e-9
+    assert checks > 30
