@@ -70,6 +70,10 @@ def _stitch(hap_aln: str, read_aln: str, h_index: int, r_index: int,
             increment: int) -> str:
     """Merge op strings walking in one direction (reference:
     AlignmentTraceback.cpp:7-53)."""
+    from ..native import stitch_ops_native
+    res = stitch_ops_native(hap_aln, read_aln, h_index, r_index, increment)
+    if res is not None:
+        return res
     out = []
     while 0 <= r_index < len(read_aln):
         rc = read_aln[r_index]

@@ -77,6 +77,10 @@ def _load():
              ctypes.c_double, ctypes.c_double,               # i2i i2m d2d d2m
              ctypes.c_double, ctypes.c_double]               # min_snp, tol
             + [vp2] * 16)
+        lib.stitch_ops.restype = ctypes.c_int32
+        lib.stitch_ops.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p]
         for fn in (lib.prefix_match_counts, lib.suffix_match_counts):
             fn.restype = None
             fn.argtypes = [ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
@@ -205,6 +209,22 @@ def hmm_retrace_walk_native(seq_codes, blc, walk_meta, reversed_flag,
             snp_pos[:n_snps.value], snp_base[:n_snps.value],
             indel_pos[:n_indels.value], indel_size[:n_indels.value],
             int(flank_ins.value), int(flank_del.value))
+
+
+def stitch_ops_native(hap_aln: str, read_aln: str, h_index: int,
+                      r_index: int, increment: int):
+    """Op-string merge in C; None when unavailable or on bad op pairs."""
+    lib = _load()
+    if lib is None:
+        return None
+    cap = len(hap_aln) + len(read_aln) + 2
+    out = ctypes.create_string_buffer(cap)
+    n = lib.stitch_ops(hap_aln.encode("latin1"), len(hap_aln),
+                       read_aln.encode("latin1"), len(read_aln),
+                       h_index, r_index, increment, out)
+    if n < 0:
+        return None
+    return out.raw[:n].decode("latin1")
 
 
 def end_match_counts_native(s1: str, s2: str, lo: int, hi: int,

@@ -622,3 +622,52 @@ done:
   (void)spool;
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Merge a read->haplotype op string with a haplotype->reference op string
+// walking in one direction (semantics of align/traceback.py _stitch,
+// reference src/SeqAlignment/AlignmentTraceback.cpp:7-53).  Returns the
+// output length, or -1 on an invalid op pairing.
+
+extern "C" int32_t stitch_ops(const char* hap_aln, int32_t hap_len,
+                              const char* read_aln, int32_t read_len,
+                              int32_t h_index, int32_t r_index,
+                              int32_t increment, char* out) {
+  int n = 0;
+  while (r_index >= 0 && r_index < read_len) {
+    char rc = read_aln[r_index];
+    if (rc == 'S') {
+      out[n++] = 'S';
+      r_index += increment;
+      continue;
+    }
+    if (h_index < 0 || h_index >= hap_len) return -1;
+    char hc = hap_aln[h_index];
+    if (hc == 'D') {
+      if (rc == 'I') {
+        out[n++] = 'M';
+        r_index += increment;
+        h_index += increment;
+      } else {
+        out[n++] = 'D';
+        h_index += increment;
+      }
+    } else if (rc == 'I') {
+      out[n++] = 'I';
+      r_index += increment;
+    } else if (rc == 'D') {
+      if (hc == 'M') out[n++] = 'D';
+      else if (hc != 'I') return -1;
+      r_index += increment;
+      h_index += increment;
+    } else if (rc == 'M') {
+      if (hc != 'M' && hc != 'I') return -1;
+      out[n++] = hc;
+      r_index += increment;
+      h_index += increment;
+    } else {
+      return -1;
+    }
+  }
+  return n;
+}
