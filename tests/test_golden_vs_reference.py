@@ -88,3 +88,69 @@ def test_golden_vcf_comparison(tmp_path):
                     for rx, tx in zip(rv.split("|"), tv.split("|")):
                         assert abs(float(rx) - float(tx)) <= 0.2, \
                             (rf[0], name, rv, tv)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BINARY),
+                    reason="reference binary not built")
+def test_golden_snp_phasing_comparison(tmp_path):
+    """Phased-SNP mode: the reference binary consumes OUR bgzip+tabix SNP
+    VCF; DSNP/PSNP/PQ/PDP and all genotype fields must match."""
+    out = str(tmp_path)
+    subprocess.run([sys.executable,
+                    os.path.join(REPO, "tools/make_golden_data.py"),
+                    out, "--loci", "2", "--samples", "3", "--reads", "40",
+                    "--snp-offset", "25"], check=True)
+    common = ["--use-unpaired", "--min-reads", "20", "--def-stutter-model",
+              "--snp-vcf", f"{out}/snps.vcf.gz"]
+    chroms = sorted({l.split()[0] for l in open(f"{out}/regions.bed")})
+    ref_recs = []
+    for chrom in chroms:
+        subprocess.run(
+            [REF_BINARY, "--bams", f"{out}/sim.bam", "--fasta",
+             f"{out}/sim.fa", "--regions", f"{out}/regions.bed",
+             "--chrom", chrom, "--str-vcf", f"{out}/ref_{chrom}.vcf.gz",
+             "--silent"] + common, check=True)
+        from hipstr_tpu.io.bgzf import BgzfReader
+        text = BgzfReader(f"{out}/ref_{chrom}.vcf.gz").read_all().decode()
+        ref_recs.extend(l for l in text.splitlines() if not l.startswith("#"))
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.cli",
+                    "--bams", f"{out}/sim.bam", "--fasta", f"{out}/sim.fa",
+                    "--regions", f"{out}/regions.bed",
+                    "--str-vcf", f"{out}/tpu.vcf", "--dtype", "float64",
+                    "--silent"] + common, check=True, env=env, cwd=REPO)
+    tpu_recs = [l for l in open(f"{out}/tpu.vcf") if not l.startswith("#")]
+    assert len(ref_recs) == len(tpu_recs) == 2
+
+    int_exact = {"DP", "DSNP", "DSTUTTER", "DFLANKINDEL", "DAB"}
+    str_exact = {"GT", "GB", "ALLREADS", "MALLREADS", "PSNP"}
+    saw_phased = False
+    for rr, tr in zip(sorted(ref_recs), sorted(tpu_recs)):
+        rf, tf = rr.split("\t"), tr.strip().split("\t")
+        assert rf[:5] == tf[:5]
+        fmt = rf[8].split(":")
+        for s in range(9, len(rf)):
+            rp = rf[s].strip().split(":")
+            tp = tf[s].strip().split(":")
+            assert len(rp) == len(tp)
+            for name, rv, tv in zip(fmt, rp, tp):
+                if (rv == ".") != (tv == ".") and name in ("AB", "DAB", "FS"):
+                    # AB/FS are only computed for haplotype-level hets; a
+                    # posterior near-tie (fast-math side) can flip the best
+                    # hap pair between hom/het without changing the genotype
+                    continue
+                if name in str_exact or rv == "." or tv == ".":
+                    assert rv == tv, (rf[0], name, rv, tv)
+                elif name in int_exact:
+                    assert int(rv) == int(tv), (rf[0], name, rv, tv)
+                elif rv != "." and tv != ".":
+                    # GLDIFF compounds per-read fast-math logsumexp error
+                    # across the whole sample; allow a wider band there
+                    band = 0.5 if name == "GLDIFF" else 0.2
+                    for rx, tx in zip(rv.split("|"), tv.split("|")):
+                        assert abs(float(rx) - float(tx)) <= band, \
+                            (rf[0], name, rv, tv)
+                if name == "DSNP" and rv != "." and int(rv) > 0:
+                    saw_phased = True
+    assert saw_phased

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--period", type=int, default=3)
     ap.add_argument("--ref-units", type=int, default=8)
+    ap.add_argument("--snp-offset", type=int, default=0,
+                    help="also simulate a phased het flank SNP this many bp "
+                         "left of each STR and write snps.vcf.gz(+.tbi)")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -35,12 +38,19 @@ def main():
     all_reads = []  # (chrom_index, start, record-args)
     sample_names = None
 
+    snp_lines = []
     for g in range(args.loci):
         locus = simulate_locus(seed=args.seed + g, n_samples=args.samples,
                                reads_per_sample=args.reads,
                                period=args.period, ref_units=args.ref_units,
-                               chrom=f"chrS{g}")
+                               chrom=f"chrS{g}",
+                               phased_snp_offset=args.snp_offset or None)
         sample_names = locus.sample_names
+        if args.snp_offset:
+            snp = locus.snp
+            gt = "\t".join("0|1" for _ in locus.sample_names)
+            snp_lines.append(f"{locus.chrom}\t{snp['pos'] + 1}\t.\t"
+                             f"{snp['ref']}\t{snp['alt']}\t.\t.\t.\tGT\t{gt}")
         contigs.append((locus.chrom, locus.chrom_seq))
         r = locus.region
         bed_lines.append(
@@ -74,6 +84,29 @@ def main():
             tags={"RG": ("Z", f"rg{rd['sample']}")})
         writer.write(rec)
     writer.close()
+    if args.snp_offset:
+        from hipstr_tpu.io.bgzf import BgzfWriter
+        from hipstr_tpu.io.tabix import TabixBuilder
+        gz = os.path.join(args.outdir, "snps.vcf.gz")
+        w = BgzfWriter(gz)
+        tbi = TabixBuilder()
+        header_lines = (["##fileformat=VCFv4.1"]
+                        + [f"##contig=<ID={c},length={len(s)}>"
+                           for c, s in contigs]
+                        + ['##FORMAT=<ID=GT,Number=1,Type=String,'
+                           'Description="Genotype">',
+                           "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+                           "\tFORMAT\t" + "\t".join(sample_names)])
+        w.write(("\n".join(header_lines) + "\n").encode())
+        for line in snp_lines:
+            cols = line.split("\t", 4)
+            beg = int(cols[1]) - 1
+            v0 = w.virtual_offset
+            w.write((line + "\n").encode())
+            tbi.add(cols[0], beg, beg + len(cols[3]), v0, w.virtual_offset)
+        w.close()
+        tbi.write(gz + ".tbi")
+
     print(f"wrote {fasta_path}, {bam_path}(+.bai), regions.bed; "
           f"{len(all_reads)} reads, {args.loci} loci, {args.samples} samples")
 
