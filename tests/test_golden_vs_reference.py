@@ -154,3 +154,54 @@ def test_golden_snp_phasing_comparison(tmp_path):
                 if name == "DSNP" and rv != "." and int(rv) > 0:
                     saw_phased = True
     assert saw_phased
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BINARY),
+                    reason="reference binary not built")
+def test_golden_em_stutter_comparison(tmp_path):
+    """EM-learned stutter mode (no --def-stutter-model): the trained
+    stutter parameters and genotypes must match the reference."""
+    out = str(tmp_path)
+    subprocess.run([sys.executable,
+                    os.path.join(REPO, "tools/make_golden_data.py"),
+                    out, "--loci", "2", "--samples", "8", "--reads", "40"],
+                   check=True)
+    common = ["--use-unpaired", "--min-reads", "20"]
+    chroms = sorted({l.split()[0] for l in open(f"{out}/regions.bed")})
+    ref_recs = []
+    for chrom in chroms:
+        subprocess.run(
+            [REF_BINARY, "--bams", f"{out}/sim.bam", "--fasta",
+             f"{out}/sim.fa", "--regions", f"{out}/regions.bed",
+             "--chrom", chrom, "--str-vcf", f"{out}/ref_{chrom}.vcf.gz",
+             "--silent"] + common, check=True)
+        from hipstr_tpu.io.bgzf import BgzfReader
+        text = BgzfReader(f"{out}/ref_{chrom}.vcf.gz").read_all().decode()
+        ref_recs.extend(l for l in text.splitlines() if not l.startswith("#"))
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.cli",
+                    "--bams", f"{out}/sim.bam", "--fasta", f"{out}/sim.fa",
+                    "--regions", f"{out}/regions.bed",
+                    "--str-vcf", f"{out}/tpu.vcf", "--dtype", "float64",
+                    "--silent"] + common, check=True, env=env, cwd=REPO)
+    tpu_recs = [l for l in open(f"{out}/tpu.vcf") if not l.startswith("#")]
+    assert len(ref_recs) == len(tpu_recs) == 2
+
+    stutter_keys = ("INFRAME_PGEOM", "INFRAME_UP", "INFRAME_DOWN",
+                    "OUTFRAME_PGEOM", "OUTFRAME_UP", "OUTFRAME_DOWN")
+    for rr, tr in zip(sorted(ref_recs), sorted(tpu_recs)):
+        rf, tf = rr.split("\t"), tr.strip().split("\t")
+        assert rf[:5] == tf[:5]
+        ri = dict(kv.split("=", 1) for kv in rf[7].split(";") if "=" in kv)
+        ti = dict(kv.split("=", 1) for kv in tf[7].split(";") if "=" in kv)
+        for k in stutter_keys:
+            assert abs(float(ri[k]) - float(ti[k])) <= 0.011, (k, ri[k], ti[k])
+        fmt = rf[8].split(":")
+        gt_idx, gb_idx = fmt.index("GT"), fmt.index("GB")
+        for s in range(9, len(rf)):
+            rp = rf[s].strip().split(":")
+            tp = tf[s].strip().split(":")
+            if len(rp) > 1 and len(tp) > 1:
+                assert rp[gt_idx] == tp[gt_idx]
+                assert rp[gb_idx] == tp[gb_idx]
