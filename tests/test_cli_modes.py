@@ -328,3 +328,49 @@ def test_batch_loci_viz_out(tmp_path):
     html = extract_locus_html(f"{out}/viz.gz", locus.chrom,
                               locus.region.start + 1)
     assert html is not None and "SAMPLE000" in html
+
+
+def test_workers_merge_identical(tmp_path):
+    """--workers N shards loci across processes and merges; output equals a
+    single-process run."""
+    from hipstr_tpu.utils.simulate import simulate_locus
+    from hipstr_tpu.io.bam import BamRecord, BamWriter
+    from hipstr_tpu.io.fasta import write_fasta
+
+    out = str(tmp_path)
+    locs = [simulate_locus(seed=900 + i, n_samples=3, reads_per_sample=25,
+                           period=3, ref_units=8, chrom=f"chrB{i}")
+            for i in range(6)]
+    write_fasta(f"{out}/sim.fa", [(l.chrom, l.chrom_seq) for l in locs])
+    with open(f"{out}/regions.bed", "w") as fh:
+        for l in locs:
+            r = l.region
+            fh.write(f"{r.chrom}\t{r.start + 1}\t{r.stop}\t{r.period}\t8.0\tX\n")
+    hdr = ("@HD\tVN:1.6\tSO:coordinate\n"
+           + "".join(f"@SQ\tSN:{l.chrom}\tLN:{len(l.chrom_seq)}\n"
+                     for l in locs)
+           + "".join(f"@RG\tID:rg{n}\tSM:{n}\tLB:lib{n}\n"
+                     for n in locs[0].sample_names))
+    w = BamWriter(f"{out}/sim.bam", [l.chrom for l in locs],
+                  [len(l.chrom_seq) for l in locs], hdr)
+    ref_ids = {l.chrom: i for i, l in enumerate(locs)}
+    recs = []
+    for l in locs:
+        for rd in l.raw_reads:
+            recs.append(BamRecord(
+                name=f"{l.chrom}_{rd['name']}", flag=0x10 if rd["rev"] else 0,
+                ref_id=ref_ids[l.chrom], pos=rd["start"], mapq=60,
+                cigar=[(len(rd["seq"]), "M")], mate_ref_id=-1, mate_pos=-1,
+                tlen=0, seq=rd["seq"], qual=rd["quals"],
+                tags={"RG": ("Z", f"rg{rd['sample']}")}))
+    recs.sort(key=lambda r: (r.ref_id, r.pos))
+    for r in recs:
+        w.write(r)
+    w.close()
+
+    _run_cli(out, ["--str-vcf", f"{out}/one.vcf", "--def-stutter-model"])
+    _run_cli(out, ["--str-vcf", f"{out}/two.vcf", "--def-stutter-model",
+                   "--workers", "2"])
+    a = _records(f"{out}/one.vcf")
+    b = _records(f"{out}/two.vcf")
+    assert len(a) == 6 and a == b
