@@ -189,9 +189,24 @@ def segment_forward(seg: SegmentInputs, meta: HapMeta, R: int, period: int,
     D = jnp.full((P, H, L), IMPOSSIBLE, dtype)
     pieces = [col(M)[None]]
 
+    import os
+    use_pallas = os.environ.get("HIPSTR_TPU_PALLAS", "") not in ("", "0")
+    pallas_interpret = os.environ.get("HIPSTR_TPU_PALLAS_INTERPRET",
+                                      "") not in ("", "0")
+
     def scan_rows(M, I, D, lo, hi):
         if hi <= lo:
             return (M, I, D), None
+        if use_pallas:
+            # fused Mosaic kernel: state stays in VMEM across all rows
+            from .pallas_hmm import flank_scan_pallas
+            Mn, In, Dn, Mcol_rows = flank_scan_pallas(
+                seg.codes, blw, blc, C, Csh, seg.last_col,
+                meta.row_char[:, lo:hi].T, meta.row_m2m[:, lo:hi].T,
+                meta.row_m2i[:, lo:hi].T, meta.row_m2d[:, lo:hi].T,
+                meta.row_active[lo:hi], M, I, D, dtype=dtype,
+                interpret=pallas_interpret)
+            return (Mn, In, Dn), Mcol_rows
 
         def body(carry, xs):
             M, I, D = carry
