@@ -205,3 +205,59 @@ def test_golden_em_stutter_comparison(tmp_path):
             if len(rp) > 1 and len(tp) > 1:
                 assert rp[gt_idx] == tp[gt_idx]
                 assert rp[gb_idx] == tp[gb_idx]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BINARY),
+                    reason="reference binary not built")
+def test_golden_10x_hp_tags_comparison(tmp_path):
+    """--10x-bams mode: HP-tag phasing matches the reference."""
+    out = str(tmp_path)
+    subprocess.run([sys.executable,
+                    os.path.join(REPO, "tools/make_golden_data.py"),
+                    out, "--loci", "2", "--samples", "3", "--reads", "40",
+                    "--hp-tags"], check=True)
+    common = ["--use-unpaired", "--min-reads", "20", "--def-stutter-model",
+              "--10x-bams"]
+    chroms = sorted({l.split()[0] for l in open(f"{out}/regions.bed")})
+    ref_recs = []
+    for chrom in chroms:
+        subprocess.run(
+            [REF_BINARY, "--bams", f"{out}/sim.bam", "--fasta",
+             f"{out}/sim.fa", "--regions", f"{out}/regions.bed",
+             "--chrom", chrom, "--str-vcf", f"{out}/ref_{chrom}.vcf.gz",
+             "--silent"] + common, check=True)
+        from hipstr_tpu.io.bgzf import BgzfReader
+        text = BgzfReader(f"{out}/ref_{chrom}.vcf.gz").read_all().decode()
+        ref_recs.extend(l for l in text.splitlines() if not l.startswith("#"))
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.cli",
+                    "--bams", f"{out}/sim.bam", "--fasta", f"{out}/sim.fa",
+                    "--regions", f"{out}/regions.bed",
+                    "--str-vcf", f"{out}/tpu.vcf", "--dtype", "float64",
+                    "--silent"] + common, check=True, env=env, cwd=REPO)
+    tpu_recs = [l for l in open(f"{out}/tpu.vcf") if not l.startswith("#")]
+    assert len(ref_recs) == len(tpu_recs) == 2
+
+    int_exact = {"DP", "DSNP", "DSTUTTER", "DFLANKINDEL", "DAB"}
+    str_exact = {"GT", "GB", "ALLREADS", "MALLREADS", "PSNP"}
+    for rr, tr in zip(sorted(ref_recs), sorted(tpu_recs)):
+        rf, tf = rr.split("\t"), tr.strip().split("\t")
+        assert rf[:5] == tf[:5]
+        fmt = rf[8].split(":")
+        for s in range(9, len(rf)):
+            rp = rf[s].strip().split(":")
+            tp = tf[s].strip().split(":")
+            assert len(rp) == len(tp)
+            for name, rv, tv in zip(fmt, rp, tp):
+                if (rv == ".") != (tv == ".") and name in ("AB", "DAB", "FS"):
+                    continue
+                if name in str_exact or rv == "." or tv == ".":
+                    assert rv == tv, (rf[0], name, rv, tv)
+                elif name in int_exact:
+                    assert int(rv) == int(tv), (rf[0], name, rv, tv)
+                else:
+                    band = 0.5 if name == "GLDIFF" else 0.2
+                    for rx, tx in zip(rv.split("|"), tv.split("|")):
+                        assert abs(float(rx) - float(tx)) <= band, \
+                            (rf[0], name, rv, tv)

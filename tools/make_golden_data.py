@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--snp-offset", type=int, default=0,
                     help="also simulate a phased het flank SNP this many bp "
                          "left of each STR and write snps.vcf.gz(+.tbi)")
+    ap.add_argument("--hp-tags", action="store_true",
+                    help="tag every read with its haplotype of origin "
+                         "(HP:i:1/2, the 10x Genomics convention)")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -77,11 +80,13 @@ def main():
     all_reads.sort(key=lambda t: (t[0], t[2]["start"]))
     for g, chrom, rd in all_reads:
         flag = 0x10 if rd["rev"] else 0
+        tags = {"RG": ("Z", f"rg{rd['sample']}")}
+        if args.hp_tags:
+            tags["HP"] = ("i", rd["hap"])
         rec = BamRecord(
             name=rd["name"], flag=flag, ref_id=g, pos=rd["start"], mapq=60,
             cigar=[(len(rd["seq"]), "M")], mate_ref_id=-1, mate_pos=-1,
-            tlen=0, seq=rd["seq"], qual=rd["quals"],
-            tags={"RG": ("Z", f"rg{rd['sample']}")})
+            tlen=0, seq=rd["seq"], qual=rd["quals"], tags=tags)
         writer.write(rec)
     writer.close()
     if args.snp_offset:
