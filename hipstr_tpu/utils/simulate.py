@@ -77,7 +77,9 @@ def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25
     if stutter is None:
         stutter = StutterModel(0.9, 0.05, 0.08, 0.9, 0.01, 0.01, period)
     motif = _rand_seq(rng, period)
-    while len(set(motif)) == 1:  # avoid homopolymer motifs for clean flanks
+    # avoid accidental homopolymer motifs for multi-base periods (period-1
+    # loci are homopolymers by definition and exercise that code path)
+    while period > 1 and len(set(motif)) == 1:
         motif = _rand_seq(rng, period)
     if allele_units is None:
         allele_units = [ref_units - 2, ref_units - 1, ref_units, ref_units + 1]

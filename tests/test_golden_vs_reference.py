@@ -261,3 +261,53 @@ def test_golden_10x_hp_tags_comparison(tmp_path):
                     for rx, tx in zip(rv.split("|"), tv.split("|")):
                         assert abs(float(rx) - float(tx)) <= band, \
                             (rf[0], name, rv, tv)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BINARY),
+                    reason="reference binary not built")
+@pytest.mark.parametrize("period", [1, 4])
+def test_golden_other_periods(tmp_path, period):
+    """Period-1 (homopolymer) and period-4 loci: genotype fields match the
+    reference exactly (exercises the homopolymer transition tables and the
+    HapBlock homopolymer-length carry quirk)."""
+    out = str(tmp_path)
+    subprocess.run([sys.executable,
+                    os.path.join(REPO, "tools/make_golden_data.py"),
+                    out, "--loci", "2", "--samples", "3", "--reads", "40",
+                    "--period", str(period), "--ref-units", "10"],
+                   check=True)
+    common = ["--use-unpaired", "--min-reads", "20", "--def-stutter-model"]
+    chroms = sorted({l.split()[0] for l in open(f"{out}/regions.bed")})
+    ref_recs = []
+    for chrom in chroms:
+        subprocess.run(
+            [REF_BINARY, "--bams", f"{out}/sim.bam", "--fasta",
+             f"{out}/sim.fa", "--regions", f"{out}/regions.bed",
+             "--chrom", chrom, "--str-vcf", f"{out}/ref_{chrom}.vcf.gz",
+             "--silent"] + common, check=True)
+        from hipstr_tpu.io.bgzf import BgzfReader
+        text = BgzfReader(f"{out}/ref_{chrom}.vcf.gz").read_all().decode()
+        ref_recs.extend(l for l in text.splitlines() if not l.startswith("#"))
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.cli",
+                    "--bams", f"{out}/sim.bam", "--fasta", f"{out}/sim.fa",
+                    "--regions", f"{out}/regions.bed",
+                    "--str-vcf", f"{out}/tpu.vcf", "--dtype", "float64",
+                    "--silent"] + common, check=True, env=env, cwd=REPO)
+    tpu_recs = [l for l in open(f"{out}/tpu.vcf") if not l.startswith("#")]
+    assert len(ref_recs) == len(tpu_recs) > 0
+
+    hard = {"GT", "GB", "DP", "DSTUTTER", "DFLANKINDEL", "ALLREADS",
+            "MALLREADS"}
+    for rr, tr in zip(sorted(ref_recs), sorted(tpu_recs)):
+        rf, tf = rr.split("\t"), tr.strip().split("\t")
+        assert rf[:5] == tf[:5]
+        fmt = rf[8].split(":")
+        for s in range(9, len(rf)):
+            rp = rf[s].strip().split(":")
+            tp = tf[s].strip().split(":")
+            assert len(rp) == len(tp)
+            for name, rv, tv in zip(fmt, rp, tp):
+                if name in hard:
+                    assert rv == tv, (period, rf[0], name, rv, tv)
