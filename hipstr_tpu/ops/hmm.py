@@ -160,6 +160,16 @@ def segment_forward(seg: SegmentInputs, meta: HapMeta, R: int, period: int,
     seg_logsum is the all-bases-soft-clipped probability (the reference's
     `left_prob`, HapAligner.cpp:34-42).
     """
+    import os
+    use_pallas = os.environ.get("HIPSTR_TPU_PALLAS", "") not in ("", "0")
+    pallas_interpret = os.environ.get("HIPSTR_TPU_PALLAS_INTERPRET",
+                                      "") not in ("", "0")
+    # "fused" runs the whole segment (incl. the stutter row) in one Mosaic
+    # program; "flank" keeps the stutter row in XLA and fuses only the
+    # flank-row scans (measured faster: XLA's gathers beat the masked-
+    # accumulation entry select on the repeat row)
+    pallas_mode = os.environ.get("HIPSTR_TPU_PALLAS_MODE", "flank")
+
     P, L = seg.codes.shape
     H = meta.row_char.shape[0]
     blc = seg.blc.astype(dtype)
@@ -182,6 +192,17 @@ def segment_forward(seg: SegmentInputs, meta: HapMeta, R: int, period: int,
     E = per_pool(seg.codes, blw, blc,
                  meta.rep_rev_codes, meta.rep_len).astype(dtype)
 
+    if use_pallas and pallas_mode == "fused":
+        # fully fused Mosaic program: row 0 + flank rows + stutter row +
+        # forced-match row in one kernel, state resident in VMEM throughout
+        from .pallas_hmm import segment_scan_pallas
+        Mcol = segment_scan_pallas(
+            seg.codes, blw, blc, C, Csh, seg.last_col, meta, E,
+            R, sr, period, dtype=dtype, interpret=pallas_interpret)
+        seg_logsum = jnp.take_along_axis(C, seg.last_col[:, None],
+                                         axis=-1)[:, 0]
+        return Mcol, seg_logsum
+
     # row 0: leftmost haplotype char; preceding read bases soft-clip at blc
     emit0 = _emit(seg.codes, meta.row_char[:, 0], blc, blw)
     M = emit0 + Csh[:, None, :]
@@ -189,16 +210,12 @@ def segment_forward(seg: SegmentInputs, meta: HapMeta, R: int, period: int,
     D = jnp.full((P, H, L), IMPOSSIBLE, dtype)
     pieces = [col(M)[None]]
 
-    import os
-    use_pallas = os.environ.get("HIPSTR_TPU_PALLAS", "") not in ("", "0")
-    pallas_interpret = os.environ.get("HIPSTR_TPU_PALLAS_INTERPRET",
-                                      "") not in ("", "0")
-
     def scan_rows(M, I, D, lo, hi):
         if hi <= lo:
             return (M, I, D), None
         if use_pallas:
-            # fused Mosaic kernel: state stays in VMEM across all rows
+            # fused Mosaic kernel for the flank rows only; the stutter row
+            # stays in XLA
             from .pallas_hmm import flank_scan_pallas
             Mn, In, Dn, Mcol_rows = flank_scan_pallas(
                 seg.codes, blw, blc, C, Csh, seg.last_col,

@@ -110,6 +110,191 @@ def _scan_kernel(codes_ref, blw_ref, blc_ref, C_ref, Csh_ref, onehot_ref,
     Dout_ref[0] = D_s[:]
 
 
+IMPOSSIBLE = -1000000000.0
+
+
+def _flank_step(M, I, D, emit, C, Csh, jj, m2m, m2i, m2d):
+    D_new = jnp.maximum(M + LOG_DEL_TO_MATCH, D + LOG_DEL_TO_DEL)
+    A = _shift_right_lanes(M + LOG_INS_TO_MATCH, 0.0)
+    F = A - Csh[None, :] - jj * LOG_INS_TO_INS
+    I_new = C[None, :] + jj * LOG_INS_TO_INS + _cummax_lanes(F)
+    Msh = _shift_right_lanes(M, NEG)
+    Dsh = _shift_right_lanes(D, NEG)
+    Ish = _shift_right_lanes(I_new, NEG)
+    T = jnp.maximum(Ish + m2i, jnp.maximum(Msh + m2m, Dsh + m2d))
+    ids0 = jax.lax.broadcasted_iota(jnp.int32, T.shape, 1)
+    T = jnp.where(ids0 == 0, 0.0, T)
+    return emit + T, I_new, D_new
+
+
+def _segment_kernel(codes_ref, blw_ref, blc_ref, C_ref, Csh_ref, onehot_ref,
+                    chars_ref, m2m_ref, m2i_ref, m2d_ref, active_ref,
+                    E_ref, lpmf_ref, opt1h_ref, shifts_ref,
+                    Mcol_ref, M_s, I_s, D_s, mx_s, sm_s,
+                    *, R, sr, n_opts, n_art, dtype):
+    codes = codes_ref[0, 0]
+    blw = blw_ref[0, 0]
+    blc = blc_ref[0, 0]
+    C = C_ref[0, 0]
+    Csh = Csh_ref[0, 0]
+    onehot = onehot_ref[0, 0]
+    H, L = M_s.shape
+    jj = jax.lax.broadcasted_iota(jnp.int32, (H, L), 1).astype(dtype)
+
+    def emit_for(char):
+        return jnp.where(codes[None, :] == char[:, None],
+                         blc[None, :], blw[None, :])
+
+    def write_col(r):
+        Mcol_ref[0, r, :] = jnp.sum(M_s[:] * onehot[None, :], axis=-1)
+
+    def flank_row(r, carry=0):
+        M, I, D = M_s[:], I_s[:], D_s[:]
+        Mn, In, Dn = _flank_step(
+            M, I, D, emit_for(chars_ref[r, :]), C, Csh, jj,
+            m2m_ref[r, :][:, None], m2i_ref[r, :][:, None],
+            m2d_ref[r, :][:, None])
+        active = active_ref[r, 0] != 0
+        M_s[:] = jnp.where(active, Mn, M)
+        I_s[:] = jnp.where(active, In, I)
+        D_s[:] = jnp.where(active, Dn, D)
+        write_col(r)
+        return 0
+
+    # row 0
+    M_s[:] = emit_for(chars_ref[0, :]) + Csh[None, :]
+    I_s[:] = jnp.broadcast_to(C[None, :], (H, L)).astype(dtype)
+    D_s[:] = jnp.full((H, L), IMPOSSIBLE, dtype)
+    write_col(0)
+
+    # phase 1: flank rows 1..sr-1
+    if sr > 1:
+        jax.lax.fori_loop(1, sr, flank_row, 0)
+
+    # stutter row: online logsumexp over artifact sizes; entry values come
+    # from the previous match row shifted by (rep_len[opt] + artifact)
+    Mprev = M_s[:]
+    mx_s[:] = jnp.full((H, L), NEG, dtype)
+    sm_s[:] = jnp.zeros((H, L), dtype)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (H, L), 1)
+    for d in range(n_art):
+        # emission row select + entry shift, both as exact masked
+        # accumulations over options (the MXU one-hot matmul rounds E
+        # through bf16 on v5e, which is not bit-exact)
+        opt_cols = jax.lax.broadcasted_iota(jnp.int32, opt1h_ref.shape, 1)
+
+        def acc_entry(o, acc):
+            # right-shift Mprev by the (dynamic) entry offset with zero
+            # fill, via binary decomposition of the shift — Mosaic's
+            # dynamic rotate requires 128-aligned lanes, static rolls don't.
+            # Negative offsets only occur for artifacts whose lpmf is
+            # IMPOSSIBLE (deletion longer than the block), where the entry
+            # value is irrelevant after the clamp below.
+            s = jnp.clip(shifts_ref[d, o], 0, L)
+            rolled = Mprev
+            k = 1
+            while k < L:
+                cand = jnp.where(ids >= k, jnp.roll(rolled, k, axis=1), 0.0)
+                rolled = jnp.where((s & k) != 0, cand, rolled)
+                k *= 2
+            # entry valid iff j - shift >= 0 (the XLA path's entry_ok);
+            # s >= L (shift past the segment) zeroes everything
+            rolled = jnp.where(ids >= s, rolled, 0.0)
+            # dynamic lane select via masked reduction (Mosaic has no
+            # dynamic lane indexing): sel[h] = opt1h[h, o]
+            sel = jnp.sum(jnp.where(opt_cols == o, opt1h_ref[:], 0.0),
+                          axis=1)
+            E_row = E_ref[0, d, o]            # [L], dynamic sublane index
+            return acc + sel[:, None] * (rolled + E_row[None, :])
+
+        entryE = jax.lax.fori_loop(0, n_opts, acc_entry,
+                                   jnp.zeros((H, L), dtype))
+        val = lpmf_ref[d, :][:, None] + entryE
+        val = jnp.maximum(val, IMPOSSIBLE)
+        new_max = jnp.maximum(mx_s[:], val)
+        sm_s[:] = (sm_s[:] * jnp.exp(mx_s[:] - new_max)
+                   + jnp.exp(val - new_max))
+        mx_s[:] = new_max
+    M_s[:] = mx_s[:] + jnp.log(sm_s[:])
+    I_s[:] = jnp.full((H, L), IMPOSSIBLE, dtype)
+    D_s[:] = jnp.full((H, L), IMPOSSIBLE, dtype)
+    write_col(sr)
+
+    # forced-match row after the repeat block
+    if sr + 1 < R:
+        T = _shift_right_lanes(M_s[:], NEG)
+        ids0 = jax.lax.broadcasted_iota(jnp.int32, T.shape, 1)
+        T = jnp.where(ids0 == 0, 0.0, T)
+        M_s[:] = emit_for(chars_ref[sr + 1, :]) + T
+        write_col(sr + 1)
+
+    # phase 3: remaining flank rows
+    if sr + 2 < R:
+        jax.lax.fori_loop(sr + 2, R, flank_row, 0)
+
+
+def segment_scan_pallas(codes, blw, blc, C, Csh, last_col, meta, E,
+                        R, sr, period, dtype=jnp.float32, interpret=False):
+    """Full segment forward pass in one Mosaic program.
+
+    E: [P, O, L, nD] dense stutter emissions (XLA-computed).  Returns
+    Mcol [R, P, H] — the per-row last-valid-column match values, the only
+    quantities the seed combination consumes.
+    """
+    P, L = codes.shape
+    H = meta.row_char.shape[0]
+    n_opts = meta.rep_len.shape[0]
+    n_art = meta.lpmf.shape[1]
+    onehot = (jnp.arange(L)[None, :] == last_col[:, None]).astype(dtype)
+    active2d = meta.row_active.astype(jnp.int32)[:, None]
+    lpmf_h = meta.lpmf[meta.hap_opt].T.astype(dtype)            # [nD, H]
+    opt1h = (meta.hap_opt[:, None]
+             == jnp.arange(n_opts)[None, :]).astype(dtype)        # [H, O]
+    # artifact size d is max_deletion + d*period (RepeatStutterInfo bounds);
+    # the entry offset for (artifact, option) is rep_len[o] + D_d
+    D_sizes = (jnp.arange(n_art, dtype=jnp.int32)
+               - (n_art - 1) // 2) * period
+    shifts = (meta.rep_len[None, :].astype(jnp.int32)
+              + D_sizes[:, None])                                # [nD, O]
+
+    pool3 = lambda x: x[:, None, :]
+    E_t = jnp.moveaxis(E, -1, 1).astype(dtype)                   # [P,nD,O,L]
+
+    grid = (P,)
+    kernel = functools.partial(_segment_kernel, R=R, sr=sr, n_opts=n_opts,
+                               n_art=n_art, dtype=dtype)
+    pool_spec = pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((R, H), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    Mcol = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pool_spec, pool_spec, pool_spec, pool_spec, pool_spec,
+                  pool_spec,
+                  row_spec, row_spec, row_spec, row_spec,
+                  pl.BlockSpec((R, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, n_art, n_opts, L), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((n_art, H), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((H, n_opts), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, R, H), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, R, H), dtype),
+        scratch_shapes=[pltpu.VMEM((H, L), dtype)] * 5,
+        interpret=interpret,
+    )(pool3(codes), pool3(blw), pool3(blc), pool3(C), pool3(Csh),
+      pool3(onehot),
+      meta.row_char.T, meta.row_m2m.T.astype(dtype),
+      meta.row_m2i.T.astype(dtype), meta.row_m2d.T.astype(dtype),
+      active2d, E_t, lpmf_h, opt1h, shifts)
+    return jnp.moveaxis(Mcol, 0, 1)
+
+
 def flank_scan_pallas(codes, blw, blc, C, Csh, last_col,
                       row_char, row_m2m, row_m2i, row_m2d, row_active,
                       M, I, D, dtype=jnp.float32, interpret=False):

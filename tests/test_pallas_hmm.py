@@ -11,8 +11,13 @@ import numpy as np
 import pytest
 
 
-def test_pallas_flank_scan_matches_scan_path(monkeypatch):
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["flank", "fused"])
+def test_pallas_flank_scan_matches_scan_path(monkeypatch, mode):
     monkeypatch.setenv("HIPSTR_TPU_PALLAS", "1")
+    monkeypatch.setenv("HIPSTR_TPU_PALLAS_MODE", mode)
     monkeypatch.setenv("HIPSTR_TPU_PALLAS_INTERPRET", "1")
     from tests.test_hmm_kernel import _mk_haplotype, _reads_from_hap
     import hipstr_tpu.pipeline.hap_aligner as ha
@@ -31,4 +36,5 @@ def test_pallas_flank_scan_matches_scan_path(monkeypatch):
             hap, seqs, quals, seeds, dtype="float64"))
     finally:
         ha._jitted.cache_clear()
-    assert np.max(np.abs(LL_pallas - LL_scan)) < 1e-9
+    tol = 1e-9 if mode == "flank" else 1e-8
+    assert np.max(np.abs(LL_pallas - LL_scan)) < tol
