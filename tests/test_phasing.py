@@ -240,3 +240,49 @@ def test_locus_sharding_partitions_work(tmp_path):
     merged = sorted(recs(f"{out}/shard0.vcf") + recs(f"{out}/shard1.vcf"))
     assert merged == recs(f"{out}/all.vcf")
     assert recs(f"{out}/shard0.vcf") and recs(f"{out}/shard1.vcf")
+
+
+def test_phasing_checker_cli(tmp_path):
+    """phasing_checker: per-region family SNP edit distances with verdicts
+    (reference: src/check_phasing.cpp)."""
+    import gzip
+    import random
+
+    out = str(tmp_path)
+    samples = ["MOM", "DAD", "KID"]
+    rng = random.Random(3)
+    lines = ["##fileformat=VCFv4.1",
+             "##contig=<ID=chr1,length=10000000>",
+             '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">',
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+             + "\t".join(samples)]
+    pos = 1000
+    for _ in range(300):
+        pos += rng.randint(100, 2000)
+        mom = (rng.randint(0, 1), rng.randint(0, 1))
+        dad = (rng.randint(0, 1), rng.randint(0, 1))
+        kid = (mom[0], dad[0])   # child inherits mat hap 1 / pat hap 1
+        gts = "\t".join(f"{a}|{b}" for a, b in (mom, dad, kid))
+        lines.append(f"chr1\t{pos}\t.\tA\tC\t.\t.\t.\tGT\t{gts}")
+    with open(f"{out}/snps.vcf", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    with open(f"{out}/trio.fam", "w") as fh:
+        fh.write("FAM1\tKID\tDAD\tMOM\t0\t0\n")
+    with open(f"{out}/regions.bed", "w") as fh:
+        fh.write("chr1\t200000\t200020\t4\t5.0\tX\n")
+        fh.write("chr1\t400000\t400020\t4\t5.0\tY\n")
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.phasing_checker",
+                    "--fam", f"{out}/trio.fam", "--snp-vcf", f"{out}/snps.vcf",
+                    "--regions", f"{out}/regions.bed",
+                    "--out", f"{out}/dists.gz"], check=True, env=env,
+                   cwd=REPO)
+    from hipstr_tpu.io.bgzf import BgzfReader
+    text = BgzfReader(f"{out}/dists.gz").read_all().decode()
+    rows = text.strip().splitlines()
+    assert rows[0].startswith("#CHROM") and "KID" in rows[0]
+    assert len(rows) == 3
+    # the child follows (mat hap 1, pat hap 1) perfectly -> distance 0
+    for row in rows[1:]:
+        assert "\t0," in row or ":0" in row or "\t0" in row, row
