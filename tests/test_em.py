@@ -88,3 +88,34 @@ def test_em_haploid():
     # off-diagonal genotypes impossible for haploid
     off = post[:, ~np.eye(post.shape[1], dtype=bool)]
     assert np.all(off < -100)
+
+
+def test_em_parameter_sweep():
+    """Scaled-down version of the reference's EM simulation sweep
+    (reference: test/run_stutter_em_tests.sh — {100,250,500} samples x
+    stutter-param grid x 25 reps): EM must recover the generating stutter
+    probabilities across a parameter grid."""
+    rng = np.random.default_rng(7)
+    period = 3
+    allele_pool = np.array([18, 21, 24, 27])
+    freqs = np.ones(4) / 4
+    n_fail = n_total = 0
+    for in_up in (0.02, 0.08):
+        for in_down in (0.02, 0.10):
+            for n_samples in (60, 150):
+                model = StutterModel(0.9, in_up, in_down, 0.9, 0.005, 0.005,
+                                     period)
+                num_bps, log_p1, log_p2 = simulate_reads(
+                    rng, model, n_samples, 30, allele_pool, freqs)
+                em = EMStutterGenotyper(False, period, num_bps, log_p1,
+                                        log_p2, 21)
+                res = em.train(100, 0.01, 0.001)
+                n_total += 1
+                got = res.stutter_model
+                ok = (abs(got.in_up - in_up) < 0.025
+                      and abs(got.in_down - in_down) < 0.025
+                      and abs(got.in_geom - 0.9) < 0.12)
+                n_fail += not ok
+    # the reference harness tolerates occasional misconvergence; demand
+    # at least 7/8 grid cells recovered
+    assert n_fail <= 1, (n_fail, n_total)
