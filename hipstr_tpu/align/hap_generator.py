@@ -228,9 +228,18 @@ class HaplotypeGenerator:
         region_start = region.start - LEFT_PAD
         region_end = region.stop + RIGHT_PAD
         ref_seq = chrom_seq[region_start:region_end].upper()
-        if self.min_aln_start + 5 >= region_start or self.max_aln_stop - 5 <= region_end:
-            self.failure_msg = "No spanning alignments"
-            return False
+        # the spanning check uses the bounds of the HAP-GEN-ELIGIBLE reads
+        # only (reference: get_aln_bounds over the passed alignments,
+        # HaplotypeGenerator.cpp:297-307 — the locals shadow the
+        # constructor-wide bounds); with zero eligible reads the reference's
+        # INT_MAX/INT_MIN sentinels overflow and neither condition fires
+        starts = [a.start for sub in alignments_by_sample for a in sub]
+        stops = [a.stop for sub in alignments_by_sample for a in sub]
+        if starts:
+            if min(starts) + 5 >= region_start or \
+                    max(stops) - 5 <= region_end:
+                self.failure_msg = "No spanning alignments"
+                return False
 
         padded_vcf = []
         if vcf_alleles:
