@@ -374,3 +374,18 @@ def test_workers_merge_identical(tmp_path):
     a = _records(f"{out}/one.vcf")
     b = _records(f"{out}/two.vcf")
     assert len(a) == 6 and a == b
+
+
+def test_unspannable_locus_skipped(tmp_path):
+    """A repeat longer than the read length leaves no hap-gen-eligible
+    spanning read; the locus must be skipped like the reference does
+    (reference: HaplotypeGenerator.cpp:297-307 'No spanning alignments')."""
+    from hipstr_tpu.utils.simulate import simulate_locus
+
+    locus = simulate_locus(seed=5011, n_samples=3, reads_per_sample=25,
+                           period=6, ref_units=12, read_len=70)
+    out = str(tmp_path)
+    _write_inputs(locus, out)
+    _run_cli(out, ["--str-vcf", f"{out}/out.vcf", "--def-stutter-model",
+                   "--min-reads", "15"])
+    assert _records(f"{out}/out.vcf") == []
