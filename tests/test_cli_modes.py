@@ -389,3 +389,44 @@ def test_unspannable_locus_skipped(tmp_path):
     _run_cli(out, ["--str-vcf", f"{out}/out.vcf", "--def-stutter-model",
                    "--min-reads", "15"])
     assert _records(f"{out}/out.vcf") == []
+
+
+def test_bam_samps_without_read_groups(tmp_path):
+    """--bam-samps/--bam-libs assign samples per BAM when RG tags are absent
+    (reference: hipstr_main.cpp:418-445)."""
+    from hipstr_tpu.utils.simulate import simulate_locus
+    from hipstr_tpu.io.bam import BamRecord, BamWriter
+    from hipstr_tpu.io.fasta import write_fasta
+
+    locus = simulate_locus(seed=99, n_samples=1, reads_per_sample=30,
+                           period=3, ref_units=8)
+    out = str(tmp_path)
+    write_fasta(f"{out}/sim.fa", [(locus.chrom, locus.chrom_seq)])
+    r = locus.region
+    with open(f"{out}/regions.bed", "w") as fh:
+        fh.write(f"{r.chrom}\t{r.start + 1}\t{r.stop}\t{r.period}\t8.0\tX\n")
+    hdr = ("@HD\tVN:1.6\tSO:coordinate\n"
+           f"@SQ\tSN:{locus.chrom}\tLN:{len(locus.chrom_seq)}\n")
+    w = BamWriter(f"{out}/norg.bam", [locus.chrom], [len(locus.chrom_seq)],
+                  hdr)
+    for rd in sorted(locus.raw_reads, key=lambda d: d["start"]):
+        w.write(BamRecord(name=rd["name"], flag=0x10 if rd["rev"] else 0,
+                          ref_id=0, pos=rd["start"], mapq=60,
+                          cigar=[(len(rd["seq"]), "M")], mate_ref_id=-1,
+                          mate_pos=-1, tlen=0, seq=rd["seq"],
+                          qual=rd["quals"], tags={}))
+    w.close()
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.cli",
+                    "--bams", f"{out}/norg.bam", "--fasta", f"{out}/sim.fa",
+                    "--regions", f"{out}/regions.bed",
+                    "--str-vcf", f"{out}/out.vcf",
+                    "--bam-samps", "SAMPLEX", "--bam-libs", "LIBX",
+                    "--use-unpaired", "--min-reads", "15",
+                    "--def-stutter-model", "--dtype", "float64", "--silent"],
+                   check=True, env=env, cwd=REPO)
+    recs = _records(f"{out}/out.vcf")
+    assert len(recs) == 1
+    header = [l for l in open(f"{out}/out.vcf") if l.startswith("#CHROM")][0]
+    assert header.rstrip().split("\t")[-1] == "SAMPLEX"
