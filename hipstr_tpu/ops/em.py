@@ -32,7 +32,9 @@ def _lse(a, axis=None):
     m = np.max(a, axis=axis, keepdims=True)
     m = np.where(np.isfinite(m), m, 0.0)
     out = m + np.log(np.sum(np.exp(a - m), axis=axis, keepdims=True))
-    return np.squeeze(out, axis=axis) if axis is not None else float(out)
+    if axis is not None:
+        return np.squeeze(out, axis=axis)
+    return float(out.reshape(()))
 
 
 @dataclass
