@@ -379,7 +379,12 @@ class GenotyperPipeline:
             if too_many_reads:
                 break
 
-        for aln in potential_strs.values():
+        # the reference's potential_strs is a std::map: leftover unpaired
+        # reads surface in KEY-SORTED order (bam_processor.cpp:183,408-425);
+        # this ordering decides read-group order and which read becomes a
+        # pool's representative alignment on repeat-shifted ties
+        for aln_key in sorted(potential_strs):
+            aln = potential_strs[aln_key]
             if aln.get_tag("XA") is not None:
                 self._write_filt(aln, "NO_UNIQUE_MAPPING")
                 continue
@@ -389,7 +394,10 @@ class GenotyperPipeline:
             unpaired_strs.append(aln)
             self._write_pass(aln)
 
-        # group by read-group/sample
+        # group by read-group/sample; the reference pops reads off the BACK
+        # of each list (bam_processor.cpp:440-470), so read-group order and
+        # per-group read order follow the reversed accumulation order —
+        # this decides pool-representative alignments on repeat ties
         rg_indices: Dict[str, int] = {}
         rg_names: List[str] = []
         paired_by_rg: List[List[BamAlign]] = []
@@ -397,7 +405,8 @@ class GenotyperPipeline:
         unpaired_by_rg: List[List[BamAlign]] = []
         for kind, src, mates in ((0, paired_strs, mate_alns),
                                  (1, unpaired_strs, None)):
-            for i, aln in enumerate(src):
+            for i in range(len(src) - 1, -1, -1):
+                aln = src[i]
                 rg = self._get_rg(aln)
                 if rg not in rg_indices:
                     rg_indices[rg] = len(rg_names)
