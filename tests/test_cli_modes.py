@@ -430,3 +430,57 @@ def test_bam_samps_without_read_groups(tmp_path):
     assert len(recs) == 1
     header = [l for l in open(f"{out}/out.vcf") if l.startswith("#CHROM")][0]
     assert header.rstrip().split("\t")[-1] == "SAMPLEX"
+
+
+def test_workers_merge_bgzip_with_tabix(tmp_path):
+    """--workers merging into a .gz target produces bgzip + .tbi."""
+    from hipstr_tpu.utils.simulate import simulate_locus
+    from hipstr_tpu.io.bam import BamRecord, BamWriter
+    from hipstr_tpu.io.fasta import write_fasta
+
+    out = str(tmp_path)
+    locs = [simulate_locus(seed=900 + i, n_samples=3, reads_per_sample=25,
+                           period=3, ref_units=8, chrom=f"chrB{i}")
+            for i in range(4)]
+    write_fasta(f"{out}/sim.fa", [(l.chrom, l.chrom_seq) for l in locs])
+    with open(f"{out}/regions.bed", "w") as fh:
+        for l in locs:
+            r = l.region
+            fh.write(f"{r.chrom}\t{r.start + 1}\t{r.stop}\t{r.period}\t8.0\tX\n")
+    hdr = ("@HD\tVN:1.6\tSO:coordinate\n"
+           + "".join(f"@SQ\tSN:{l.chrom}\tLN:{len(l.chrom_seq)}\n"
+                     for l in locs)
+           + "".join(f"@RG\tID:rg{n}\tSM:{n}\tLB:lib{n}\n"
+                     for n in locs[0].sample_names))
+    w = BamWriter(f"{out}/sim.bam", [l.chrom for l in locs],
+                  [len(l.chrom_seq) for l in locs], hdr)
+    ref_ids = {l.chrom: i for i, l in enumerate(locs)}
+    recs = []
+    for l in locs:
+        for rd in l.raw_reads:
+            recs.append(BamRecord(
+                name=f"{l.chrom}_{rd['name']}", flag=0x10 if rd["rev"] else 0,
+                ref_id=ref_ids[l.chrom], pos=rd["start"], mapq=60,
+                cigar=[(len(rd["seq"]), "M")], mate_ref_id=-1, mate_pos=-1,
+                tlen=0, seq=rd["seq"], qual=rd["quals"],
+                tags={"RG": ("Z", f"rg{rd['sample']}")}))
+    recs.sort(key=lambda r: (r.ref_id, r.pos))
+    for r in recs:
+        w.write(r)
+    w.close()
+
+    _run_cli(out, ["--str-vcf", f"{out}/m.vcf.gz", "--def-stutter-model",
+                   "--workers", "2"])
+    from hipstr_tpu.io.bgzf import BgzfReader
+    from hipstr_tpu.io.vcf_read import VCFReader
+    text = BgzfReader(f"{out}/m.vcf.gz").read_all().decode()
+    vrecs = [l for l in text.splitlines() if l and not l.startswith("#")]
+    assert len(vrecs) == 4
+    assert os.path.exists(f"{out}/m.vcf.gz.tbi")
+    rd = VCFReader(f"{out}/m.vcf.gz")
+    assert rd._tbi is not None
+    l0 = locs[0]
+    hits = list(rd.query(l0.chrom, l0.region.start - 5, l0.region.stop + 5))
+    assert len(hits) == 1
+    # no shard temporaries left behind
+    assert not [f for f in os.listdir(out) if ".shard" in f]
