@@ -130,8 +130,8 @@ def _flank_step(M, I, D, emit, C, Csh, jj, m2m, m2i, m2d):
 def _segment_kernel(codes_ref, blw_ref, blc_ref, C_ref, Csh_ref, onehot_ref,
                     chars_ref, m2m_ref, m2i_ref, m2d_ref, active_ref,
                     E_ref, lpmf_ref, opt1h_ref, shifts_ref,
-                    Mcol_ref, M_s, I_s, D_s, mx_s, sm_s,
-                    *, R, sr, n_opts, n_art, dtype):
+                    Mcol_ref, M_s, I_s, D_s, mx_s, sm_s, acc_s,
+                    *, R, sr, n_opts, n_art, period, dtype):
     codes = codes_ref[0, 0]
     blw = blw_ref[0, 0]
     blc = blc_ref[0, 0]
@@ -172,44 +172,40 @@ def _segment_kernel(codes_ref, blw_ref, blc_ref, C_ref, Csh_ref, onehot_ref,
         jax.lax.fori_loop(1, sr, flank_row, 0)
 
     # stutter row: online logsumexp over artifact sizes; entry values come
-    # from the previous match row shifted by (rep_len[opt] + artifact)
+    # from the previous match row shifted by (rep_len[opt] + artifact).
+    # Decomposition: one dynamic circular base roll per OPTION (binary bits
+    # of rep_len[o] + D_min), then one static circular roll per ARTIFACT —
+    # circular wrap needs no fill because the per-artifact validity mask
+    # (j >= shift) zeroes the wrapped region, and for invalid artifacts
+    # (negative shift) every value is <= 0 so the IMPOSSIBLE clamp holds.
     Mprev = M_s[:]
     mx_s[:] = jnp.full((H, L), NEG, dtype)
     sm_s[:] = jnp.zeros((H, L), dtype)
     ids = jax.lax.broadcasted_iota(jnp.int32, (H, L), 1)
+    opt_cols = jax.lax.broadcasted_iota(jnp.int32, opt1h_ref.shape, 1)
+    acc_s[:] = jnp.zeros_like(acc_s)
+
+    def per_option(o, carry):
+        base_shift = shifts_ref[0, o] % L     # shift of the smallest artifact
+        base = Mprev
+        k = 1
+        while k < L:
+            cand = jnp.roll(base, k, axis=1)  # circular, no fill needed
+            base = jnp.where((base_shift & k) != 0, cand, base)
+            k *= 2
+        sel = jnp.sum(jnp.where(opt_cols == o, opt1h_ref[:], 0.0), axis=1)
+        for d in range(n_art):
+            step = (d * period) % L
+            ent = jnp.roll(base, step, axis=1) if step else base
+            s_d = shifts_ref[d, o]
+            ent = jnp.where(ids >= s_d, ent, 0.0)
+            E_row = E_ref[0, d, o]
+            acc_s[d] = acc_s[d] + sel[:, None] * (ent + E_row[None, :])
+        return carry
+
+    jax.lax.fori_loop(0, n_opts, per_option, 0)
     for d in range(n_art):
-        # emission row select + entry shift, both as exact masked
-        # accumulations over options (the MXU one-hot matmul rounds E
-        # through bf16 on v5e, which is not bit-exact)
-        opt_cols = jax.lax.broadcasted_iota(jnp.int32, opt1h_ref.shape, 1)
-
-        def acc_entry(o, acc):
-            # right-shift Mprev by the (dynamic) entry offset with zero
-            # fill, via binary decomposition of the shift — Mosaic's
-            # dynamic rotate requires 128-aligned lanes, static rolls don't.
-            # Negative offsets only occur for artifacts whose lpmf is
-            # IMPOSSIBLE (deletion longer than the block), where the entry
-            # value is irrelevant after the clamp below.
-            s = jnp.clip(shifts_ref[d, o], 0, L)
-            rolled = Mprev
-            k = 1
-            while k < L:
-                cand = jnp.where(ids >= k, jnp.roll(rolled, k, axis=1), 0.0)
-                rolled = jnp.where((s & k) != 0, cand, rolled)
-                k *= 2
-            # entry valid iff j - shift >= 0 (the XLA path's entry_ok);
-            # s >= L (shift past the segment) zeroes everything
-            rolled = jnp.where(ids >= s, rolled, 0.0)
-            # dynamic lane select via masked reduction (Mosaic has no
-            # dynamic lane indexing): sel[h] = opt1h[h, o]
-            sel = jnp.sum(jnp.where(opt_cols == o, opt1h_ref[:], 0.0),
-                          axis=1)
-            E_row = E_ref[0, d, o]            # [L], dynamic sublane index
-            return acc + sel[:, None] * (rolled + E_row[None, :])
-
-        entryE = jax.lax.fori_loop(0, n_opts, acc_entry,
-                                   jnp.zeros((H, L), dtype))
-        val = lpmf_ref[d, :][:, None] + entryE
+        val = lpmf_ref[d, :][:, None] + acc_s[d]
         val = jnp.maximum(val, IMPOSSIBLE)
         new_max = jnp.maximum(mx_s[:], val)
         sm_s[:] = (sm_s[:] * jnp.exp(mx_s[:] - new_max)
@@ -262,7 +258,7 @@ def segment_scan_pallas(codes, blw, blc, C, Csh, last_col, meta, E,
 
     grid = (P,)
     kernel = functools.partial(_segment_kernel, R=R, sr=sr, n_opts=n_opts,
-                               n_art=n_art, dtype=dtype)
+                               n_art=n_art, period=period, dtype=dtype)
     pool_spec = pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((R, H), lambda i: (0, 0),
@@ -285,7 +281,8 @@ def segment_scan_pallas(codes, blw, blc, C, Csh, last_col, meta, E,
         out_specs=pl.BlockSpec((1, R, H), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, R, H), dtype),
-        scratch_shapes=[pltpu.VMEM((H, L), dtype)] * 5,
+        scratch_shapes=[pltpu.VMEM((H, L), dtype)] * 5
+        + [pltpu.VMEM((n_art, H, L), dtype)],
         interpret=interpret,
     )(pool3(codes), pool3(blw), pool3(blc), pool3(C), pool3(Csh),
       pool3(onehot),
