@@ -159,10 +159,34 @@ def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25
             sample_alns.append(aln)
             p1s.append(math.log(0.5))
             p2s.append(math.log(0.5))
-            locus.raw_reads.append(dict(
-                name=f"{name}_read{r}", sample=name, seq=read_seq, quals=quals,
-                start=map_start, rev=aln.rev_strand,
-                hap=1 if from_hap_one else 2))
+            if paired and map_start - 30 - read_len >= 0:
+                # mate in the left flank (identical between haplotype and
+                # chromosome, so its mapping is exact); FR orientation with
+                # the mate upstream of the STR read
+                gap = int(rng.integers(20, 60))
+                mate_start = map_start - gap - read_len
+                mate_seq = chrom_seq[mate_start:mate_start + read_len]
+                str_rev = bool(aln.rev_strand)
+                tlen = map_start + read_len - mate_start
+                locus.raw_reads.append(dict(
+                    name=f"{name}_read{r}", sample=name, seq=read_seq,
+                    quals=quals, start=map_start, rev=str_rev,
+                    hap=1 if from_hap_one else 2,
+                    flag=(0x1 | 0x2 | 0x40 | (0x10 if str_rev else 0)
+                          | (0x20 if not str_rev else 0)),
+                    mate_pos=mate_start, tlen=-tlen))
+                locus.raw_reads.append(dict(
+                    name=f"{name}_read{r}", sample=name, seq=mate_seq,
+                    quals=qual_char * read_len, start=mate_start,
+                    rev=not str_rev, hap=1 if from_hap_one else 2,
+                    flag=(0x1 | 0x2 | 0x80 | (0x10 if not str_rev else 0)
+                          | (0x20 if str_rev else 0)),
+                    mate_pos=map_start, tlen=tlen))
+            else:
+                locus.raw_reads.append(dict(
+                    name=f"{name}_read{r}", sample=name, seq=read_seq,
+                    quals=quals, start=map_start, rev=aln.rev_strand,
+                    hap=1 if from_hap_one else 2))
         # reads must be grouped per sample, ordered consistently
         locus.alns.extend(sorted(sample_alns, key=lambda a: a.name))
         locus.log_p1.append(p1s)

@@ -484,3 +484,69 @@ def test_workers_merge_bgzip_with_tabix(tmp_path):
     assert len(hits) == 1
     # no shard temporaries left behind
     assert not [f for f in os.listdir(out) if ".shard" in f]
+
+
+def _write_paired_inputs(locus, out):
+    from hipstr_tpu.io.bam import BamRecord, BamWriter
+    from hipstr_tpu.io.fasta import write_fasta
+
+    write_fasta(f"{out}/sim.fa", [(locus.chrom, locus.chrom_seq)])
+    r = locus.region
+    with open(f"{out}/regions.bed", "w") as fh:
+        fh.write(f"{r.chrom}\t{r.start + 1}\t{r.stop}\t{r.period}\t8.0\tSIM1\n")
+    rg = "".join(f"@RG\tID:rg{n}\tSM:{n}\tLB:lib{n}\n"
+                 for n in locus.sample_names)
+    header = ("@HD\tVN:1.6\tSO:coordinate\n"
+              f"@SQ\tSN:{locus.chrom}\tLN:{len(locus.chrom_seq)}\n" + rg)
+    writer = BamWriter(f"{out}/sim.bam", [locus.chrom],
+                       [len(locus.chrom_seq)], header)
+    for rd in sorted(locus.raw_reads, key=lambda d: d["start"]):
+        writer.write(BamRecord(
+            name=rd["name"],
+            flag=rd.get("flag", 0x10 if rd["rev"] else 0), ref_id=0,
+            pos=rd["start"], mapq=60, cigar=[(len(rd["seq"]), "M")],
+            mate_ref_id=0 if "mate_pos" in rd else -1,
+            mate_pos=rd.get("mate_pos", -1), tlen=rd.get("tlen", 0),
+            seq=rd["seq"], qual=rd["quals"],
+            tags={"RG": ("Z", f"rg{rd['sample']}")}))
+    writer.close()
+
+
+def test_paired_end_pipeline(tmp_path):
+    """Proper mate pairs genotype WITHOUT --use-unpaired: the mate-pairing
+    filter path (get_valid_pairings) accepts them and genotypes match the
+    simulated truth (reference: bam_processor.cpp:97-152, 240-425)."""
+    from hipstr_tpu.utils.simulate import simulate_locus
+
+    locus = simulate_locus(seed=404, n_samples=3, reads_per_sample=30,
+                           period=3, ref_units=8, paired=True)
+    n_paired = sum(1 for rd in locus.raw_reads if "mate_pos" in rd)
+    assert n_paired >= 100   # most fragments became proper pairs
+    out = str(tmp_path)
+    _write_paired_inputs(locus, out)
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.cli",
+                    "--bams", f"{out}/sim.bam", "--fasta", f"{out}/sim.fa",
+                    "--regions", f"{out}/regions.bed",
+                    "--str-vcf", f"{out}/out.vcf", "--min-reads", "15",
+                    "--def-stutter-model", "--dtype", "float64", "--silent"],
+                   check=True, env=env, cwd=REPO)
+    recs = _records(f"{out}/out.vcf")
+    assert len(recs) == 1
+    fields = recs[0].rstrip("\n").split("\t")
+    fmt = fields[8].split(":")
+    gb_idx = fmt.index("GB")
+    period = locus.region.period
+    correct = called = 0
+    for s in range(3):
+        parts = fields[9 + s].split(":")
+        if len(parts) == 1:
+            continue
+        called += 1
+        a1, a2 = locus.true_genotypes[s]
+        want = sorted(((a1 - locus.ref_units) * period,
+                       (a2 - locus.ref_units) * period))
+        got = sorted(int(x) for x in parts[gb_idx].split("|"))
+        correct += (got == want)
+    assert called == 3 and correct == 3

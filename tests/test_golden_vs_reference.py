@@ -311,3 +311,50 @@ def test_golden_other_periods(tmp_path, period):
             for name, rv, tv in zip(fmt, rp, tp):
                 if name in hard:
                     assert rv == tv, (period, rf[0], name, rv, tv)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BINARY),
+                    reason="reference binary not built")
+def test_golden_paired_end_comparison(tmp_path):
+    """Proper mate pairs, WITHOUT --use-unpaired: the mate-pairing filter
+    path and mate-aware bookkeeping match the reference."""
+    out = str(tmp_path)
+    subprocess.run([sys.executable,
+                    os.path.join(REPO, "tools/make_golden_data.py"),
+                    out, "--loci", "2", "--samples", "3", "--reads", "40",
+                    "--paired"], check=True)
+    common = ["--min-reads", "15", "--def-stutter-model"]
+    chroms = sorted({l.split()[0] for l in open(f"{out}/regions.bed")})
+    ref_recs = []
+    for chrom in chroms:
+        subprocess.run(
+            [REF_BINARY, "--bams", f"{out}/sim.bam", "--fasta",
+             f"{out}/sim.fa", "--regions", f"{out}/regions.bed",
+             "--chrom", chrom, "--str-vcf", f"{out}/ref_{chrom}.vcf.gz",
+             "--silent"] + common, check=True)
+        from hipstr_tpu.io.bgzf import BgzfReader
+        text = BgzfReader(f"{out}/ref_{chrom}.vcf.gz").read_all().decode()
+        ref_recs.extend(l for l in text.splitlines() if not l.startswith("#"))
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.cli",
+                    "--bams", f"{out}/sim.bam", "--fasta", f"{out}/sim.fa",
+                    "--regions", f"{out}/regions.bed",
+                    "--str-vcf", f"{out}/tpu.vcf", "--dtype", "float64",
+                    "--silent"] + common, check=True, env=env, cwd=REPO)
+    tpu_recs = [l for l in open(f"{out}/tpu.vcf") if not l.startswith("#")]
+    assert len(ref_recs) == len(tpu_recs) == 2
+
+    hard = {"GT", "GB", "DP", "DSTUTTER", "DFLANKINDEL", "ALLREADS",
+            "MALLREADS", "PSNP"}
+    for rr, tr in zip(sorted(ref_recs), sorted(tpu_recs)):
+        rf, tf = rr.split("\t"), tr.strip().split("\t")
+        assert rf[:5] == tf[:5]
+        fmt = rf[8].split(":")
+        for s in range(9, len(rf)):
+            rp = rf[s].strip().split(":")
+            tp = tf[s].strip().split(":")
+            assert len(rp) == len(tp)
+            for name, rv, tv in zip(fmt, rp, tp):
+                if name in hard:
+                    assert rv == tv, (rf[0], name, rv, tv)

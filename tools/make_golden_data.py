@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--snp-offset", type=int, default=0,
                     help="also simulate a phased het flank SNP this many bp "
                          "left of each STR and write snps.vcf.gz(+.tbi)")
+    ap.add_argument("--paired", action="store_true",
+                    help="simulate proper mate pairs (mate upstream in the "
+                         "left flank) instead of unpaired reads")
     ap.add_argument("--hp-tags", action="store_true",
                     help="tag every read with its haplotype of origin "
                          "(HP:i:1/2, the 10x Genomics convention)")
@@ -46,7 +49,7 @@ def main():
         locus = simulate_locus(seed=args.seed + g, n_samples=args.samples,
                                reads_per_sample=args.reads,
                                period=args.period, ref_units=args.ref_units,
-                               chrom=f"chrS{g}",
+                               chrom=f"chrS{g}", paired=args.paired,
                                phased_snp_offset=args.snp_offset or None)
         sample_names = locus.sample_names
         if args.snp_offset:
@@ -79,14 +82,16 @@ def main():
                        [len(s) for _, s in contigs], header)
     all_reads.sort(key=lambda t: (t[0], t[2]["start"]))
     for g, chrom, rd in all_reads:
-        flag = 0x10 if rd["rev"] else 0
+        flag = rd.get("flag", 0x10 if rd["rev"] else 0)
         tags = {"RG": ("Z", f"rg{rd['sample']}")}
         if args.hp_tags:
             tags["HP"] = ("i", rd["hap"])
         rec = BamRecord(
             name=rd["name"], flag=flag, ref_id=g, pos=rd["start"], mapq=60,
-            cigar=[(len(rd["seq"]), "M")], mate_ref_id=-1, mate_pos=-1,
-            tlen=0, seq=rd["seq"], qual=rd["quals"], tags=tags)
+            cigar=[(len(rd["seq"]), "M")],
+            mate_ref_id=g if "mate_pos" in rd else -1,
+            mate_pos=rd.get("mate_pos", -1), tlen=rd.get("tlen", 0),
+            seq=rd["seq"], qual=rd["quals"], tags=tags)
         writer.write(rec)
     writer.close()
     if args.snp_offset:
