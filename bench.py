@@ -18,11 +18,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Pallas (Mosaic) flank-scan kernel: bit-exact vs the lax.scan path and
-# ~15% faster end to end on TPU; Mosaic compiles amortize via the
-# persistent cache.  BENCH_PALLAS=0 falls back to the pure-XLA scan.
+# BENCH_PALLAS=1 opts into the Pallas flank-scan kernel; the default is the
+# pure-XLA scan, which measures faster once results are actually fetched
+# (on the axon remote TPU, block_until_ready does not wait for execution,
+# so only host-fetch timings are trustworthy).
 os.environ.setdefault("HIPSTR_TPU_PALLAS",
-                      os.environ.get("BENCH_PALLAS", "1"))
+                      os.environ.get("BENCH_PALLAS", "0"))
 _cache = os.path.expanduser("~/.cache/hipstr_tpu_xla")
 try:
     os.makedirs(_cache, exist_ok=True)
@@ -64,15 +65,17 @@ def main():
                                   jnp.float32))
     dev_batch = jax.tree.map(jnp.asarray, batch)
 
-    # compile + warmup
+    # compile + warmup.  NOTE: on the axon remote TPU block_until_ready
+    # returns before execution finishes, so every timed iteration must
+    # fetch the result to host — np.asarray is the only honest barrier.
     out = fn(dev_batch)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0])
 
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(dev_batch)
-    jax.block_until_ready(out)
+        np.asarray(jax.tree.leaves(out)[0])
     dt = time.perf_counter() - t0
 
     loci_per_sec = n_loci * iters / dt
