@@ -34,7 +34,22 @@ def _g_bucket(n: int) -> int:
 @functools.lru_cache(maxsize=64)
 def _jitted_batch(R_f: int, R_r: int, sr_f: int, sr_r: int, period: int,
                   dtype_name: str):
+    import os
     dtype = jnp.dtype(dtype_name)
+
+    kernel = os.environ.get("HIPSTR_TPU_KERNEL", "auto")
+    if kernel == "auto":
+        # the Mosaic kernel needs a real TPU; CPU runs use the XLA scan
+        kernel = "v2" if jax.default_backend() != "cpu" else "xla"
+    if kernel == "v2":
+        from ..ops.pallas_hmm2 import batched_forward_v2
+
+        def run(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sw, sb):
+            return batched_forward_v2(
+                l_seg, r_seg, fw_meta, rev_meta, seed, sc, sw, sb,
+                R_f, R_r, period, sr_f, sr_r, dtype)
+
+        return jax.jit(run)
 
     def one(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sw, sb):
         return hmm_forward(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sw, sb,
