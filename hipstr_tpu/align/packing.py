@@ -29,8 +29,13 @@ BASE_CODES = {"A": 0, "C": 1, "G": 2, "T": 3}
 IMPOSSIBLE = -1.0e9
 
 
+_CODE_BY_BYTE = np.full(256, 4, dtype=np.int8)
+for _b, _c in BASE_CODES.items():
+    _CODE_BY_BYTE[ord(_b)] = _c
+
+
 def seq_to_codes(seq: str) -> np.ndarray:
-    return np.array([BASE_CODES.get(c, 4) for c in seq], dtype=np.int32)
+    return _CODE_BY_BYTE[np.frombuffer(seq.encode("latin1"), dtype=np.uint8)]
 
 
 @dataclass
@@ -88,7 +93,7 @@ def _pack_orientation(src: Haplotype, digit_rows: List[List[int]],
                       art_sizes: np.ndarray) -> dict:
     H = len(digit_rows)
     R = len(struct.rows)
-    row_char = np.zeros((H, R), dtype=np.int32)
+    row_char = np.zeros((H, R), dtype=np.int8)
     row_m2m = np.zeros((H, R), dtype=np.float64)
     row_m2i = np.zeros((H, R), dtype=np.float64)
     row_m2d = np.zeros((H, R), dtype=np.float64)
@@ -116,18 +121,12 @@ def _pack_orientation(src: Haplotype, digit_rows: List[List[int]],
             row_m2i[h, r] = LOG_MATCH_TO_INS[hp]
             row_m2d[h, r] = LOG_MATCH_TO_DEL[hp]
 
-    nD = len(art_sizes)
-    jj = np.arange(L, dtype=np.int64)
-    shift = rep_len[hap_opt][:, None] + art_sizes[None, :]      # [H, nD]
-    entry_idx = jj[None, None, :] - shift[:, :, None]           # [H, nD, L]
-    entry_ok = entry_idx >= 0
-    entry_idx = np.clip(entry_idx, 0, L - 1).astype(np.int32)
-
+    # repeat-row entry offsets (j - rep_len - D) are computed on device from
+    # rep_len + hap_opt; nothing per-[H, nD, L] is shipped from host
     return dict(row_char=row_char, row_m2m=row_m2m, row_m2i=row_m2i,
                 row_m2d=row_m2d, stutter_row=struct.stutter_row,
                 rep_rev_codes=rep_emission_codes, rep_len=rep_len,
-                lpmf=lpmf, hap_opt=hap_opt,
-                entry_idx=entry_idx, entry_ok=entry_ok)
+                lpmf=lpmf, hap_opt=hap_opt)
 
 
 def pack_haplotypes(haplotype: Haplotype, L: int) -> PackedHaplotypes:
@@ -163,8 +162,8 @@ def pack_haplotypes(haplotype: Haplotype, L: int) -> PackedHaplotypes:
     nD = len(art_sizes)
     rep_len = np.array([rep.size(o) for o in range(O)], dtype=np.int32)
     Bmax = int(rep_len.max()) + 1
-    fw_codes = np.full((O, Bmax), 4, dtype=np.int32)   # right-to-left (fw pass)
-    rev_codes = np.full((O, Bmax), 4, dtype=np.int32)  # left-to-right (rev pass)
+    fw_codes = np.full((O, Bmax), 4, dtype=np.int8)    # right-to-left (fw pass)
+    rev_codes = np.full((O, Bmax), 4, dtype=np.int8)   # left-to-right (rev pass)
     lpmf = np.full((O, nD), IMPOSSIBLE, dtype=np.float64)
     for o in range(O):
         s = rep.get_seq(o)
@@ -243,17 +242,18 @@ def pack_haplotypes(haplotype: Haplotype, L: int) -> PackedHaplotypes:
 
 @dataclass
 class PackedReads:
-    l_codes: np.ndarray
-    l_blw: np.ndarray
-    l_blc: np.ndarray
+    """Reads as raw codes + quality bytes; the device expands qualities to
+    log-probabilities through the BaseQuality tables (one tiny gather), so
+    the host ships 2 bytes/base instead of 20."""
+
+    l_codes: np.ndarray   # [P, L] int8
+    l_quals: np.ndarray   # [P, L] uint8 raw quality bytes (0 = padding)
     l_last: np.ndarray
     r_codes: np.ndarray
-    r_blw: np.ndarray
-    r_blc: np.ndarray
+    r_quals: np.ndarray
     r_last: np.ndarray
-    seed_codes: np.ndarray
-    seed_blw: np.ndarray
-    seed_blc: np.ndarray
+    seed_codes: np.ndarray  # [P] int8
+    seed_quals: np.ndarray  # [P] uint8
 
 
 def pack_reads(seqs: List[str], quals: List[str], seeds: List[int],
@@ -264,39 +264,31 @@ def pack_reads(seqs: List[str], quals: List[str], seeds: List[int],
     matching HapAligner::process_read (src/SeqAlignment/HapAligner.cpp:605-609).
     """
     P = len(seqs)
-    bq = BaseQuality()
-    l_codes = np.full((P, L), 4, dtype=np.int32)
-    r_codes = np.full((P, L), 4, dtype=np.int32)
-    l_blw = np.zeros((P, L))
-    l_blc = np.zeros((P, L))
-    r_blw = np.zeros((P, L))
-    r_blc = np.zeros((P, L))
+    l_codes = np.full((P, L), 4, dtype=np.int8)
+    r_codes = np.full((P, L), 4, dtype=np.int8)
+    l_quals = np.zeros((P, L), dtype=np.uint8)
+    r_quals = np.zeros((P, L), dtype=np.uint8)
     l_last = np.zeros(P, dtype=np.int32)
     r_last = np.zeros(P, dtype=np.int32)
-    seed_codes = np.zeros(P, dtype=np.int32)
-    seed_blw = np.zeros(P)
-    seed_blc = np.zeros(P)
+    seed_codes = np.zeros(P, dtype=np.int8)
+    seed_quals = np.zeros(P, dtype=np.uint8)
 
     for p, (seq, qual, seed) in enumerate(zip(seqs, quals, seeds)):
         assert 0 < seed < len(seq) - 1, "seed must be interior"
         codes = seq_to_codes(seq)
-        blw = bq.quals_to_log_error(qual)
-        blc = bq.quals_to_log_correct(qual)
+        qbytes = np.frombuffer(qual.encode("latin1"), dtype=np.uint8)
         nl = seed
         nr = len(seq) - seed - 1
         assert nl <= L and nr <= L
         l_codes[p, :nl] = codes[:seed]
-        l_blw[p, :nl] = blw[:seed]
-        l_blc[p, :nl] = blc[:seed]
+        l_quals[p, :nl] = qbytes[:seed]
         l_last[p] = nl - 1
         r_codes[p, :nr] = codes[seed + 1:][::-1]
-        r_blw[p, :nr] = blw[seed + 1:][::-1]
-        r_blc[p, :nr] = blc[seed + 1:][::-1]
+        r_quals[p, :nr] = qbytes[seed + 1:][::-1]
         r_last[p] = nr - 1
         seed_codes[p] = codes[seed]
-        seed_blw[p] = blw[seed]
-        seed_blc[p] = blc[seed]
+        seed_quals[p] = qbytes[seed]
 
-    return PackedReads(l_codes, l_blw, l_blc, l_last,
-                       r_codes, r_blw, r_blc, r_last,
-                       seed_codes, seed_blw, seed_blc)
+    return PackedReads(l_codes, l_quals, l_last,
+                       r_codes, r_quals, r_last,
+                       seed_codes, seed_quals)

@@ -43,18 +43,20 @@ LOG_DEL_TO_MATCH = float(np.log1p(-np.exp(-1.0)))
 
 
 class SegmentInputs(NamedTuple):
-    """One read segment per pool (left of seed, or reversed right of seed)."""
+    """One read segment per pool (left of seed, or reversed right of seed).
 
-    codes: jax.Array      # [P, L] int32 base codes (4 = N/pad)
-    blw: jax.Array        # [P, L] log P(error)
-    blc: jax.Array        # [P, L] log P(correct)
+    Reads travel host->device as raw codes + quality bytes (2 bytes/base);
+    log-probabilities are expanded on device via `expand_quals`."""
+
+    codes: jax.Array      # [P, L] int8 base codes (4 = N/pad)
+    quals: jax.Array      # [P, L] uint8 raw quality bytes (0 = padding)
     last_col: jax.Array   # [P] int32: segment_len - 1
 
 
 class HapMeta(NamedTuple):
     """Per-haplotype row metadata for one orientation (fw or rev)."""
 
-    row_char: jax.Array   # [H, R] int32 hap char codes
+    row_char: jax.Array   # [H, R] int8 hap char codes
     row_m2m: jax.Array    # [H, R] match->match log prob for the row
     row_m2i: jax.Array    # [H, R] match->ins
     row_m2d: jax.Array    # [H, R] match->del
@@ -62,9 +64,17 @@ class HapMeta(NamedTuple):
     rep_len: jax.Array    # [O] int32
     lpmf: jax.Array       # [O, nD] log P(artifact size), IMPOSSIBLE if invalid
     hap_opt: jax.Array    # [H] int32 repeat option per haplotype
-    entry_idx: jax.Array  # [H, nD, L] int32 gather index j - (rep_len+D)
-    entry_ok: jax.Array   # [H, nD, L] bool: entry index >= 0
     row_active: jax.Array  # [R] bool; False marks bucket-padding rows
+
+
+def expand_quals(quals, dtype):
+    """Raw quality bytes -> (log P(error), log P(correct)) via the
+    BaseQuality tables (reference: src/base_quality.h:44-75)."""
+    from ..models.base_quality import BaseQuality
+    idx = quals.astype(jnp.int32)
+    blw = jnp.take(jnp.asarray(BaseQuality.log_error_table, dtype), idx)
+    blc = jnp.take(jnp.asarray(BaseQuality.log_correct_table, dtype), idx)
+    return blw, blc
 
 
 class SeedMeta(NamedTuple):
@@ -122,12 +132,22 @@ def _forced_match_row(M, emit):
     return M_new, bad, bad
 
 
-def _stutter_row(M, meta: HapMeta, E, dtype):
+def _stutter_row(M, meta: HapMeta, E, period, dtype):
     """The collapsed repeat-block row (reference HapAligner.cpp:62-108).
 
     M: previous row's match state [P,H,L].  E: [P,O,L,nD] emissions.
     Online log-sum-exp over artifact sizes keeps memory at [P,H,L].
+    Entry offsets (j - rep_len - D) are computed here from rep_len/hap_opt.
     """
+    L = M.shape[-1]
+    nD = meta.lpmf.shape[-1]
+    D_min = -((nD - 1) // 2) * period
+    art = D_min + jnp.arange(nD, dtype=jnp.int32) * period
+    shift = (meta.rep_len.astype(jnp.int32)[meta.hap_opt][:, None]
+             + art[None, :])                                   # [H, nD]
+    jjL = jnp.arange(L, dtype=jnp.int32)
+    entry_idx = jnp.clip(jjL[None, None, :] - shift[:, :, None], 0, L - 1)
+    entry_ok = jjL[None, None, :] >= shift[:, :, None]         # [H, nD, L]
     lpmf_h = meta.lpmf[meta.hap_opt]  # [H, nD]
     E_h = E[:, meta.hap_opt]          # [P, H, L, nD]
 
@@ -145,8 +165,8 @@ def _stutter_row(M, meta: HapMeta, E, dtype):
 
     init = (jnp.full(M.shape, NEG, dtype), jnp.zeros(M.shape, dtype))
     xs = (lpmf_h.T.astype(dtype), jnp.moveaxis(E_h, -1, 0),
-          jnp.swapaxes(meta.entry_idx, 0, 1),
-          jnp.swapaxes(meta.entry_ok, 0, 1))
+          jnp.swapaxes(entry_idx, 0, 1),
+          jnp.swapaxes(entry_ok, 0, 1))
     (run_max, run_sum), _ = jax.lax.scan(one_artifact, init, xs)
     M_st = run_max + jnp.log(run_sum)
     bad = jnp.full_like(M_st, IMPOSSIBLE)
@@ -172,8 +192,8 @@ def segment_forward(seg: SegmentInputs, meta: HapMeta, R: int, period: int,
 
     P, L = seg.codes.shape
     H = meta.row_char.shape[0]
-    blc = seg.blc.astype(dtype)
-    blw = seg.blw.astype(dtype)
+    blw, blc = expand_quals(seg.quals, dtype)
+    codes = seg.codes.astype(jnp.int32)
     C = jnp.cumsum(blc, axis=-1)
     Csh = _shift_right(C, 0.0)
     jj = jnp.arange(L, dtype=dtype)
@@ -189,22 +209,23 @@ def segment_forward(seg: SegmentInputs, meta: HapMeta, R: int, period: int,
 
     per_opt = jax.vmap(one, in_axes=(None, None, None, 0, 0), out_axes=0)
     per_pool = jax.vmap(per_opt, in_axes=(0, 0, 0, None, None), out_axes=0)
-    E = per_pool(seg.codes, blw, blc,
-                 meta.rep_rev_codes, meta.rep_len).astype(dtype)
+    E = per_pool(codes, blw, blc,
+                 meta.rep_rev_codes.astype(jnp.int32),
+                 meta.rep_len).astype(dtype)
 
     if use_pallas and pallas_mode == "fused":
         # fully fused Mosaic program: row 0 + flank rows + stutter row +
         # forced-match row in one kernel, state resident in VMEM throughout
         from .pallas_hmm import segment_scan_pallas
         Mcol = segment_scan_pallas(
-            seg.codes, blw, blc, C, Csh, seg.last_col, meta, E,
+            codes, blw, blc, C, Csh, seg.last_col, meta, E,
             R, sr, period, dtype=dtype, interpret=pallas_interpret)
         seg_logsum = jnp.take_along_axis(C, seg.last_col[:, None],
                                          axis=-1)[:, 0]
         return Mcol, seg_logsum
 
     # row 0: leftmost haplotype char; preceding read bases soft-clip at blc
-    emit0 = _emit(seg.codes, meta.row_char[:, 0], blc, blw)
+    emit0 = _emit(codes, meta.row_char[:, 0].astype(jnp.int32), blc, blw)
     M = emit0 + Csh[:, None, :]
     I = jnp.broadcast_to(C[:, None, :], (P, H, L)).astype(dtype)
     D = jnp.full((P, H, L), IMPOSSIBLE, dtype)
@@ -218,7 +239,7 @@ def segment_forward(seg: SegmentInputs, meta: HapMeta, R: int, period: int,
             # stays in XLA
             from .pallas_hmm import flank_scan_pallas
             Mn, In, Dn, Mcol_rows = flank_scan_pallas(
-                seg.codes, blw, blc, C, Csh, seg.last_col,
+                codes, blw, blc, C, Csh, seg.last_col,
                 meta.row_char[:, lo:hi].T, meta.row_m2m[:, lo:hi].T,
                 meta.row_m2i[:, lo:hi].T, meta.row_m2d[:, lo:hi].T,
                 meta.row_active[lo:hi], M, I, D, dtype=dtype,
@@ -228,7 +249,7 @@ def segment_forward(seg: SegmentInputs, meta: HapMeta, R: int, period: int,
         def body(carry, xs):
             M, I, D = carry
             char, m2m, m2i, m2d, active = xs
-            emit = _emit(seg.codes, char, blc, blw)
+            emit = _emit(codes, char, blc, blw)
             Mn, In, Dn = _flank_row(M, I, D, emit, C, Csh, jj, m2m, m2i, m2d)
             # inactive (bucket-padding) rows pass the carry through untouched
             M = jnp.where(active, Mn, M)
@@ -248,10 +269,10 @@ def segment_forward(seg: SegmentInputs, meta: HapMeta, R: int, period: int,
         pieces.append(ys)
 
     # phase 2: stutter row, then forced-match row
-    M, I, D = _stutter_row(M, meta, E, dtype)
+    M, I, D = _stutter_row(M, meta, E, period, dtype)
     pieces.append(col(M)[None])
     if sr + 1 < R:
-        emit = _emit(seg.codes, meta.row_char[:, sr + 1], blc, blw)
+        emit = _emit(codes, meta.row_char[:, sr + 1].astype(jnp.int32), blc, blw)
         M, I, D = _forced_match_row(M, emit)
         pieces.append(col(M)[None])
 
@@ -267,7 +288,7 @@ def segment_forward(seg: SegmentInputs, meta: HapMeta, R: int, period: int,
 
 def hmm_forward(l_seg: SegmentInputs, r_seg: SegmentInputs,
                 fw_meta: HapMeta, rev_meta: HapMeta, seed: SeedMeta,
-                seed_codes, seed_blw, seed_blc,
+                seed_codes, seed_quals,
                 R_fw: int, R_rev: int, period: int, sr_fw: int, sr_rev: int,
                 dtype=jnp.float32):
     """Full forward pass: [P, H] log-likelihoods.
@@ -278,8 +299,8 @@ def hmm_forward(l_seg: SegmentInputs, r_seg: SegmentInputs,
     the reversed haplotype, and the seed base marginalizes over anchor
     positions with a uniform prior over flank positions.
     """
-    seed_blc = seed_blc.astype(dtype)
-    seed_blw = seed_blw.astype(dtype)
+    seed_blw, seed_blc = expand_quals(seed_quals, dtype)
+    seed_codes = seed_codes.astype(jnp.int32)
     Mcol_fw, l_prob = segment_forward(l_seg, fw_meta, R_fw, period, sr_fw, dtype)
     Mcol_rev, r_prob = segment_forward(r_seg, rev_meta, R_rev, period, sr_rev,
                                        dtype)

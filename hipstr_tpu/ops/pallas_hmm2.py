@@ -41,7 +41,8 @@ from ..models.alignment_model import (
     LOG_MATCH_TO_INS,
     LOG_MATCH_TO_MATCH,
 )
-from .stutter_emission import stutter_emissions
+from .hmm import expand_quals
+from .stutter_emission import stutter_emissions_tpu
 
 NEG = -1.0e30
 IMPOSSIBLE = -1.0e9
@@ -170,11 +171,11 @@ def _seg_kernel(opt_ref, meta_ref,                    # scalar prefetch (SMEM)
     jax.lax.fori_loop(sr + 2, end3, flank_row, 0)
 
 
-def segment_forward_v2(codes, blw, blc, last_col, meta, E,
+def segment_forward_v2(codes, quals, last_col, meta, E,
                        R, sr, period, dtype=jnp.float32, interpret=False):
     """Batched one-orientation forward pass.
 
-    codes [G,P,L] int32, blw/blc [G,P,L], last_col [G,P] int32; meta is a
+    codes [G,P,L] int8, quals [G,P,L] uint8, last_col [G,P] int32; meta is a
     HapMeta pytree with a leading locus axis; E [G,O,nD,P,L] stutter
     emissions.  Returns (Mcol [G,R,P,H], seg_logsum [G,P]).
     """
@@ -183,8 +184,8 @@ def segment_forward_v2(codes, blw, blc, last_col, meta, E,
     nD = meta.lpmf.shape[-1]
     D_min = -((nD - 1) // 2) * period
 
-    blc32 = blc.astype(dtype)
-    blw32 = blw.astype(dtype)
+    blw32, blc32 = expand_quals(quals, dtype)
+    codes = codes.astype(jnp.int32)
     C = jnp.cumsum(blc32, axis=-1)
     zero = jnp.zeros((G, P, 1), dtype)
     Csh = jnp.concatenate([zero, C[..., :-1]], axis=-1)
@@ -255,21 +256,34 @@ def segment_forward_v2(codes, blw, blc, last_col, meta, E,
     return jnp.transpose(Mcol, (0, 2, 3, 1)), seg_logsum
 
 
-def emissions_batched(codes, blw, blc, rep_rev_codes, rep_len, period,
-                      dtype=jnp.float32):
+def emissions_batched(codes, quals, rep_rev_codes, rep_len, period,
+                      dtype=jnp.float32, use_kernel=None, interpret=False):
     """E [G, O, nD, P, L] stutter-block emissions for a batch of loci."""
+    import os
+    blw, blc = expand_quals(quals, dtype)
+    codes = codes.astype(jnp.int32)
+    rep_rev_codes = rep_rev_codes.astype(jnp.int32)
+    if use_kernel is None:
+        flag = os.environ.get("HIPSTR_TPU_E_KERNEL", "auto")
+        use_kernel = (flag == "1" or
+                      (flag == "auto" and jax.default_backend() != "cpu"))
+    if use_kernel:
+        from .pallas_emission import stutter_emissions_pallas
+        return stutter_emissions_pallas(codes, blw, blc, rep_rev_codes,
+                                        rep_len.astype(jnp.int32), period,
+                                        dtype=dtype, interpret=interpret)
 
     def per_locus(codes_l, w_l, c_l, rev_l, len_l):
         def per_opt(rev_o, len_o):
             def per_pool(cp, wp, ccp):
-                return stutter_emissions(jnp, cp, wp, ccp, rev_o, len_o,
-                                         period=period, max_units=6)
-            return jax.vmap(per_pool)(codes_l, w_l, c_l)       # [P, L, nD]
-        return jax.vmap(per_opt)(rev_l, len_l)                 # [O, P, L, nD]
+                return stutter_emissions_tpu(jnp, cp, wp, ccp, rev_o, len_o,
+                                             period=period, max_units=6)
+            return jax.vmap(per_pool)(codes_l, w_l, c_l)       # [P, nD, L]
+        return jax.vmap(per_opt)(rev_l, len_l)                 # [O, P, nD, L]
 
-    E = jax.vmap(per_locus)(codes, blw.astype(dtype), blc.astype(dtype),
-                            rep_rev_codes, rep_len)            # [G,O,P,L,nD]
-    return jnp.moveaxis(E, -1, 2)                              # [G,O,nD,P,L]
+    E = jax.vmap(per_locus)(codes, blw, blc,
+                            rep_rev_codes, rep_len)            # [G,O,P,nD,L]
+    return jnp.swapaxes(E, 2, 3)                               # [G,O,nD,P,L]
 
 
 def seed_combine(Mcol_fw, Mcol_rev, l_prob, r_prob, seed,
@@ -278,6 +292,7 @@ def seed_combine(Mcol_fw, Mcol_rev, l_prob, r_prob, seed,
     ops/hmm.hmm_forward; reference HapAligner.cpp:163-231)."""
     seed_blc = seed_blc.astype(dtype)
     seed_blw = seed_blw.astype(dtype)
+    seed_codes = seed_codes.astype(jnp.int32)
     prior = jnp.asarray(seed.log_num_seeds).astype(dtype)
 
     eq = seed_codes[:, None, None] == seed.seed_char[None, :, :]
@@ -303,7 +318,7 @@ def seed_combine(Mcol_fw, Mcol_rev, l_prob, r_prob, seed,
 
 
 def batched_forward_v2(l_seg, r_seg, fw_meta, rev_meta, seed,
-                       seed_codes, seed_blw, seed_blc,
+                       seed_codes, seed_quals,
                        R_fw, R_rev, period, sr_fw, sr_rev,
                        dtype=jnp.float32, interpret=False):
     """Batched full forward pass: [G, P, H] log-likelihoods.
@@ -311,18 +326,19 @@ def batched_forward_v2(l_seg, r_seg, fw_meta, rev_meta, seed,
     Drop-in batched replacement for vmap(hmm_forward): same stacked pytree
     inputs the executor already builds, same output.
     """
-    E_fw = emissions_batched(l_seg.codes, l_seg.blw, l_seg.blc,
+    E_fw = emissions_batched(l_seg.codes, l_seg.quals,
                              fw_meta.rep_rev_codes, fw_meta.rep_len,
                              period, dtype)
-    E_rev = emissions_batched(r_seg.codes, r_seg.blw, r_seg.blc,
+    E_rev = emissions_batched(r_seg.codes, r_seg.quals,
                               rev_meta.rep_rev_codes, rev_meta.rep_len,
                               period, dtype)
     Mcol_fw, l_prob = segment_forward_v2(
-        l_seg.codes, l_seg.blw, l_seg.blc, l_seg.last_col, fw_meta, E_fw,
+        l_seg.codes, l_seg.quals, l_seg.last_col, fw_meta, E_fw,
         R_fw, sr_fw, period, dtype, interpret)
     Mcol_rev, r_prob = segment_forward_v2(
-        r_seg.codes, r_seg.blw, r_seg.blc, r_seg.last_col, rev_meta, E_rev,
+        r_seg.codes, r_seg.quals, r_seg.last_col, rev_meta, E_rev,
         R_rev, sr_rev, period, dtype, interpret)
+    seed_blw, seed_blc = expand_quals(seed_quals, dtype)
 
     def tail(mf, mr, lp, rp, sd, sc, sw, sb):
         return seed_combine(mf, mr, lp, rp, sd, sc, sw, sb, dtype)

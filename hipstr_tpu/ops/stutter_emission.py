@@ -184,3 +184,166 @@ def _shifted_cols(xp, S, period, Bmax):
         pad = xp.zeros((L, period), dtype=S.dtype)
         return xp.concatenate([S[:, period:], pad], axis=1)[:, :Bmax]
     return xp.zeros((L, Bmax), dtype=S.dtype)
+
+
+# ---------------------------------------------------------------------------
+# TPU-oriented variant: identical math, no gathers.
+#
+# take_along_axis lowers to XLA gather, which is the dominant cost of this
+# module on TPU.  Every gather above has Hankel/Toeplitz structure (indices
+# j - t), so it can be realized as static circular lane-rolls selected by a
+# bit decomposition of the per-column shift.  Arrays are oriented [.., B, L]
+# with the read axis L on lanes, so all rolls are lane-rolls and all prefix
+# sums run along sublanes.
+# ---------------------------------------------------------------------------
+
+
+def _shear_lanes(xp, X, fill=0.0):
+    """Y[..., t, j] = X[..., t, j - t] (fill when j < t).
+
+    The per-row shift equals the row index t; realized as log2(B) masked
+    circular rolls along the lane axis.
+    """
+    B, L = X.shape[-2], X.shape[-1]
+    t_idx = xp.arange(B)[:, None]
+    k = 1
+    while k < B:
+        mask = (t_idx & k) != 0
+        Xr = xp.roll(X, k, axis=-1)
+        X = xp.where(mask, Xr, X)
+        k *= 2
+    j_idx = xp.arange(L)[None, :]
+    return xp.where(j_idx >= t_idx, X, fill)
+
+
+def _roll_rows(xp, X, shift, fill=0.0):
+    """Y[..., j] = X[..., j - shift] along the lane axis, static shift."""
+    if shift == 0:
+        return X
+    L = X.shape[-1]
+    j_idx = xp.arange(L)
+    return xp.where(j_idx >= shift, xp.roll(X, shift, axis=-1), fill)
+
+
+def stutter_emissions_tpu(xp, read_codes, blw, blc, block_rev_codes,
+                          block_len, period, max_units=6):
+    """Gather-free reimplementation of `stutter_emissions`.
+
+    Returns E [nD, L] (note the transpose vs the generic version: artifact
+    axis leading, read axis on lanes).  Bit-identical math to the generic
+    path; parity enforced by tests/test_stutter_emission.py.
+    """
+    L = read_codes.shape[0]
+    Bmax = block_rev_codes.shape[0]
+    dtype = blc.dtype
+
+    blen = xp.asarray(block_len, np.int32)
+    t_col = xp.arange(Bmax)[:, None]                           # [B, 1]
+    p_col = xp.arange(Bmax + 1)[:, None]                       # [B+1, 1]
+    j_row = xp.arange(L)[None, :]                              # [1, L]
+
+    # S_T[t, j] = log P(read[j] | block char b_rev[t]); 0 outside the block
+    eq = read_codes[None, :] == block_rev_codes[:, None]
+    S = xp.where(eq, blc[None, :], blw[None, :])
+    S = xp.where(t_col < blen, S, 0.0)                         # [B, L]
+
+    def hankel_prefix(M):
+        """pref[..., p, j] = sum_{t < p, t <= j} M[..., t, j - t]."""
+        X = _shear_lanes(xp, M)
+        csum = xp.cumsum(X, axis=-2)
+        zero = xp.zeros(M.shape[:-2] + (1, L), dtype=dtype)
+        return xp.concatenate([zero, csum], axis=-2)           # [.., B+1, L]
+
+    def pick_row(M, row):
+        """M[..., row, :] for a traced scalar row index (one-hot reduce)."""
+        n = M.shape[-2]
+        oh = (xp.arange(n)[:, None] == row).astype(dtype)
+        return xp.sum(M * oh, axis=-2)
+
+    pref0 = hankel_prefix(S)                                   # [B+1, L]
+
+    # ---- no-artifact ------------------------------------------------------
+    E0 = pick_row(pref0, blen)                                 # [L]
+
+    def fdt(v):
+        return xp.asarray(v).astype(dtype)
+
+    # ---- deletions (D = -dp, dp = d*period, d = max_units..1) -------------
+    dps = np.arange(max_units, 0, -1) * period                 # static [nd]
+    SD_list = []
+    for dp in dps:
+        dp = int(dp)
+        if dp < Bmax:
+            SDd = xp.concatenate(
+                [S[dp:, :], xp.zeros((dp, L), dtype=dtype)], axis=0)
+        else:
+            SDd = xp.zeros((Bmax, L), dtype=dtype)
+        SDd = xp.where(t_col + dp < blen, SDd, 0.0)
+        SD_list.append(SDd)
+    SD = xp.stack(SD_list)                                     # [nd, B, L]
+    prefD = hankel_prefix(SD)                                  # [nd, B+1, L]
+    rem = xp.clip(blen - xp.asarray(dps), 0, Bmax)             # [nd]
+    totalD = pick_row(prefD, rem[:, None, None])               # [nd, L]
+    LLp = pref0[None] + (totalD[:, None, :] - prefD)           # [nd, B+1, L]
+    pmask = p_col[None] <= (blen - xp.asarray(dps))[:, None, None]
+    LLp = xp.where(pmask, LLp, NEG_INF)
+    m = xp.max(LLp, axis=-2)
+    lse_del = m + xp.log(xp.sum(xp.exp(LLp - m[:, None, :]), axis=-2))
+    prior_del = -xp.log(fdt(xp.maximum(blen - xp.asarray(dps) + 1, 1)))
+    E_del = xp.where((blen - xp.asarray(dps) >= 0)[:, None],
+                     prior_del[:, None] + lse_del, NEG_INF)    # [nd, L]
+
+    # ---- insertions (D = kp, kp = k*period, k = 1..max_units) -------------
+    max_ins = max_units * period
+    reps = -(-max_ins // period)
+    Speri = xp.concatenate([S[:period, :]] * reps, axis=0)[:max_ins]
+    colmod = np.arange(max_ins) % period                       # static
+    blc_b = xp.broadcast_to(blc[None, :], (max_ins, L))
+    # inserted-base scores, with plain log-correct when the periodic index
+    # falls outside the block (load_read, StutterAlignerClass.cpp:40-48)
+    pair = xp.where((xp.asarray(colmod)[:, None] >= blen), blc_b, Speri)
+    isc = _shear_lanes(xp, pair)                               # [max_ins, L]
+    ins_cum = xp.concatenate(
+        [xp.zeros((1, L), dtype=dtype), xp.cumsum(isc, axis=0)], axis=0)
+
+    kps = np.arange(1, max_units + 1) * period                 # static [nk]
+    nk = len(kps)
+    ins0 = xp.stack([ins_cum[int(min(kp, max_ins))] for kp in kps])  # [nk, L]
+    rest = xp.stack([_roll_rows(xp, E0, int(kp)) for kp in kps])     # [nk, L]
+    LL0 = ins0 + rest                                          # [nk, L]
+
+    # per-unit position-shift deltas, gathered via shear + static rolls
+    SA = _shifted_cols_rows(xp, S, period, Bmax)               # [B, L]
+    gA0 = _shear_lanes(xp, SA)                                 # [q-1 shear]
+    gB0 = _shear_lanes(xp, S)
+    frozen = (t_col + period) >= blen                          # [B, 1]
+    G_list = []
+    for m_sh in (np.arange(1, max_units + 1) * period):
+        gA = _roll_rows(xp, gA0, int(m_sh))
+        gB = _roll_rows(xp, gB0, int(m_sh))
+        G_list.append(xp.where(frozen, 0.0, gA - gB))
+    deltas = xp.cumsum(xp.stack(G_list), axis=0)               # [nm, B, L]
+
+    cum = xp.concatenate(
+        [xp.zeros((nk, 1, L), dtype=dtype),
+         xp.cumsum(deltas, axis=-2)], axis=-2) + LL0[:, None, :]  # [nk,B+1,L]
+    base_len = xp.minimum(blen + xp.asarray(kps)[:, None], j_row + 1)
+    Pstar = xp.clip(base_len - xp.asarray(kps)[:, None], 0, blen)  # [nk, L]
+    cum_at = xp.sum(
+        cum * (p_col[None] == Pstar[:, None, :]).astype(dtype), axis=-2)
+    LLfinal = xp.where(p_col[None] <= Pstar[:, None, :], cum, cum_at[:, None, :])
+    LLfinal = xp.where(p_col[None] <= blen, LLfinal, NEG_INF)
+    m2 = xp.max(LLfinal, axis=-2)
+    lse_ins = m2 + xp.log(xp.sum(xp.exp(LLfinal - m2[:, None, :]), axis=-2))
+    E_ins = -xp.log(fdt(blen + 1)) + lse_ins                   # [nk, L]
+
+    return xp.concatenate([E_del, E0[None, :], E_ins], axis=0)  # [nD, L]
+
+
+def _shifted_cols_rows(xp, S, period, Bmax):
+    """SA[t, j] = S[t + period, j] for t in [0, Bmax), zero beyond."""
+    L = S.shape[-1]
+    if period < Bmax:
+        pad = xp.zeros((period, L), dtype=S.dtype)
+        return xp.concatenate([S[period:, :], pad], axis=0)[:Bmax]
+    return xp.zeros((Bmax, L), dtype=S.dtype)

@@ -50,8 +50,7 @@ def build_batch_from_loci(loci_arrays: List[tuple], statics_list: List[tuple],
         rev_meta=stack_tree(rev),
         seed=stack_tree(seeds),
         seed_codes=np.stack([a[5] for a in loci_arrays]),
-        seed_blw=np.stack([a[6] for a in loci_arrays]),
-        seed_blc=np.stack([a[7] for a in loci_arrays]),
+        seed_quals=np.stack([a[6] for a in loci_arrays]),
         log_p1=np.stack([x["log_p1"] for x in aux]),
         log_p2=np.stack([x["log_p2"] for x in aux]),
         read_weights=np.stack([x["read_weights"] for x in aux]),

@@ -2,11 +2,13 @@
 
 The reference processes loci strictly sequentially (reference:
 src/bam_processor.cpp:523-618); its scaling story is one process per BED
-shard.  Here the host prepares a window of loci (filters, haplotype
-generation, pooling, seeds), groups them by bucketed kernel shape, and runs
-each group's initial read<->haplotype alignment as ONE vmapped device call.
-The per-locus adaptive stages (stutter-candidate mining, allele pruning,
-flank reassembly) then run individually — they trigger on a minority of loci.
+shard.  Here the host prepares a *wave* of loci (filters, haplotype
+generation, pooling, seeds), groups them by bucketed kernel shape, and
+dispatches every group's read<->haplotype alignment before fetching any
+result, so transfers and compute pipeline on the device.  The per-locus
+adaptive stages (stutter-candidate mining, allele pruning, flank
+reassembly) are themselves batched per round across the whole wave: loci
+needing realignment regroup and dispatch together instead of one by one.
 """
 
 from __future__ import annotations
@@ -44,15 +46,15 @@ def _jitted_batch(R_f: int, R_r: int, sr_f: int, sr_r: int, period: int,
     if kernel == "v2":
         from ..ops.pallas_hmm2 import batched_forward_v2
 
-        def run(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sw, sb):
+        def run(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq):
             return batched_forward_v2(
-                l_seg, r_seg, fw_meta, rev_meta, seed, sc, sw, sb,
+                l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq,
                 R_f, R_r, period, sr_f, sr_r, dtype)
 
         return jax.jit(run)
 
-    def one(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sw, sb):
-        return hmm_forward(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sw, sb,
+    def one(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq):
+        return hmm_forward(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq,
                            R_f, R_r, period, sr_f, sr_r, dtype)
 
     return jax.jit(jax.vmap(one))
@@ -74,57 +76,61 @@ class LocusWorkItem:
 
 
 class BatchedAligner:
-    """Accumulates per-locus prepared tensors; flushes shape groups through
-    one vmapped kernel call each."""
+    """Groups per-locus prepared tensors by kernel shape; dispatches each
+    group as one (or a few) vmapped device calls, all enqueued before any
+    caller fetches — device transfers and compute overlap across groups."""
 
-    def __init__(self, dtype: str = "float32", batch_size: int = 32):
+    def __init__(self, dtype: str = "float32", batch_size: int = 32,
+                 logger=None):
         self.dtype = dtype
         self.batch_size = batch_size
         self.groups: Dict[tuple, List[LocusWorkItem]] = {}
+        self.logger = logger
+        self._logged_mesh = False
 
-    def add(self, item: LocusWorkItem) -> Optional[List[Tuple[LocusWorkItem, np.ndarray]]]:
-        key = item.shape_key()
-        group = self.groups.setdefault(key, [])
-        group.append(item)
-        if len(group) >= self.batch_size:
-            del self.groups[key]
-            return self._flush_group(group)
-        return None
+    def add(self, item: LocusWorkItem) -> None:
+        self.groups.setdefault(item.shape_key(), []).append(item)
 
-    def flush_all(self) -> List[Tuple[LocusWorkItem, np.ndarray]]:
+    def dispatch_all(self) -> List[Tuple[List[LocusWorkItem], object]]:
+        """Dispatch every pending group (chunked to batch_size); returns
+        [(chunk_items, LL_device_handle)] without fetching anything."""
         out = []
         for key in list(self.groups):
             group = self.groups.pop(key)
-            out.extend(self._flush_group(group))
+            for i in range(0, len(group), self.batch_size):
+                chunk = group[i:i + self.batch_size]
+                out.append((chunk, self._dispatch_chunk(chunk)))
         return out
 
-    def _flush_group(self, group: List[LocusWorkItem]):
-        G = len(group)
+    def _dispatch_chunk(self, chunk: List[LocusWorkItem]):
+        G = len(chunk)
         Gp = _g_bucket(G)
-        padded = group + [group[-1]] * (Gp - G)
-        stacked = jax.tree.map(lambda *xs: np.stack(xs),
-                               *[it.arrays for it in padded])
-        R_f, R_r, sr_f, sr_r, period = group[0].statics[:5]
-        run = _jitted_batch(R_f, R_r, sr_f, sr_r, period, self.dtype)
-        # multi-chip: shard the locus axis over the device mesh (GSPMD) —
-        # loci are independent, so the only communication is the result
-        # gather on fetch
         devs = jax.devices()
         n_dev = len(devs)
-        if n_dev > 1 and Gp % n_dev == 0:
+        if n_dev > 1:
+            # pad the locus axis to a multiple of the device count so GSPMD
+            # sharding always engages (never silently degrades to one device)
+            Gp = max(Gp, ((Gp + n_dev - 1) // n_dev) * n_dev)
+        padded = chunk + [chunk[-1]] * (Gp - G)
+        stacked = jax.tree.map(lambda *xs: np.stack(xs),
+                               *[it.arrays for it in padded])
+        R_f, R_r, sr_f, sr_r, period = chunk[0].statics[:5]
+        run = _jitted_batch(R_f, R_r, sr_f, sr_r, period, self.dtype)
+        if n_dev > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
             mesh = Mesh(np.array(devs), ("loci",))
             sharding = NamedSharding(mesh, PartitionSpec("loci"))
             stacked = jax.tree.map(
                 lambda x: jax.device_put(x, sharding), stacked)
-        # asynchronous dispatch: the caller defers the host fetch so device
-        # compute overlaps with preparing the next loci
-        LL_dev = run(*stacked)
-        return [(item, LL_dev, gi) for gi, item in enumerate(group)]
+            if not self._logged_mesh and self.logger is not None:
+                self.logger.log(f"Sharding locus batches over {n_dev} devices")
+                self._logged_mesh = True
+        return run(*stacked)
 
 
 def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
-                batch_size: int = 32, full_command: str = "hipstr-tpu"):
+                batch_size: int = 32, full_command: str = "hipstr-tpu",
+                window: int = 0):
     """Batched analogue of GenotyperPipeline.run; identical outputs."""
     from ..io.regions import read_regions
     from ..io.vcf_write import VCFWriter, build_vcf_header
@@ -133,6 +139,7 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
     opts = pipeline.opts
     regions = read_regions(regions_bed, opts.max_regions, opts.chrom,
                            opts.locus_shard)
+    window = window or batch_size * 4
     writer = None
     if out_vcf:
         header = build_vcf_header(pipeline.fasta_path, full_command,
@@ -140,7 +147,7 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                                   pipeline.samples, opts.output)
         writer = VCFWriter(out_vcf, header)
 
-    aligner = BatchedAligner(opts.dtype, batch_size)
+    aligner = BatchedAligner(opts.dtype, batch_size, pipeline.logger)
     records: List[Tuple[str, int, str]] = []
     viz_records: List[Tuple[str, int, int, str]] = []
 
@@ -192,45 +199,49 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                 g.haplotype, seqs, quals, seeds, opts.dtype)
         return True
 
-    def finish(results):
-        # process a batch of deferred results; loci needing further
-        # realignment re-enqueue, possibly flushing new groups
-        fetched: Dict[int, np.ndarray] = {}
-        queue = list(results)
-        while queue:
-            item, LL_dev, gi = queue.pop(0)
-            key = id(LL_dev)
-            if key not in fetched:
-                fetched[key] = np.asarray(LL_dev)
-            P_real, H_real = item.statics[5], item.statics[6]
-            LL = fetched[key][gi, :P_real, :H_real]
-            try:
-                if advance(item, LL):
-                    more = aligner.add(item)
-                    if more:
-                        queue.extend(more)
-            except Exception as exc:
-                pipeline.counters.genotype_fail += 1
-                pipeline.logger.log(f"ERROR at {item.region}: {exc!r}")
+    def finish_handles(handles) -> None:
+        """Fetch dispatched results and drive every adaptive round of the
+        wave to completion, regrouping realignments per round."""
+        while handles:
+            realign: List[LocusWorkItem] = []
+            for chunk, LL_dev in handles:
+                with pipeline.timer.time("Device fetch"):
+                    LL_all = np.asarray(LL_dev)
+                for gi, item in enumerate(chunk):
+                    P_real, H_real = item.statics[5], item.statics[6]
+                    LL = LL_all[gi, :P_real, :H_real]
+                    try:
+                        if advance(item, LL):
+                            realign.append(item)
+                    except Exception as exc:
+                        pipeline.counters.genotype_fail += 1
+                        pipeline.logger.log(
+                            f"ERROR at {item.region}: {exc!r}")
+            for item in realign:
+                aligner.add(item)
+            handles = aligner.dispatch_all()
 
     chrom = None
     chrom_seq = None
-    pending: List = []   # dispatched groups whose fetch is deferred
+    prepared: List[LocusWorkItem] = []
+    in_flight: List[Tuple[List[LocusWorkItem], object]] = []
 
-    def settle(new_results):
-        # finish previously-dispatched work now that a fresh group is on the
-        # device; keeps one group in flight to hide device latency
-        nonlocal pending
-        done, pending = pending, list(new_results)
-        if done:
-            finish(done)
+    def launch_wave():
+        """Dispatch the prepared loci, then settle the PREVIOUS wave while
+        this one computes — host work overlaps device work across waves."""
+        nonlocal prepared, in_flight
+        for item in prepared:
+            aligner.add(item)
+        prepared = []
+        handles = aligner.dispatch_all()
+        done, in_flight = in_flight, handles
+        finish_handles(done)
 
     for region in regions:
         if region.stop - region.start > opts.max_str_len:
             pipeline.counters.too_long += 1
             continue
         if region.chrom != chrom:
-            settle(aligner.flush_all())
             chrom = region.chrom
             chrom_seq = pipeline.fasta.get_sequence(chrom)
         pipeline.logger.log(f"Preparing region {region} ...")
@@ -245,18 +256,17 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                     continue
                 arrays, statics = prepare_locus(g.haplotype, seqs, quals,
                                                 seeds, opts.dtype)
-            results = aligner.add(
+            prepared.append(
                 LocusWorkItem(region, g, arrays, statics, chrom_seq))
-            if results:
-                settle(results)
+            if len(prepared) >= window:
+                launch_wave()
         except Exception as exc:
             pipeline.counters.genotype_fail += 1
             pipeline.logger.log(f"ERROR at {region}: {exc!r}")
 
-    # drain: adaptive re-enqueues can keep producing partial groups
-    while pending or aligner.groups:
-        settle(aligner.flush_all())
-    settle([])
+    launch_wave()            # dispatch the tail, settle the previous wave
+    finish_handles(in_flight)
+    in_flight = []
 
     if writer is not None:
         for chrom_, pos, text in sorted(records, key=lambda r: (r[0], r[1])):

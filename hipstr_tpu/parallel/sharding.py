@@ -41,9 +41,8 @@ class LocusBatch(NamedTuple):
     fw_meta: HapMeta           # arrays [G, ...]
     rev_meta: HapMeta
     seed: SeedMeta
-    seed_codes: jax.Array      # [G, P]
-    seed_blw: jax.Array
-    seed_blc: jax.Array
+    seed_codes: jax.Array      # [G, P] int8
+    seed_quals: jax.Array      # [G, P] uint8
     log_p1: jax.Array          # [G, P]
     log_p2: jax.Array
     read_weights: jax.Array    # [G, P]
@@ -61,7 +60,7 @@ def batched_locus_fn(R_fw: int, R_rev: int, period: int, sr_fw: int,
 
     def one_locus(b: LocusBatch):
         LL = hmm_forward(b.l_seg, b.r_seg, b.fw_meta, b.rev_meta, b.seed,
-                         b.seed_codes, b.seed_blw, b.seed_blc,
+                         b.seed_codes, b.seed_quals,
                          R_fw, R_rev, period, sr_fw, sr_rev, dtype)
         # per-pool genotype contributions -> segment-sum over samples
         t1 = jnp.log(0.5).astype(dtype) + b.log_p1[:, None] + LL
@@ -92,8 +91,7 @@ def shard_batch(batch: LocusBatch, mesh: Mesh) -> LocusBatch:
 
     def seg(s: SegmentInputs) -> SegmentInputs:
         return SegmentInputs(put(s.codes, P("loci", "pools", None)),
-                             put(s.blw, P("loci", "pools", None)),
-                             put(s.blc, P("loci", "pools", None)),
+                             put(s.quals, P("loci", "pools", None)),
                              put(s.last_col, P("loci", "pools")))
 
     def repl(tree):
@@ -104,8 +102,7 @@ def shard_batch(batch: LocusBatch, mesh: Mesh) -> LocusBatch:
         fw_meta=repl(batch.fw_meta), rev_meta=repl(batch.rev_meta),
         seed=repl(batch.seed),
         seed_codes=put(batch.seed_codes, P("loci", "pools")),
-        seed_blw=put(batch.seed_blw, P("loci", "pools")),
-        seed_blc=put(batch.seed_blc, P("loci", "pools")),
+        seed_quals=put(batch.seed_quals, P("loci", "pools")),
         log_p1=put(batch.log_p1, P("loci", "pools")),
         log_p2=put(batch.log_p2, P("loci", "pools")),
         read_weights=put(batch.read_weights, P("loci", "pools")),

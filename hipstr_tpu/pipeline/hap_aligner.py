@@ -51,10 +51,9 @@ def _jitted(R_f: int, R_r: int, sr_f: int, sr_r: int, period: int,
     dtype = jnp.dtype(dtype_name)
 
     @jax.jit
-    def run(l_seg, r_seg, fw_meta, rev_meta, seed, seed_codes, seed_blw,
-            seed_blc):
+    def run(l_seg, r_seg, fw_meta, rev_meta, seed, seed_codes, seed_quals):
         return hmm_forward(l_seg, r_seg, fw_meta, rev_meta, seed,
-                           seed_codes, seed_blw, seed_blc, R_f, R_r, period,
+                           seed_codes, seed_quals, R_f, R_r, period,
                            sr_f, sr_r, dtype)
 
     return run
@@ -108,8 +107,6 @@ def _pad_orientation(d: dict, sr_real: int, R_real: int, H_pad: int,
     out["rep_len"] = _pad_axis(d["rep_len"], 0, O_pad)
     out["lpmf"] = _pad_axis(d["lpmf"], 0, O_pad)
     out["hap_opt"] = _pad_axis(d["hap_opt"], 0, H_pad)
-    out["entry_idx"] = _pad_axis(d["entry_idx"], 0, H_pad)
-    out["entry_ok"] = _pad_axis(d["entry_ok"], 0, H_pad)
     out["stutter_row"] = B1
     return out, row_map, R_pad
 
@@ -119,7 +116,6 @@ def _to_meta_np(d: dict) -> HapMeta:
         row_char=d["row_char"], row_m2m=d["row_m2m"], row_m2i=d["row_m2i"],
         row_m2d=d["row_m2d"], rep_rev_codes=d["rep_rev_codes"],
         rep_len=d["rep_len"], lpmf=d["lpmf"], hap_opt=d["hap_opt"],
-        entry_idx=d["entry_idx"], entry_ok=d["entry_ok"],
         row_active=d["row_active"])
 
 
@@ -128,7 +124,7 @@ def prepare_locus(haplotype: Haplotype, seqs, quals, seeds,
     """Pack + bucket-pad one locus; returns (numpy array pytree, statics).
 
     The pytree holds (l_seg, r_seg, fw_meta, rev_meta, seed_meta, seed_codes,
-    seed_blw, seed_blc) with SegmentInputs/HapMeta/SeedMeta leaves as numpy;
+    seed_quals) with SegmentInputs/HapMeta/SeedMeta leaves as numpy;
     statics is (R_f, R_r, sr_f, sr_r, period, P_real, H_real).
     """
     P_real = len(seqs)
@@ -179,23 +175,22 @@ def prepare_locus(haplotype: Haplotype, seqs, quals, seeds,
         cfg_rev_row=np.asarray(rev_map(packed.R - 2), dtype=np.int32),
     )
 
-    def seg(codes, blw, blc, last):
+    def seg(codes, quals, last):
         codes = _pad_axis(codes, 0, P_pad, "constant")
-        blw = _pad_axis(blw, 0, P_pad, "constant")
-        blc = _pad_axis(blc, 0, P_pad, "constant")
+        quals = _pad_axis(quals, 0, P_pad, "constant")
         last = np.concatenate([last, np.zeros(P_pad - P_real, np.int32)]) \
             if P_pad != P_real else last
-        return SegmentInputs(codes, blw, blc, last.astype(np.int32))
+        return SegmentInputs(codes, quals, last.astype(np.int32))
 
-    l_seg = seg(reads.l_codes, reads.l_blw, reads.l_blc, reads.l_last)
-    r_seg = seg(reads.r_codes, reads.r_blw, reads.r_blc, reads.r_last)
+    l_seg = seg(reads.l_codes, reads.l_quals, reads.l_last)
+    r_seg = seg(reads.r_codes, reads.r_quals, reads.r_last)
     seed_codes = np.concatenate(
-        [reads.seed_codes, np.zeros(P_pad - P_real, np.int32)])
-    seed_blw = np.concatenate([reads.seed_blw, np.zeros(P_pad - P_real)])
-    seed_blc = np.concatenate([reads.seed_blc, np.zeros(P_pad - P_real)])
+        [reads.seed_codes, np.zeros(P_pad - P_real, np.int8)])
+    seed_quals = np.concatenate(
+        [reads.seed_quals, np.zeros(P_pad - P_real, np.uint8)])
 
     arrays = (l_seg, r_seg, _to_meta_np(fw_d), _to_meta_np(rev_d), seed_meta,
-              seed_codes, seed_blw, seed_blc)
+              seed_codes, seed_quals)
     statics = (R_f, R_r, fw_d["stutter_row"], rev_d["stutter_row"],
                packed.period, P_real, H_real)
     return arrays, statics
@@ -206,8 +201,8 @@ def compute_hap_log_likelihoods(haplotype: Haplotype, seqs, quals, seeds,
     """LL[pool, hap] for every read pool against every haplotype combination."""
     arrays, statics = prepare_locus(haplotype, seqs, quals, seeds, dtype)
     R_f, R_r, sr_f, sr_r, period, P_real, H_real = statics
-    l_seg, r_seg, fw_meta, rev_meta, seed_meta, sc, sw, sb = arrays
+    l_seg, r_seg, fw_meta, rev_meta, seed_meta, sc, sq = arrays
     run = _jitted(R_f, R_r, sr_f, sr_r, period, dtype)
     out = run(l_seg, r_seg, fw_meta, rev_meta, seed_meta,
-              jnp.asarray(sc), jnp.asarray(sw), jnp.asarray(sb))
+              jnp.asarray(sc), jnp.asarray(sq))
     return np.asarray(out)[:P_real, :H_real]

@@ -20,17 +20,17 @@ def test_v2_matches_xla_scan(reads, period):
         G, n_samples=2, reads_per_sample=reads, period=period)
     R_f, R_r, sr_f, sr_r, per = statics
 
-    def one(l_seg, r_seg, fw, rev, sd, sc, sw, sb):
-        return hmm_forward(l_seg, r_seg, fw, rev, sd, sc, sw, sb,
+    def one(l_seg, r_seg, fw, rev, sd, sc, sq):
+        return hmm_forward(l_seg, r_seg, fw, rev, sd, sc, sq,
                            R_f, R_r, per, sr_f, sr_r, jnp.float64)
 
     ref = jax.jit(jax.vmap(one))(batch.l_seg, batch.r_seg, batch.fw_meta,
                                  batch.rev_meta, batch.seed, batch.seed_codes,
-                                 batch.seed_blw, batch.seed_blc)
+                                 batch.seed_quals)
 
     got = batched_forward_v2(batch.l_seg, batch.r_seg, batch.fw_meta,
                              batch.rev_meta, batch.seed, batch.seed_codes,
-                             batch.seed_blw, batch.seed_blc,
+                             batch.seed_quals,
                              R_f, R_r, per, sr_f, sr_r,
                              dtype=jnp.float64, interpret=True)
 

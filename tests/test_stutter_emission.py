@@ -78,3 +78,29 @@ def test_dense_matches_oracle(period, n_units, read_len, pure):
                 assert np.isfinite(want)
                 assert np.isclose(got, want, rtol=1e-9, atol=1e-9), (
                     j, D, got, want, block, read)
+
+
+@pytest.mark.parametrize("period,n_units,read_len,pure", [
+    (1, 8, 20, True),
+    (2, 5, 30, True),
+    (3, 4, 25, True),
+    (4, 6, 60, True),
+    (2, 5, 30, False),
+    (3, 3, 12, False),
+    (6, 3, 40, True),
+    (2, 12, 18, True),
+])
+def test_tpu_variant_matches_generic(period, n_units, read_len, pure):
+    from hipstr_tpu.ops.stutter_emission import stutter_emissions_tpu
+    rng = np.random.default_rng(hash(("tpu", period, n_units, read_len, pure)) % 2**32)
+    for trial in range(4):
+        block, read, blw, blc = _random_case(rng, period, n_units, read_len, pure)
+        Bmax = len(block) + 6 * period + 3
+        rev = np.full(Bmax, 4, dtype=np.int32)
+        rev[:len(block)] = _codes(block[::-1])
+        for blen in {len(block), max(1, len(block) - period)}:
+            ref = stutter_emissions(np, _codes(read), blw, blc, rev, blen,
+                                    period=period, max_units=6)
+            got = stutter_emissions_tpu(np, _codes(read), blw, blc, rev, blen,
+                                        period=period, max_units=6)
+            np.testing.assert_allclose(got.T, ref, rtol=1e-12, atol=1e-12)
