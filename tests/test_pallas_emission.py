@@ -20,8 +20,7 @@ def test_emission_kernel_matches_generic(period, Bmax, L):
     blw = BaseQuality.log_error_table[q]
     blc = BaseQuality.log_correct_table[q]
     brev = rng.integers(0, 4, size=(G, O, Bmax)).astype(np.int32)
-    blen = rng.integers(1, Bmax - 6 * period, size=(G, O)).astype(np.int32)
-    blen = np.maximum(blen, 1)
+    blen = rng.integers(1, Bmax, size=(G, O)).astype(np.int32)
 
     ref = np.zeros((G, O, 13, P, L))
     for g in range(G):
