@@ -65,15 +65,26 @@ def _cummax_lanes(x):
     return x
 
 
-def _seg_kernel(opt_ref, meta_ref,                    # scalar prefetch (SMEM)
+def _seg_kernel(opt_ref, shift_ref, bounds_ref,       # scalar prefetch (SMEM)
+                meta_hbm, lpmf_hbm,                   # [G,H,*] in ANY/HBM
                 codes_ref, blw_ref, blc_ref, C_ref, Csh_ref, oh_ref,
-                lutm_ref, luti_ref, lutd_ref, lpmf_ref, shift_ref, bounds_ref,
+                lutm_ref, luti_ref, lutd_ref,
                 E_ref,
                 Mcol_ref,
-                M_s, I_s, D_s,
+                M_s, I_s, D_s, meta_ref, lpmf_ref, dma_sem,
                 *, R, sr, period, nD, dtype):
     g = pl.program_id(0)
     h = pl.program_id(1)
+    # per-(locus, hap) scalar streams are DMAd into SMEM scratch per grid
+    # step — full-array scalar prefetch is O(G*H*R) and overflows the ~1MB
+    # SMEM budget at G=32, while blocked SMEM specs violate the (8,128)
+    # block-shape rule
+    cp = pltpu.make_async_copy(meta_hbm.at[g, h], meta_ref, dma_sem)
+    cp.start()
+    cp.wait()
+    cp = pltpu.make_async_copy(lpmf_hbm.at[g, h], lpmf_ref, dma_sem)
+    cp.start()
+    cp.wait()
     codes = codes_ref[0]      # [P, L] int32
     blw = blw_ref[0]
     blc = blc_ref[0]
@@ -95,7 +106,7 @@ def _seg_kernel(opt_ref, meta_ref,                    # scalar prefetch (SMEM)
     Mcol_ref[0, 0] = jnp.full((R, P), NEG, dtype)
 
     # row 0: leftmost haplotype char; earlier read bases soft-clip at blc
-    M_s[:] = emit_for(meta_ref[g, h, 0] % 16) + Csh
+    M_s[:] = emit_for(meta_ref[0] % 16) + Csh
     I_s[:] = C
     D_s[:] = jnp.full((P, L), IMPOSSIBLE, dtype)
     write_col(0)
@@ -104,7 +115,7 @@ def _seg_kernel(opt_ref, meta_ref,                    # scalar prefetch (SMEM)
         M = M_s[:]
         I = I_s[:]
         D = D_s[:]
-        v = meta_ref[g, h, r]
+        v = meta_ref[r]
         emit = emit_for(v % 16)
         hp = v // 16
         m2m = lutm_ref[hp]
@@ -150,7 +161,7 @@ def _seg_kernel(opt_ref, meta_ref,                    # scalar prefetch (SMEM)
         ent = jnp.roll(base, step, axis=1) if step else base
         s_d = shift + d * period
         ent = jnp.where(ids >= s_d, ent, 0.0)
-        val = lpmf_ref[g, h, d] + E_ref[0, 0, d] + ent
+        val = lpmf_ref[d] + E_ref[0, 0, d] + ent
         val = jnp.maximum(val, IMPOSSIBLE)
         new_max = jnp.maximum(mx, val)
         sm = sm * jnp.exp(mx - new_max) + jnp.exp(val - new_max)
@@ -163,7 +174,7 @@ def _seg_kernel(opt_ref, meta_ref,                    # scalar prefetch (SMEM)
     # forced-match row: the repeat block must be exited via a match
     T = _shift_right_lanes(M_s[:], NEG)
     T = jnp.where(ids == 0, 0.0, T)
-    M_s[:] = emit_for(meta_ref[g, h, sr + 1] % 16) + T
+    M_s[:] = emit_for(meta_ref[sr + 1] % 16) + T
     write_col(sr + 1)
 
     # phase 3: remaining flank rows (tail bucket padding skipped)
@@ -219,37 +230,47 @@ def segment_forward_v2(codes, quals, last_col, meta, E,
     bounds = jnp.stack([start1, end3], axis=1).astype(jnp.int32)  # [G,2]
 
     opt_tab = meta.hap_opt.astype(jnp.int32)                   # [G,H]
+    shift_h = shift_h.astype(jnp.int32)
+    lpmf_h = lpmf_h.astype(dtype)
+    # DMA slices out of HBM must be lane-aligned: pad the trailing scalar
+    # dims to multiples of 128
+    Rp = -(-R // 128) * 128
+    nDp = 128
+    meta_packed = jnp.pad(meta_packed, ((0, 0), (0, 0), (0, Rp - R)))
+    lpmf_h = jnp.pad(lpmf_h, ((0, 0), (0, 0), (0, nDp - nD)))
 
     kernel = functools.partial(_seg_kernel, R=R, sr=sr, period=period,
                                nD=nD, dtype=dtype)
-    pool_spec = pl.BlockSpec((1, P, L), lambda g, h, o, m: (g, 0, 0),
+    pool_spec = pl.BlockSpec((1, P, L), lambda g, h, o, sh, b: (g, 0, 0),
                              memory_space=pltpu.VMEM)
     smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(G, H),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # meta_packed [G,H,R]
+            pl.BlockSpec(memory_space=pl.ANY),      # lpmf_h [G,H,nD]
             pool_spec, pool_spec, pool_spec, pool_spec, pool_spec, pool_spec,
             smem_full, smem_full, smem_full,   # transition LUTs [16]
-            smem_full,                         # lpmf_h [G,H,nD]
-            smem_full,                         # shift_h [G,H]
-            smem_full,                         # bounds [G,2]
             pl.BlockSpec((1, 1, nD, P, L),
-                         lambda g, h, o, m: (g, o[g, h], 0, 0, 0),
+                         lambda g, h, o, sh, b: (g, o[g, h], 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, R, P), lambda g, h, o, m: (g, h, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, R, P),
+                               lambda g, h, o, sh, b: (g, h, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((P, L), dtype)] * 3,
+        scratch_shapes=[pltpu.VMEM((P, L), dtype)] * 3
+        + [pltpu.SMEM((Rp,), jnp.int32), pltpu.SMEM((nDp,), dtype),
+           pltpu.SemaphoreType.DMA],
     )
     Mcol = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G, H, R, P), dtype),
         interpret=interpret,
-    )(opt_tab, meta_packed,
+    )(opt_tab, shift_h, bounds, meta_packed, lpmf_h,
       codes, blw32, blc32, C, Csh, oh,
-      lut_m2m, lut_m2i, lut_m2d, lpmf_h, shift_h, bounds,
+      lut_m2m, lut_m2i, lut_m2d,
       E.astype(dtype))
 
     seg_logsum = jnp.take_along_axis(C, last_col[..., None], axis=-1)[..., 0]

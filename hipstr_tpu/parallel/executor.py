@@ -23,14 +23,22 @@ import numpy as np
 from ..pipeline.hap_aligner import _jitted, prepare_locus
 from ..ops.hmm import hmm_forward
 
-BATCH_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128]
+# On TPU every distinct batch shape costs a fresh trace+lower+compile (tens
+# of seconds on the remote-compile path), while padding a small group up to
+# the full batch size costs only linear device compute (~2ms/locus) — so all
+# TPU dispatches use ONE locus-axis extent: the configured batch size.  On
+# CPU compiles are cheap and padded loci cost real host FLOPs (and memory),
+# so small groups stay small.
+CPU_BATCH_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128]
 
 
-def _g_bucket(n: int) -> int:
-    for b in BATCH_BUCKETS:
-        if n <= b:
-            return b
-    return BATCH_BUCKETS[-1]
+def _g_bucket(n: int, batch_size: int) -> int:
+    if jax.default_backend() == "cpu":
+        for b in CPU_BATCH_BUCKETS:
+            if n <= b:
+                return min(b, batch_size)
+        return batch_size
+    return batch_size
 
 
 @functools.lru_cache(maxsize=64)
@@ -61,12 +69,14 @@ def _jitted_batch(R_f: int, R_r: int, sr_f: int, sr_r: int, period: int,
 
 
 class LocusWorkItem:
-    def __init__(self, region, genotyper, arrays, statics, chrom_seq):
+    def __init__(self, region, genotyper, arrays, statics, chrom_seq,
+                 order=0):
         self.region = region
         self.genotyper = genotyper
         self.arrays = arrays
         self.statics = statics
         self.chrom_seq = chrom_seq
+        self.order = order
         self.gen = None   # resumable adaptive loop, created after initial LLs
 
     def shape_key(self):
@@ -104,7 +114,7 @@ class BatchedAligner:
 
     def _dispatch_chunk(self, chunk: List[LocusWorkItem]):
         G = len(chunk)
-        Gp = _g_bucket(G)
+        Gp = _g_bucket(G, self.batch_size)
         devs = jax.devices()
         n_dev = len(devs)
         if n_dev > 1:
@@ -148,8 +158,25 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
         writer = VCFWriter(out_vcf, header)
 
     aligner = BatchedAligner(opts.dtype, batch_size, pipeline.logger)
-    records: List[Tuple[str, int, str]] = []
-    viz_records: List[Tuple[str, int, int, str]] = []
+    # streaming sorted emission: loci settle out of order inside a wave, but
+    # records enter the writer in BED order; the writer's bounded min-heap
+    # absorbs the residual +-50bp POS jitter from allele trimming
+    # (reference: src/vcf_writer.h:25-83).  Memory stays O(window).
+    pending: Dict[int, Tuple] = {}
+    next_emit = [0]
+
+    def drain_pending():
+        while next_emit[0] in pending:
+            rec, viz = pending.pop(next_emit[0])
+            if rec is not None and writer is not None:
+                writer.add_vcf_record(*rec)
+            if viz is not None and pipeline.viz_writer is not None:
+                pipeline.viz_writer.add(*viz)
+            next_emit[0] += 1
+
+    def settle(order, rec=None, viz=None):
+        pending[order] = (rec, viz)
+        drain_pending()
 
     def emit_record(item):
         g = item.genotyper
@@ -157,7 +184,7 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
         with pipeline.timer.time("VCF record construction"):
             chrom, pos, text, stats = build_vcf_record(
                 g, pipeline.samples, opts.output)
-        records.append((chrom, pos, text))
+        viz = None
         if pipeline.viz_writer is not None and stats.viz_data is not None:
             from ..pipeline.viz import visualize_alignments
             alns_by_sample = {}
@@ -171,8 +198,9 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
             html = visualize_alignments(
                 alns_by_sample, stats.sample_gb, item.chrom_seq,
                 item.region.chrom, item.region.start, item.region.stop)
-            viz_records.append((item.region.chrom, item.region.start + 1,
-                                item.region.stop, html))
+            viz = (item.region.chrom, item.region.start + 1,
+                   item.region.stop, html)
+        settle(item.order, (chrom, pos, text), viz)
 
     def advance(item, LL) -> bool:
         """Feed fresh LLs to one locus; True when it needs another batched
@@ -192,6 +220,7 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                     emit_record(item)
                 else:
                     pipeline.counters.genotype_fail += 1
+                    settle(item.order)
                 return False
         with pipeline.timer.time("Locus packing"):
             seqs, quals, seeds = g.pool_inputs()
@@ -215,6 +244,7 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                             realign.append(item)
                     except Exception as exc:
                         pipeline.counters.genotype_fail += 1
+                        settle(item.order)
                         pipeline.logger.log(
                             f"ERROR at {item.region}: {exc!r}")
             for item in realign:
@@ -237,9 +267,10 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
         done, in_flight = in_flight, handles
         finish_handles(done)
 
-    for region in regions:
+    for order, region in enumerate(regions):
         if region.stop - region.start > opts.max_str_len:
             pipeline.counters.too_long += 1
+            settle(order)
             continue
         if region.chrom != chrom:
             chrom = region.chrom
@@ -248,34 +279,33 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
         try:
             g = pipeline.prepare_locus_genotyper(region, chrom_seq)
             if g is None:
+                settle(order)
                 continue
             with pipeline.timer.time("Locus packing"):
                 seqs, quals, seeds = g.pool_inputs()
                 if not seqs:
                     pipeline.counters.genotype_fail += 1
+                    settle(order)
                     continue
                 arrays, statics = prepare_locus(g.haplotype, seqs, quals,
                                                 seeds, opts.dtype)
             prepared.append(
-                LocusWorkItem(region, g, arrays, statics, chrom_seq))
+                LocusWorkItem(region, g, arrays, statics, chrom_seq, order))
             if len(prepared) >= window:
                 launch_wave()
         except Exception as exc:
             pipeline.counters.genotype_fail += 1
+            settle(order)
             pipeline.logger.log(f"ERROR at {region}: {exc!r}")
 
     launch_wave()            # dispatch the tail, settle the previous wave
     finish_handles(in_flight)
     in_flight = []
+    drain_pending()
 
     if writer is not None:
-        for chrom_, pos, text in sorted(records, key=lambda r: (r[0], r[1])):
-            writer.add_vcf_record(chrom_, pos, text)
         writer.close()
     if pipeline.viz_writer is not None:
-        for chrom_, start, stop, html in sorted(viz_records,
-                                                key=lambda r: (r[0], r[1])):
-            pipeline.viz_writer.add(chrom_, start, stop, html)
         pipeline.viz_writer.close()
     if pipeline.pass_writer is not None:
         pipeline.pass_writer.close()

@@ -1,0 +1,364 @@
+"""Host worker pool: one device-owning parent, N host worker processes.
+
+The reference is single-threaded and scales only by running independent
+processes over BED shards (reference: README.md:167-171).  On a TPU host
+that strategy wastes the accelerator: only one process may claim the chip,
+so every extra process adds host CPUs but no device.  This executor splits
+the program instead along the host/device boundary:
+
+  * N *worker processes* run every per-locus host phase — BAM decode,
+    read filtering, stutter EM, haplotype generation, pooling, the adaptive
+    allele loop, ML-trace retracing and VCF record assembly (reference:
+    src/bam_processor.cpp:173-474, src/genotyper_bam_processor.cpp:161-289,
+    src/seq_stutter_genotyper.cpp:603-671) — each on its own core.
+  * the *parent* owns the single TPU client and services every worker's
+    alignment requests with the same shape-bucketed batched dispatches the
+    in-process executor uses (parallel/executor.py), so the chip sees a few
+    fat kernels rather than many small ones.
+
+Messages carry the transfer-diet tensors (int8 codes + uint8 quals), so
+IPC volume is a few KB per locus.  VCF records flow back tagged with their
+BED index and stream through the bounded min-heap writer in region order —
+memory stays O(window), never O(run) (reference: src/vcf_writer.h:25-83).
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import time
+from collections import deque
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+# --------------------------------------------------------------- worker side
+
+
+def _worker_main(conn, spec: dict) -> None:
+    # Workers must never touch the TPU: a second claimant deadlocks the
+    # axon runtime.  Pin the CPU backend before anything imports jax state.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from ..pipeline.processor import (GenotyperPipeline, Logger,
+                                      PipelineOptions)
+    from ..pipeline.hap_aligner import prepare_locus
+    from ..pipeline.vcf_record import build_vcf_record
+
+    opts: PipelineOptions = spec["opts"]
+    want_viz = bool(opts.viz_out)
+    opts.viz_out = None              # parent owns the real viz stream
+    if want_viz:
+        opts.output.viz_out = True
+    pipeline = GenotyperPipeline(spec["bam_paths"], spec["fasta_path"], opts,
+                                 Logger(quiet=True),
+                                 bam_samps=spec["bam_samps"],
+                                 bam_libs=spec["bam_libs"],
+                                 lib_field=spec["lib_field"])
+    dtype = opts.dtype
+    items: Dict[int, tuple] = {}     # idx -> (region, genotyper, gen)
+    chrom = None
+    chrom_seq = None
+
+    def build_record(idx, g, region):
+        pipeline.counters.genotype_success += 1
+        with pipeline.timer.time("VCF record construction"):
+            chrom_, pos, text, stats = build_vcf_record(
+                g, pipeline.samples, opts.output)
+        viz = None
+        if want_viz and stats.viz_data is not None:
+            from ..pipeline.viz import visualize_alignments
+            alns_by_sample = {}
+            for s, entries in enumerate(stats.viz_data):
+                if entries:
+                    one = sorted((a for st, a in entries if st == 0),
+                                 key=lambda a: a.start)
+                    two = sorted((a for st, a in entries if st == 1),
+                                 key=lambda a: a.start)
+                    alns_by_sample[g.sample_names[s]] = one + two
+            html = visualize_alignments(
+                alns_by_sample, stats.sample_gb, chrom_seq,
+                region.chrom, region.start, region.stop)
+            viz = (region.chrom, region.start + 1, region.stop, html)
+        return (chrom_, pos, text), viz
+
+    def do_prep(idx, region):
+        nonlocal chrom, chrom_seq
+        if region.stop - region.start > opts.max_str_len:
+            pipeline.counters.too_long += 1
+            conn.send(("settled", idx, None, None))
+            return
+        if region.chrom != chrom:
+            chrom = region.chrom
+            chrom_seq = pipeline.fasta.get_sequence(chrom)
+        try:
+            g = pipeline.prepare_locus_genotyper(region, chrom_seq)
+            if g is None:
+                conn.send(("settled", idx, None, None))
+                return
+            with pipeline.timer.time("Locus packing"):
+                seqs, quals, seeds = g.pool_inputs()
+                if not seqs:
+                    pipeline.counters.genotype_fail += 1
+                    conn.send(("settled", idx, None, None))
+                    return
+                arrays, statics = prepare_locus(g.haplotype, seqs, quals,
+                                                seeds, dtype)
+            items[idx] = (region, g, None)
+            conn.send(("ready", idx, arrays, statics))
+        except Exception as exc:  # skip-and-continue, like the reference
+            pipeline.counters.genotype_fail += 1
+            conn.send(("log", f"ERROR at {region}: {exc!r}"))
+            conn.send(("settled", idx, None, None))
+
+    def do_ll(idx, LL):
+        region, g, gen = items[idx]
+        try:
+            g.set_pool_lls(LL)
+            with pipeline.timer.time("Genotyping (adaptive)"):
+                g.calc_log_sample_posteriors()
+                if gen is None:
+                    gen = g.adaptive_steps(opts.max_haps,
+                                           opts.max_hap_flanks,
+                                           opts.min_flank_freq)
+                    items[idx] = (region, g, gen)
+                try:
+                    next(gen)
+                except StopIteration as stop:
+                    del items[idx]
+                    if stop.value:
+                        rec, viz = build_record(idx, g, region)
+                        conn.send(("settled", idx, rec, viz))
+                    else:
+                        pipeline.counters.genotype_fail += 1
+                        conn.send(("settled", idx, None, None))
+                    return
+            with pipeline.timer.time("Locus packing"):
+                seqs, quals, seeds = g.pool_inputs()
+                arrays, statics = prepare_locus(g.haplotype, seqs, quals,
+                                                seeds, dtype)
+            conn.send(("ready", idx, arrays, statics))
+        except Exception as exc:
+            items.pop(idx, None)
+            pipeline.counters.genotype_fail += 1
+            conn.send(("log", f"ERROR at {region}: {exc!r}"))
+            conn.send(("settled", idx, None, None))
+
+    while True:
+        msg = conn.recv()
+        tag = msg[0]
+        if tag == "prep":
+            do_prep(msg[1], msg[2])
+        elif tag == "ll":
+            do_ll(msg[1], msg[2])
+        elif tag == "fin":
+            conn.send(("fin", pipeline.counters, pipeline._stutter_out,
+                       pipeline.timer.totals))
+            conn.close()
+            return
+
+
+# --------------------------------------------------------------- parent side
+
+
+class _ReadyItem:
+    __slots__ = ("idx", "arrays", "statics", "worker")
+
+    def __init__(self, idx, arrays, statics, worker):
+        self.idx = idx
+        self.arrays = arrays
+        self.statics = statics
+        self.worker = worker
+
+    def shape_key(self):
+        import jax
+        leaves = jax.tree.leaves(self.arrays)
+        return (self.statics[:5],
+                tuple(getattr(x, "shape", ()) for x in leaves))
+
+
+def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
+               worker_spec: dict, n_workers: int = 3,
+               batch_size: int = 32, full_command: str = "hipstr-tpu",
+               window: int = 0):
+    """Worker-pool analogue of executor.run_batched; identical outputs.
+
+    The parent never runs per-locus host phases — it routes messages,
+    stacks ready tensors, and owns every device dispatch.
+    """
+    import jax
+    from .executor import BatchedAligner, LocusWorkItem
+    from ..io.regions import read_regions
+    from ..io.vcf_write import VCFWriter, build_vcf_header
+
+    opts = pipeline.opts
+    regions = list(read_regions(regions_bed, opts.max_regions, opts.chrom,
+                                opts.locus_shard))
+    window = window or batch_size * 4
+    writer = None
+    if out_vcf:
+        header = build_vcf_header(pipeline.fasta_path, full_command,
+                                  pipeline.fasta.contig_header_lines(),
+                                  pipeline.samples, opts.output)
+        writer = VCFWriter(out_vcf, header)
+
+    ctx = mp.get_context("spawn")
+    conns = []
+    procs = []
+    for w in range(n_workers):
+        parent_conn, child_conn = ctx.Pipe()
+        proc = ctx.Process(target=_worker_main, args=(child_conn, worker_spec),
+                           daemon=True)
+        proc.start()
+        child_conn.close()
+        conns.append(parent_conn)
+        procs.append(proc)
+
+    aligner = BatchedAligner(opts.dtype, batch_size, pipeline.logger)
+    ready: List[_ReadyItem] = []
+    inflight: deque = deque()       # (chunk [_ReadyItem], handle)
+    settled: Dict[int, tuple] = {}  # idx -> (rec, viz)
+    next_emit = 0
+    n_regions = len(regions)
+    next_region = 0
+    n_settled = 0
+    outstanding = [0] * n_workers   # preps+lls awaiting a reply per worker
+    PREFETCH = max(8, window // max(1, n_workers))
+
+    viz_records: List[tuple] = []
+
+    def drain_settled():
+        nonlocal next_emit
+        while next_emit in settled:
+            rec, viz = settled.pop(next_emit)
+            if rec is not None and writer is not None:
+                writer.add_vcf_record(rec[0], rec[1], rec[2])
+            if viz is not None:
+                viz_records.append(viz)
+            next_emit += 1
+
+    def feed_preps():
+        nonlocal next_region
+        while next_region < n_regions:
+            w = min(range(n_workers), key=lambda i: outstanding[i])
+            if outstanding[w] >= PREFETCH:
+                return
+            idx = next_region
+            pipeline.logger.log(f"Preparing region {regions[idx]} ...")
+            conns[w].send(("prep", idx, regions[idx]))
+            outstanding[w] += 1
+            next_region += 1
+
+    def handle_msg(w, msg):
+        nonlocal n_settled
+        tag = msg[0]
+        if tag == "ready":
+            outstanding[w] -= 1
+            ready.append(_ReadyItem(msg[1], msg[2], msg[3], w))
+        elif tag == "settled":
+            outstanding[w] -= 1
+            settled[msg[1]] = (msg[2], msg[3])
+            n_settled += 1
+        elif tag == "log":
+            pipeline.logger.log(msg[1])
+
+    def poll_workers(timeout=0.0):
+        got = False
+        for w, c in enumerate(conns):
+            while c.poll(timeout if not got else 0.0):
+                m = c.recv()
+                if m[0] == "log":
+                    pipeline.logger.log(m[1])
+                    continue
+                handle_msg(w, m)
+                got = True
+        return got
+
+    def dispatch_ready():
+        nonlocal ready
+        if not ready:
+            return
+        for item in ready:
+            work = LocusWorkItem.__new__(LocusWorkItem)
+            work.region = None
+            work.genotyper = None
+            work.arrays = item.arrays
+            work.statics = item.statics
+            work.chrom_seq = None
+            work.gen = None
+            work._pool_item = item
+            aligner.add(work)
+        ready = []
+        for chunk, handle in aligner.dispatch_all():
+            inflight.append((chunk, handle))
+
+    def fetch_one():
+        chunk, handle = inflight.popleft()
+        with pipeline.timer.time("Device fetch"):
+            LL_all = np.asarray(handle)
+        for gi, work in enumerate(chunk):
+            item = work._pool_item
+            P_real, H_real = item.statics[5], item.statics[6]
+            LL = LL_all[gi, :P_real, :H_real]
+            conns[item.worker].send(("ll", item.idx, LL))
+            outstanding[item.worker] += 1
+
+    while n_settled < n_regions:
+        feed_preps()
+        poll_workers(timeout=0.001)
+        drain_settled()
+        # dispatch once enough work is staged (or nothing else can make
+        # progress); fetch to keep at most two device rounds in flight
+        starved = (next_region >= n_regions
+                   and not any(outstanding) and not inflight)
+        if ready and (len(ready) >= window or starved
+                      or (not inflight and not any(outstanding))):
+            dispatch_ready()
+        if inflight and (len(inflight) > 1 or not poll_workers()):
+            fetch_one()
+            continue
+        if (not ready and not inflight and n_settled < n_regions
+                and not poll_workers(timeout=0.05)):
+            time.sleep(0.005)
+    drain_settled()
+
+    # collect worker state
+    for w, c in enumerate(conns):
+        c.send(("fin",))
+    for w, c in enumerate(conns):
+        while True:
+            msg = c.recv()
+            if msg[0] == "fin":
+                _, counters, stutter_out, timer_totals = msg
+                for f in counters.__dataclass_fields__:
+                    setattr(pipeline.counters, f,
+                            getattr(pipeline.counters, f)
+                            + getattr(counters, f))
+                pipeline._stutter_out.update(stutter_out)
+                for name, secs in timer_totals.items():
+                    pipeline.timer.add_time(f"{name} (workers)", secs)
+                break
+            handle_msg(w, msg)
+        c.close()
+    for proc in procs:
+        proc.join(timeout=10)
+        if proc.is_alive():
+            proc.terminate()
+
+    if writer is not None:
+        writer.close()
+    if pipeline.viz_writer is not None:
+        for chrom_, start, stop, html in sorted(viz_records,
+                                                key=lambda r: (r[0], r[1])):
+            pipeline.viz_writer.add(chrom_, start, stop, html)
+        pipeline.viz_writer.close()
+    if pipeline.pass_writer is not None:
+        pipeline.pass_writer.close()
+    if pipeline.filt_writer is not None:
+        pipeline.filt_writer.close()
+    if opts.stutter_out:
+        from ..models.stutter import write_stutter_models
+        with open(opts.stutter_out, "w") as fh:
+            write_stutter_models(pipeline._stutter_out, fh)
+    return pipeline.counters

@@ -27,15 +27,33 @@ from ..align.haplotype import Haplotype
 from ..align.packing import pack_haplotypes, pack_reads
 from ..ops.hmm import HapMeta, IMPOSSIBLE, SeedMeta, SegmentInputs, hmm_forward
 
-# Coarse buckets: every distinct combination costs one XLA compile, so fewer,
-# larger buckets win even at some padding waste.
-BUCKETS_L = [64, 128, 192, 256, 384, 512]
-BUCKETS_ROWS = [16, 32, 64, 96, 128, 224]
-BUCKETS_H = [4, 8, 16, 32, 64, 128, 256, 512, 1024]
-BUCKETS_P = [16, 32, 64, 128, 256, 512, 1024]
-BUCKETS_S = [64, 128, 256, 384]
-BUCKETS_O = [4, 8, 16, 32, 64]
-BUCKETS_B = [32, 64, 128, 192]
+# Two bucket profiles.  On TPU every distinct shape combination costs a
+# fresh trace+lower+remote-compile (tens of seconds), so buckets are few and
+# coarse — padding waste is ~free at 2ms/locus.  On CPU compiles are cheap
+# and padded lanes cost real host FLOPs and memory, so buckets hug the data.
+_TPU_BUCKETS = dict(
+    L=[128, 256, 512],
+    ROWS=[32, 64, 128, 224],
+    H=[8, 32, 128, 512, 1024],
+    P=[32, 64, 128, 256, 512, 1024],
+    S=[128, 384],
+    O=[8, 32, 64],
+    B=[64, 192],
+)
+_CPU_BUCKETS = dict(
+    L=[64, 128, 192, 256, 384, 512],
+    ROWS=[16, 32, 64, 96, 128, 224],
+    H=[4, 8, 16, 32, 64, 128, 256, 512, 1024],
+    P=[16, 32, 64, 128, 256, 512, 1024],
+    S=[64, 128, 256, 384],
+    O=[4, 8, 16, 32, 64],
+    B=[32, 64, 128, 192],
+)
+
+
+def _profile() -> dict:
+    return (_CPU_BUCKETS if jax.default_backend() == "cpu"
+            else _TPU_BUCKETS)
 
 
 def _bucket(v: int, buckets) -> int:
@@ -71,9 +89,10 @@ def _pad_orientation(d: dict, sr_real: int, R_real: int, H_pad: int,
                      O_pad: int, B_pad: int):
     """Pad one orientation's row metadata; returns (new dict, row_map fn,
     B1, R_pad)."""
-    B1 = _bucket(sr_real, BUCKETS_ROWS)
+    B1 = _bucket(sr_real, _profile()["ROWS"])
     tail = R_real - sr_real - 2
-    B3 = _bucket(max(tail, 0), BUCKETS_ROWS) if tail > 0 else _bucket(1, BUCKETS_ROWS)
+    B3 = (_bucket(max(tail, 0), _profile()["ROWS"]) if tail > 0
+          else _bucket(1, _profile()["ROWS"]))
     pad1 = B1 - sr_real
     R_pad = B1 + 2 + B3
 
@@ -130,15 +149,15 @@ def prepare_locus(haplotype: Haplotype, seqs, quals, seeds,
     P_real = len(seqs)
     H_real = haplotype.num_combs
     L_need = max(2, max(len(s) for s in seqs) - 1)
-    L = _bucket(L_need, BUCKETS_L)
+    L = _bucket(L_need, _profile()["L"])
 
     packed = pack_haplotypes(haplotype, L)
     reads = pack_reads(seqs, quals, seeds, L)
 
-    H_pad = _bucket(H_real, BUCKETS_H)
-    O_pad = _bucket(packed.O, BUCKETS_O)
-    B_pad = _bucket(packed.fw["rep_rev_codes"].shape[1], BUCKETS_B)
-    P_pad = _bucket(P_real, BUCKETS_P)
+    H_pad = _bucket(H_real, _profile()["H"])
+    O_pad = _bucket(packed.O, _profile()["O"])
+    B_pad = _bucket(packed.fw["rep_rev_codes"].shape[1], _profile()["B"])
+    P_pad = _bucket(P_real, _profile()["P"])
 
     sr_f = packed.fw["stutter_row"]
     sr_r = packed.rev["stutter_row"]
@@ -149,7 +168,7 @@ def prepare_locus(haplotype: Haplotype, seqs, quals, seeds,
 
     sd = packed.seed
     S_real = len(sd["seed_fw_row"])
-    S_pad = _bucket(max(S_real, 1), BUCKETS_S)
+    S_pad = _bucket(max(S_real, 1), _profile()["S"])
     seed_fw_row = np.zeros(S_pad, dtype=np.int32)
     seed_rev_row = np.zeros(S_pad, dtype=np.int32)
     seed_valid = np.zeros(S_pad, dtype=bool)
