@@ -4,8 +4,17 @@ The XLA formulations (ops/stutter_emission.py) materialize
 [artifacts, block+1, L] intermediates per (locus, pool, option) — tens of
 GB of HBM traffic per batch, which made E ~80% of the forward pass.  This
 kernel streams the same math through VMEM: grid = (loci, options), each
-program holds [P, L] pool slabs and sweeps the block axis with static
-lane-rolls, so nothing bigger than [P, L] ever leaves registers/VMEM.
+program holds [P, L] pool slabs and sweeps the block axis, so nothing
+bigger than [P, L] ever leaves registers/VMEM.
+
+The block sweeps are `lax.fori_loop`s with *runtime* trip counts (the
+real block length, not the bucket pad): a fully unrolled formulation
+traced O(Bmax * artifacts) jaxpr (50s of host time per compiled shape and
+2.7MB Mosaic payloads), while the loops keep the jaxpr O(artifacts) and
+skip padded columns at run time.  Dynamic lane shears are binary-
+decomposition static rolls + iota mask (Mosaic has no dynamic rotate on
+non-128 lane dims), batched so each loop iteration pays one shear over a
+stacked [artifacts+1, P, L] slab.
 
 Structure per program (math identical to `stutter_emissions`, reference:
 src/SeqAlignment/StutterAlignerClass.cpp:55-162):
@@ -43,7 +52,6 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
     blc = blc_ref[0]
     blen = blen_ref[g, o]
     nd = max_units
-    nD = 2 * max_units + 1
     j_ids = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
     zeros = jnp.zeros((P, L), dtype)
     dps = [(max_units - d) * period for d in range(nd)]   # 6p, 5p, .., 1p
@@ -51,21 +59,37 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
     max_ins = max_units * period
 
     def col_S(k):
-        """Score column k: log P(read char | block char b_rev[k]), zero
-        outside the block (k >= blen) or beyond the padded width."""
-        if k >= Bmax:
-            return zeros
-        ch = brev_ref[g, o, k]
+        """Score column k (k may be traced): log P(read char | block char
+        b_rev[k]), zero outside the block (k >= blen)."""
+        kc = jnp.clip(k, 0, Bmax - 1)
+        ch = brev_ref[g, o, kc]
         Sk = jnp.where(codes == ch, blc, blw)
         return jnp.where(k < blen, Sk, zeros)
 
-    def sheared(x, t):
-        """x[j - t] with zero fill for j < t (static lane roll)."""
-        if t == 0:
-            return x
-        if t >= L:
-            return zeros
-        return jnp.where(j_ids >= t, jnp.roll(x, t, axis=1), zeros)
+    def dyn_shear(x, t):
+        """x[..., j - t] with zero fill for j < t.  Static roll for
+        compile-time t; binary-decomposition static rolls + mask for traced
+        t (works for t >= L: the mask empties the row)."""
+        if isinstance(t, (int, np.integer)):
+            if t == 0:
+                return x
+            if t >= L:
+                return jnp.zeros_like(x)
+            return jnp.where(j_ids >= t, jnp.roll(x, t, axis=-1),
+                             jnp.zeros_like(x))
+        bs = t % L
+        y = x
+        k = 1
+        while k < L:
+            y = jnp.where((bs & k) != 0, jnp.roll(y, k, axis=-1), y)
+            k *= 2
+        return jnp.where(j_ids >= t, y, jnp.zeros_like(x))
+
+    def stack_cols(t):
+        """[nd+1, P, L] stacked score columns (t, t+dp_0..dp_{nd-1})
+        sheared by t with ONE batched shear."""
+        cols = jnp.stack([col_S(t)] + [col_S(t + dp) for dp in dps])
+        return dyn_shear(cols, t)
 
     # ---- pass 1: forward prefixes; capture E0 and deletion totals --------
     e0_s[:] = zeros
@@ -73,20 +97,18 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
     for d in range(nd):
         run6_s[d] = zeros
         tot6_s[d] = zeros
-    for t in range(Bmax):
-        pref0_s[:] = pref0_s[:] + sheared(col_S(t), t)
 
-        @pl.when(t + 1 == blen)
-        def _():
-            e0_s[:] = pref0_s[:]
-
+    def body1(t, _):
+        sc = stack_cols(t)
+        pref0_s[:] = pref0_s[:] + sc[0]
+        e0_s[:] = jnp.where(t + 1 == blen, pref0_s[:], e0_s[:])
         for d in range(nd):
-            dp = dps[d]
-            run6_s[d] = run6_s[d] + sheared(col_S(t + dp), t)
+            run6_s[d] = run6_s[d] + sc[1 + d]
+            tot6_s[d] = jnp.where(t + 1 == blen - dps[d], run6_s[d],
+                                  tot6_s[d])
+        return 0
 
-            @pl.when(t + 1 == blen - dp)
-            def _():
-                tot6_s[d] = run6_s[d]
+    jax.lax.fori_loop(0, blen, body1, 0)
 
     # ---- pass 2: deletion position LSE (evaluate at p, then extend) ------
     pref0_s[:] = zeros
@@ -94,21 +116,23 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
         run6_s[d] = zeros
         mx6_s[d] = jnp.full((P, L), NEG_INF, dtype)
         sm6_s[d] = zeros
-    for p in range(Bmax + 1):
-        for d in range(nd):
-            dp = dps[d]
 
-            @pl.when(p <= blen - dp)
-            def _():
-                val = pref0_s[:] + tot6_s[d] - run6_s[d]
-                new_max = jnp.maximum(mx6_s[d], val)
-                sm6_s[d] = (sm6_s[d] * jnp.exp(mx6_s[d] - new_max)
-                            + jnp.exp(val - new_max))
-                mx6_s[d] = new_max
-        if p < Bmax:
-            pref0_s[:] = pref0_s[:] + sheared(col_S(p), p)
-            for d in range(nd):
-                run6_s[d] = run6_s[d] + sheared(col_S(p + dps[d]), p)
+    def body2(p, _):
+        for d in range(nd):
+            ok = p <= blen - dps[d]
+            val = pref0_s[:] + tot6_s[d] - run6_s[d]
+            contrib = jnp.where(ok, val, jnp.full((P, L), NEG_INF, dtype))
+            new_max = jnp.maximum(mx6_s[d], contrib)
+            sm6_s[d] = (sm6_s[d] * jnp.exp(mx6_s[d] - new_max)
+                        + jnp.exp(contrib - new_max))
+            mx6_s[d] = new_max
+        sc = stack_cols(p)          # adds zeros once p >= blen
+        pref0_s[:] = pref0_s[:] + sc[0]
+        for d in range(nd):
+            run6_s[d] = run6_s[d] + sc[1 + d]
+        return 0
+
+    jax.lax.fori_loop(0, blen + 1, body2, 0)
 
     for d in range(nd):
         rem = blen - dps[d]
@@ -122,51 +146,57 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
 
     # ---- pass 3: insertions ----------------------------------------------
     # inserted-base scores with periodic extension; plain log-correct when
-    # the periodic index falls outside the block
+    # the periodic index falls outside the block.  max_ins is small and
+    # static (6 * period); the captures at t + 1 == kps[k] use static rolls.
     pref0_s[:] = zeros                      # reused as the insertion cumsum
-    for t in range(max_ins):
+
+    def body3(t, _):
         cm = t % period
         ch = brev_ref[g, o, cm]
         Sk = jnp.where(codes == ch, blc, blw)
         pair = jnp.where(cm < blen, Sk, blc)
-        pref0_s[:] = pref0_s[:] + sheared(pair, t)
+        pref0_s[:] = pref0_s[:] + dyn_shear(pair, t)
         for k in range(nd):
-            if kps[k] == t + 1:
-                # cum[k] starts at LL0 = ins0[k] + rest[k]
-                cum6_s[k] = pref0_s[:] + sheared(e0_s[:], kps[k])
+            start = pref0_s[:] + dyn_shear(e0_s[:], kps[k])
+            cum6_s[k] = jnp.where(t + 1 == kps[k], start, cum6_s[k])
+        return 0
+
+    for k in range(nd):
+        cum6_s[k] = zeros
+    jax.lax.fori_loop(0, max_ins, body3, 0)
 
     # position sweep: cum[k, p] evaluated online with the P*-clamp
     for k in range(nd):
         mx6_s[k] = jnp.full((P, L), NEG_INF, dtype)
         sm6_s[k] = zeros
         star6_s[k] = zeros
-    for p in range(Bmax + 1):
+
+    def body4(p, _):
         for k in range(nd):
             kp = kps[k]
             # P*[j] = clip(min(blen + kp, j + 1) - kp, 0, blen)
             Pstar = jnp.clip(jnp.minimum(blen, j_ids + 1 - kp), 0, blen)
+            val = cum6_s[k]
+            star6_s[k] = jnp.where(p == Pstar, val, star6_s[k])
+            contrib = jnp.where(p <= Pstar, val,
+                                jnp.full((P, L), NEG_INF, dtype))
+            new_max = jnp.maximum(mx6_s[k], contrib)
+            sm6_s[k] = (sm6_s[k] * jnp.exp(mx6_s[k] - new_max)
+                        + jnp.exp(contrib - new_max))
+            mx6_s[k] = new_max
+        # accumulate deltas: cum[k] += sum_{m<=k} G[m, q=p] where G[m] is
+        # the (frozen-masked) score delta rolled by kps[m]
+        q = p
+        diff = col_S(q + period) - col_S(q)
+        diff = jnp.where(q + period >= blen, zeros, diff)
+        base = dyn_shear(diff, q)
+        run = zeros
+        for m in range(nd):
+            run = run + dyn_shear(base, kps[m])
+            cum6_s[m] = cum6_s[m] + run
+        return 0
 
-            @pl.when(p <= blen)
-            def _():
-                val = cum6_s[k]
-                star6_s[k] = jnp.where(p == Pstar, val, star6_s[k])
-                contrib = jnp.where(p <= Pstar, val,
-                                    jnp.full((P, L), NEG_INF, dtype))
-                new_max = jnp.maximum(mx6_s[k], contrib)
-                sm6_s[k] = (sm6_s[k] * jnp.exp(mx6_s[k] - new_max)
-                            + jnp.exp(contrib - new_max))
-                mx6_s[k] = new_max
-        if p < Bmax:
-            # accumulate deltas: cum[k] += sum_{m<=k} G[m, q=p] where
-            # G[m] is the (frozen-masked) score delta rolled by m_sh[m]
-            q = p
-            diff = col_S(q + period) - col_S(q)
-            diff = jnp.where(q + period >= blen, zeros, diff)
-            base = sheared(diff, q)
-            run = zeros
-            for m in range(nd):
-                run = run + sheared(base, kps[m])
-                cum6_s[m] = cum6_s[m] + run
+    jax.lax.fori_loop(0, blen + 1, body4, 0)
 
     for k in range(nd):
         kp = kps[k]

@@ -46,6 +46,7 @@ from .stutter_emission import stutter_emissions_tpu
 
 NEG = -1.0e30
 IMPOSSIBLE = -1.0e9
+STRIDE = 1024   # per-(locus, hap) scalar-stream stride; 1-D VMEM tile size
 
 
 def _shift_right_lanes(x, fill):
@@ -72,17 +73,24 @@ def _seg_kernel(opt_ref, shift_ref, bounds_ref,       # scalar prefetch (SMEM)
                 E_ref,
                 Mcol_ref,
                 M_s, I_s, D_s, meta_ref, lpmf_ref, dma_sem,
-                *, R, sr, period, nD, dtype):
+                *, R, sr, period, nD, dtype, H):
     g = pl.program_id(0)
     h = pl.program_id(1)
     # per-(locus, hap) scalar streams are DMAd into SMEM scratch per grid
     # step — full-array scalar prefetch is O(G*H*R) and overflows the ~1MB
     # SMEM budget at G=32, while blocked SMEM specs violate the (8,128)
-    # block-shape rule
-    cp = pltpu.make_async_copy(meta_hbm.at[g, h], meta_ref, dma_sem)
+    # block-shape rule.  The streams are FLATTENED to 1-D with a
+    # 1024-element stride per (locus, hap): Mosaic rejects [1, 1, Rp]
+    # slices of a [G, H, Rp] tiled ref (size-1 slice of the 8-tiled middle
+    # dim), and 1-D VMEM refs are 1024-tiled, so both the slice offset and
+    # length must be 1024 multiples.
+    idx = g * H + h
+    cp = pltpu.make_async_copy(meta_hbm.at[pl.ds(idx * STRIDE, STRIDE)],
+                               meta_ref, dma_sem)
     cp.start()
     cp.wait()
-    cp = pltpu.make_async_copy(lpmf_hbm.at[g, h], lpmf_ref, dma_sem)
+    cp = pltpu.make_async_copy(lpmf_hbm.at[pl.ds(idx * STRIDE, STRIDE)],
+                               lpmf_ref, dma_sem)
     cp.start()
     cp.wait()
     codes = codes_ref[0]      # [P, L] int32
@@ -232,15 +240,15 @@ def segment_forward_v2(codes, quals, last_col, meta, E,
     opt_tab = meta.hap_opt.astype(jnp.int32)                   # [G,H]
     shift_h = shift_h.astype(jnp.int32)
     lpmf_h = lpmf_h.astype(dtype)
-    # DMA slices out of HBM must be lane-aligned: pad the trailing scalar
-    # dims to multiples of 128
-    Rp = -(-R // 128) * 128
-    nDp = 128
-    meta_packed = jnp.pad(meta_packed, ((0, 0), (0, 0), (0, Rp - R)))
-    lpmf_h = jnp.pad(lpmf_h, ((0, 0), (0, 0), (0, nDp - nD)))
+    # 1-D VMEM refs are 1024-tiled: every per-(locus, hap) stream occupies
+    # one STRIDE-sized chunk so DMA offsets/lengths stay 1024-aligned
+    assert R <= STRIDE and nD <= STRIDE
+    meta_packed = jnp.pad(meta_packed,
+                          ((0, 0), (0, 0), (0, STRIDE - R))).reshape(-1)
+    lpmf_h = jnp.pad(lpmf_h, ((0, 0), (0, 0), (0, STRIDE - nD))).reshape(-1)
 
     kernel = functools.partial(_seg_kernel, R=R, sr=sr, period=period,
-                               nD=nD, dtype=dtype)
+                               nD=nD, dtype=dtype, H=H)
     pool_spec = pl.BlockSpec((1, P, L), lambda g, h, o, sh, b: (g, 0, 0),
                              memory_space=pltpu.VMEM)
     smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -260,7 +268,7 @@ def segment_forward_v2(codes, quals, last_col, meta, E,
                                lambda g, h, o, sh, b: (g, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((P, L), dtype)] * 3
-        + [pltpu.SMEM((Rp,), jnp.int32), pltpu.SMEM((nDp,), dtype),
+        + [pltpu.SMEM((STRIDE,), jnp.int32), pltpu.SMEM((STRIDE,), dtype),
            pltpu.SemaphoreType.DMA],
     )
     Mcol = pl.pallas_call(

@@ -206,14 +206,15 @@ def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
     ctx = mp.get_context("spawn")
     conns = []
     procs = []
-    for w in range(n_workers):
-        parent_conn, child_conn = ctx.Pipe()
-        proc = ctx.Process(target=_worker_main, args=(child_conn, worker_spec),
-                           daemon=True)
-        proc.start()
-        child_conn.close()
-        conns.append(parent_conn)
-        procs.append(proc)
+    with pipeline.timer.time("Worker spawn"):
+        for w in range(n_workers):
+            parent_conn, child_conn = ctx.Pipe()
+            proc = ctx.Process(target=_worker_main,
+                               args=(child_conn, worker_spec), daemon=True)
+            proc.start()
+            child_conn.close()
+            conns.append(parent_conn)
+            procs.append(proc)
 
     aligner = BatchedAligner(opts.dtype, batch_size, pipeline.logger)
     ready: List[_ReadyItem] = []
@@ -304,9 +305,12 @@ def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
             conns[item.worker].send(("ll", item.idx, LL))
             outstanding[item.worker] += 1
 
+    t_poll = t_idle = 0.0
     while n_settled < n_regions:
         feed_preps()
+        t0 = time.perf_counter()
         poll_workers(timeout=0.001)
+        t_poll += time.perf_counter() - t0
         drain_settled()
         # dispatch once enough work is staged (or nothing else can make
         # progress); fetch to keep at most two device rounds in flight
@@ -318,10 +322,14 @@ def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
         if inflight and (len(inflight) > 1 or not poll_workers()):
             fetch_one()
             continue
-        if (not ready and not inflight and n_settled < n_regions
-                and not poll_workers(timeout=0.05)):
-            time.sleep(0.005)
+        if not ready and not inflight and n_settled < n_regions:
+            t0 = time.perf_counter()
+            if not poll_workers(timeout=0.05):
+                time.sleep(0.005)
+            t_idle += time.perf_counter() - t0
     drain_settled()
+    pipeline.timer.add_time("Pool poll", t_poll)
+    pipeline.timer.add_time("Pool idle", t_idle)
 
     # collect worker state
     for w, c in enumerate(conns):
