@@ -14,6 +14,7 @@ needing realignment regroup and dispatch together instead of one by one.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -22,6 +23,21 @@ import numpy as np
 
 from ..pipeline.hap_aligner import _jitted, prepare_locus
 from ..ops.hmm import hmm_forward
+
+
+def device_em_enabled(opts) -> bool:
+    """Batch EM across the wave on device (ops/em_batched.py) instead of
+    per-locus host numpy.  Default: on for accelerator backends, off on CPU
+    (where the host float64 EM is the golden-parity reference path);
+    HIPSTR_TPU_DEVICE_EM=1/0 forces either way."""
+    if opts.def_stutter_model is not None or opts.stutter_in:
+        return False
+    flag = os.environ.get("HIPSTR_TPU_DEVICE_EM", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() != "cpu"
 
 # On TPU every distinct batch shape costs a fresh trace+lower+compile (tens
 # of seconds on the remote-compile path), while padding a small group up to
@@ -255,11 +271,70 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
     chrom_seq = None
     prepared: List[LocusWorkItem] = []
     in_flight: List[Tuple[List[LocusWorkItem], object]] = []
+    em_device = device_em_enabled(opts)
+    em_staged: List[Tuple[int, object, object, object, str]] = []
+
+    def stage_locus(g, region, local_chrom_seq, order) -> None:
+        with pipeline.timer.time("Locus packing"):
+            seqs, quals, seeds = g.pool_inputs()
+            if not seqs:
+                pipeline.counters.genotype_fail += 1
+                settle(order)
+                return
+            arrays, statics = prepare_locus(g.haplotype, seqs, quals,
+                                            seeds, opts.dtype)
+        prepared.append(
+            LocusWorkItem(region, g, arrays, statics, local_chrom_seq, order))
+
+    def solve_staged_em() -> None:
+        """One device dispatch trains every staged locus's stutter model
+        (ops/em_batched.py; reference train loop
+        src/em_stutter_genotyper.cpp:170-226), then stage-3 preparation
+        continues on host."""
+        nonlocal em_staged
+        if not em_staged:
+            return
+        from ..ops.em_batched import em_train_batch, pack_problems
+        staged, em_staged = em_staged, []
+        with pipeline.timer.time("Stutter estimation (device)"):
+            on_cpu = jax.default_backend() == "cpu"
+            arrays, (_, _, Sm) = pack_problems(
+                [s[3] for s in staged], pad_g=None if on_cpu else window)
+            dtype_name = "float64" if on_cpu else "float32"
+            out = em_train_batch(arrays, Sm, max_iter=opts.max_em_iter,
+                                 min_LL_abs_change=opts.abs_ll_converge,
+                                 min_LL_frac_change=opts.frac_ll_converge,
+                                 dtype_name=dtype_name)
+            params = np.asarray(out["params"], np.float64)
+            conv = np.asarray(out["converged"])
+        from ..models.stutter import StutterModel
+        for i, (order, region, prep, _prob, local_seq) in enumerate(staged):
+            try:
+                if not conv[i]:
+                    pipeline.counters.em_fail += 1
+                    pipeline.logger.log(f"Stutter EM failed for {region}")
+                    settle(order)
+                    continue
+                model = StutterModel(*params[i], region.period)
+                pipeline.register_learned_model(region, model)
+                if opts.skip_genotyping:
+                    settle(order)
+                    continue
+                g = pipeline.finish_prepare(prep, region, local_seq, model)
+                if g is None:
+                    settle(order)
+                    continue
+                stage_locus(g, region, local_seq, order)
+            except Exception as exc:
+                pipeline.counters.genotype_fail += 1
+                settle(order)
+                pipeline.logger.log(f"ERROR at {region}: {exc!r}")
 
     def launch_wave():
         """Dispatch the prepared loci, then settle the PREVIOUS wave while
         this one computes — host work overlaps device work across waves."""
         nonlocal prepared, in_flight
+        solve_staged_em()
         for item in prepared:
             aligner.add(item)
         prepared = []
@@ -277,20 +352,28 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
             chrom_seq = pipeline.fasta.get_sequence(chrom)
         pipeline.logger.log(f"Preparing region {region} ...")
         try:
+            if em_device:
+                prep = pipeline.prepare_reads(region, chrom_seq)
+                if prep is None:
+                    settle(order)
+                    continue
+                with pipeline.timer.time("Stutter estimation"):
+                    inputs = pipeline.stutter_em_inputs(
+                        prep.alns_by_rg, prep.log_p1s, prep.log_p2s, region)
+                if inputs is None:
+                    settle(order)
+                    continue
+                from ..ops.em_batched import EMProblem
+                prob = EMProblem.build(prep.haploid, region.period, *inputs)
+                em_staged.append((order, region, prep, prob, chrom_seq))
+                if len(prepared) + len(em_staged) >= window:
+                    launch_wave()
+                continue
             g = pipeline.prepare_locus_genotyper(region, chrom_seq)
             if g is None:
                 settle(order)
                 continue
-            with pipeline.timer.time("Locus packing"):
-                seqs, quals, seeds = g.pool_inputs()
-                if not seqs:
-                    pipeline.counters.genotype_fail += 1
-                    settle(order)
-                    continue
-                arrays, statics = prepare_locus(g.haplotype, seqs, quals,
-                                                seeds, opts.dtype)
-            prepared.append(
-                LocusWorkItem(region, g, arrays, statics, chrom_seq, order))
+            stage_locus(g, region, chrom_seq, order)
             if len(prepared) >= window:
                 launch_wave()
         except Exception as exc:

@@ -36,6 +36,17 @@ from .genotyper import SeqStutterGenotyper
 from .vcf_record import OutputConfig, build_vcf_record
 
 MAX_MATE_DIST = 1000
+
+
+@dataclass
+class PreparedReads:
+    """Stage-1 output of the locus prepare path (filters + phasing done)."""
+    rg_names: List[str]
+    alns_by_rg: List[List["BamAlign"]]
+    log_p1s: List[List[float]]
+    log_p2s: List[List[float]]
+    haploid: bool
+
 MIN_BP_BEFORE_INDEL = 7
 MIN_FLANK = 5
 MIN_READ_END_MATCH = 10
@@ -522,6 +533,17 @@ class GenotyperPipeline:
         """Host phases of analyze_reads_and_phasing
         (genotyper_bam_processor.cpp:161-289) up to the first batched
         alignment; returns a prepared genotyper or None."""
+        prep = self.prepare_reads(region, chrom_seq)
+        if prep is None:
+            return None
+        stutter_model = self.resolve_stutter_model(prep, region)
+        if stutter_model is None:
+            return None
+        return self.finish_prepare(prep, region, chrom_seq, stutter_model)
+
+    def prepare_reads(self, region: Region, chrom_seq: str
+                      ) -> Optional["PreparedReads"]:
+        """Stage 1: filters, dedup, phasing LLs, read-count guards."""
         with self.timer.time("Read filtering"):
             (rg_names, paired_by_rg, mates_by_rg, unpaired_by_rg,
              too_many) = self.read_and_filter_reads(region, chrom_seq)
@@ -588,8 +610,14 @@ class GenotyperPipeline:
             return None
 
         haploid = region.chrom in self.opts.haploid_chroms
+        return PreparedReads(rg_names, alns_by_rg, log_p1s, log_p2s, haploid)
 
-        # stutter model selection
+    def resolve_stutter_model(self, prep: "PreparedReads", region: Region
+                              ) -> Optional[StutterModel]:
+        """Stage 2: stutter model selection (default / file / host EM);
+        counters updated on failure (genotyper_bam_processor.cpp:161-221)."""
+        rg_names, alns_by_rg = prep.rg_names, prep.alns_by_rg
+        log_p1s, log_p2s, haploid = prep.log_p1s, prep.log_p2s, prep.haploid
         if self.opts.def_stutter_model is not None:
             stutter_model = self.opts.def_stutter_model.with_period(region.period)
         elif self.opts.stutter_in:
@@ -605,16 +633,27 @@ class GenotyperPipeline:
                     alns_by_rg, log_p1s, log_p2s, haploid, rg_names, region)
             if stutter_model is None:
                 return None
-            if self.opts.stutter_out:
-                self._stutter_out[(region.chrom, region.start,
-                                   region.stop)] = stutter_model
-
+            self.register_learned_model(region, stutter_model)
         if self.opts.skip_genotyping:
             # --skip-genotyping: stop after stutter-model estimation
             # (reference: hipstr_main.cpp:387,513 — no VCF writer is opened,
             # so genotyper_bam_processor.cpp:222 skips the genotyping block)
             return None
+        return stutter_model
 
+    def register_learned_model(self, region: Region,
+                               stutter_model: StutterModel) -> None:
+        """Record an EM-learned model for --stutter-out."""
+        if self.opts.stutter_out:
+            self._stutter_out[(region.chrom, region.start,
+                               region.stop)] = stutter_model
+
+    def finish_prepare(self, prep: "PreparedReads", region: Region,
+                       chrom_seq: str, stutter_model: StutterModel
+                       ) -> Optional[SeqStutterGenotyper]:
+        """Stage 3: left alignment, ref-panel alleles, genotyper build."""
+        rg_names, alns_by_rg = prep.rg_names, prep.alns_by_rg
+        log_p1s, log_p2s, haploid = prep.log_p1s, prep.log_p2s, prep.haploid
         with self.timer.time("Left alignment"):
             left_alns, filt_p1s, filt_p2s = self.left_align_reads(
                 region, chrom_seq, alns_by_rg, log_p1s, log_p2s)
@@ -703,10 +742,11 @@ class GenotyperPipeline:
             log_p2s.append(p2s)
         return log_p1s, log_p2s
 
-    def learn_stutter_model(self, alns_by_rg, log_p1s, log_p2s, haploid,
-                            rg_names, region: Region) -> Optional[StutterModel]:
-        """Port of learn_stutter_model
-        (genotyper_bam_processor.cpp:104-159)."""
+    def stutter_em_inputs(self, alns_by_rg, log_p1s, log_p2s,
+                          region: Region):
+        """STR bp-diff extraction + informative-read guard (the front half
+        of learn_stutter_model, genotyper_bam_processor.cpp:104-123);
+        returns (str_bps, p1s, p2s) or None with counters updated."""
         from ..align.alignment_data import CigarElement, extract_cigar_bp_diff
         MAX_INF_READS = 10000
         str_bps = [[] for _ in alns_by_rg]
@@ -734,6 +774,16 @@ class GenotyperPipeline:
                             f"reads for stutter training ({inf_reads})")
             self.counters.too_few_reads += 1
             return None
+        return str_bps, p1s, p2s
+
+    def learn_stutter_model(self, alns_by_rg, log_p1s, log_p2s, haploid,
+                            rg_names, region: Region) -> Optional[StutterModel]:
+        """Port of learn_stutter_model
+        (genotyper_bam_processor.cpp:104-159)."""
+        inputs = self.stutter_em_inputs(alns_by_rg, log_p1s, log_p2s, region)
+        if inputs is None:
+            return None
+        str_bps, p1s, p2s = inputs
         em = EMStutterGenotyper(haploid, region.period, str_bps, p1s, p2s,
                                 ref_allele=0)
         res = em.train(self.opts.max_em_iter, self.opts.abs_ll_converge,
