@@ -85,6 +85,61 @@ def _segment_sum(xp, contrib, sample_index, num_samples):
     return jax.ops.segment_sum(contrib, sample_index, num_segments=num_samples)
 
 
+def batched_pool_posteriors(jnp, LL, pm, Sm: int, dtype):
+    """Fused device posteriors for a batch of loci, straight from the
+    [G, P, H] pool LLs of the HMM dispatch (reference:
+    src/genotyper.cpp:44-80 plus the mate-pair LL summing of
+    seq_stutter_genotyper.cpp:530-564).
+
+    pm is the stacked padded posterior-meta dict (see
+    SeqStutterGenotyper.posterior_meta / hap_aligner.prepare_locus):
+    pool_row/mate_index/sample [G, R] int32, has_mate/read_ok [G, R] bool,
+    weights/log_p1/log_p2 [G, R], n_alleles [G] int32, haploid [G] bool.
+    Padded reads carry weight 0; alleles >= n_alleles[g] are masked NEG.
+    Returns (log_post [G, Sm, H, H], totals [G, Sm]).
+    """
+    import jax
+
+    G, P, H = LL.shape
+    LL = LL.astype(dtype)
+    pool_row = pm["pool_row"].astype(jnp.int32)
+    LLr = jnp.take_along_axis(LL, pool_row[:, :, None], axis=1)  # [G, R, H]
+    LLr = jnp.where(pm["read_ok"][:, :, None], LLr, 0.0)
+    mate = jnp.take_along_axis(LLr, pm["mate_index"].astype(jnp.int32)
+                               [:, :, None], axis=1)
+    comb = LLr + jnp.where(pm["has_mate"][:, :, None], mate, 0.0)
+
+    A = pm["n_alleles"].astype(dtype)[:, None, None]             # runtime A
+    amask = (jnp.arange(H)[None, :] < pm["n_alleles"][:, None])  # [G, H]
+    gmask = amask[:, :, None] & amask[:, None, :]
+    diag = jnp.eye(H, dtype=bool)[None]
+    homo = jnp.log(2.0) - jnp.log(A) - jnp.log(A + 1.0)
+    het = -jnp.log(A) - jnp.log(A + 1.0)
+    pri = jnp.where(diag, homo, het)
+    pri_hap = jnp.where(diag, -jnp.log(A), NEG)
+    priors = jnp.where(pm["haploid"][:, None, None], pri_hap, pri)
+    priors = jnp.where(gmask, priors, NEG)
+
+    w = pm["weights"].astype(dtype)
+    t1 = LOG_ONE_HALF + pm["log_p1"].astype(dtype)[:, :, None] + comb
+    t2 = LOG_ONE_HALF + pm["log_p2"].astype(dtype)[:, :, None] + comb
+    a = t1[:, :, :, None]
+    b = t2[:, :, None, :]
+    m = jnp.maximum(a, b)
+    lse = m + jnp.log1p(jnp.exp(jnp.minimum(a, b) - m))          # [G,R,H,H]
+    contrib = w[:, :, None, None] * lse
+
+    sums = jax.vmap(lambda c, si: jax.ops.segment_sum(
+        c, si, num_segments=Sm))(contrib, pm["sample"].astype(jnp.int32))
+    unnorm = priors[:, None] + sums
+    unnorm = jnp.where(gmask[:, None], unnorm, NEG)
+    flat = unnorm.reshape(G, Sm, H * H)
+    mx = jnp.max(flat, axis=2)
+    totals = mx + jnp.log(jnp.sum(jnp.exp(flat - mx[:, :, None]), axis=2))
+    log_post = unnorm - totals[:, :, None, None]
+    return log_post, totals
+
+
 class GenotypeExtraction(NamedTuple):
     best_hap_a: np.ndarray           # [S] ML haplotype pair (phased)
     best_hap_b: np.ndarray

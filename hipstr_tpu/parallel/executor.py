@@ -57,9 +57,22 @@ def _g_bucket(n: int, batch_size: int) -> int:
     return batch_size
 
 
+def device_post_enabled() -> bool:
+    """Fuse the genotype-posterior kernel into the batched dispatch so each
+    round returns (LL, log_post, totals) in one fetch.  Default: on for
+    accelerator backends (the CPU host float64 path is the golden-parity
+    reference); HIPSTR_TPU_DEVICE_POST=1/0 forces either way."""
+    flag = os.environ.get("HIPSTR_TPU_DEVICE_POST", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() != "cpu"
+
+
 @functools.lru_cache(maxsize=64)
 def _jitted_batch(R_f: int, R_r: int, sr_f: int, sr_r: int, period: int,
-                  dtype_name: str):
+                  dtype_name: str, Sm=None):
     import os
     dtype = jnp.dtype(dtype_name)
 
@@ -70,18 +83,28 @@ def _jitted_batch(R_f: int, R_r: int, sr_f: int, sr_r: int, period: int,
     if kernel == "v2":
         from ..ops.pallas_hmm2 import batched_forward_v2
 
-        def run(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq):
+        def hmm(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq):
             return batched_forward_v2(
                 l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq,
                 R_f, R_r, period, sr_f, sr_r, dtype)
+    else:
+        def hmm(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq):
+            def one(*a):
+                return hmm_forward(*a, R_f, R_r, period, sr_f, sr_r, dtype)
+            return jax.vmap(one)(l_seg, r_seg, fw_meta, rev_meta, seed,
+                                 sc, sq)
 
-        return jax.jit(run)
+    if Sm is None:
+        return jax.jit(hmm)
 
-    def one(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq):
-        return hmm_forward(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq,
-                           R_f, R_r, period, sr_f, sr_r, dtype)
+    from ..ops.posteriors import batched_pool_posteriors
 
-    return jax.jit(jax.vmap(one))
+    def run(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq, pm):
+        LL = hmm(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq)
+        log_post, totals = batched_pool_posteriors(jnp, LL, pm, Sm, dtype)
+        return LL, log_post, totals
+
+    return jax.jit(run)
 
 
 class LocusWorkItem:
@@ -97,7 +120,7 @@ class LocusWorkItem:
 
     def shape_key(self):
         leaves = jax.tree.leaves(self.arrays)
-        return (self.statics[:5],
+        return (self.statics[:5] + (self.statics[7],),
                 tuple(getattr(x, "shape", ()) for x in leaves))
 
 
@@ -131,7 +154,10 @@ class BatchedAligner:
     def _dispatch_chunk(self, chunk: List[LocusWorkItem]):
         G = len(chunk)
         Gp = _g_bucket(G, self.batch_size)
-        devs = jax.devices()
+        # LOCAL devices only: in multi-process (--distributed) runs each
+        # process owns its own loci; sharding over global devices would
+        # entangle every process in every dispatch's collectives
+        devs = jax.local_devices()
         n_dev = len(devs)
         if n_dev > 1:
             # pad the locus axis to a multiple of the device count so GSPMD
@@ -141,7 +167,8 @@ class BatchedAligner:
         stacked = jax.tree.map(lambda *xs: np.stack(xs),
                                *[it.arrays for it in padded])
         R_f, R_r, sr_f, sr_r, period = chunk[0].statics[:5]
-        run = _jitted_batch(R_f, R_r, sr_f, sr_r, period, self.dtype)
+        run = _jitted_batch(R_f, R_r, sr_f, sr_r, period, self.dtype,
+                            chunk[0].statics[7])
         if n_dev > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
             mesh = Mesh(np.array(devs), ("loci",))
@@ -218,13 +245,22 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                    item.region.stop, html)
         settle(item.order, (chrom, pos, text), viz)
 
-    def advance(item, LL) -> bool:
-        """Feed fresh LLs to one locus; True when it needs another batched
-        realignment (item.arrays updated for the new haplotype)."""
+    use_device_post = device_post_enabled()
+
+    def maybe_post_meta(g):
+        return g.posterior_meta() if use_device_post else None
+
+    def advance(item, LL, post=None, totals=None) -> bool:
+        """Feed fresh LLs (and fused device posteriors when available) to
+        one locus; True when it needs another batched realignment
+        (item.arrays updated for the new haplotype)."""
         g = item.genotyper
         g.set_pool_lls(LL)
         with pipeline.timer.time("Genotyping (adaptive)"):
-            g.calc_log_sample_posteriors()
+            if post is not None:
+                g.install_posteriors(post, totals)
+            else:
+                g.calc_log_sample_posteriors()
             if item.gen is None:
                 item.gen = g.adaptive_steps(opts.max_haps,
                                             opts.max_hap_flanks,
@@ -241,7 +277,8 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
         with pipeline.timer.time("Locus packing"):
             seqs, quals, seeds = g.pool_inputs()
             item.arrays, item.statics = prepare_locus(
-                g.haplotype, seqs, quals, seeds, opts.dtype)
+                g.haplotype, seqs, quals, seeds, opts.dtype,
+                post_meta=maybe_post_meta(g))
         return True
 
     def finish_handles(handles) -> None:
@@ -249,14 +286,24 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
         wave to completion, regrouping realignments per round."""
         while handles:
             realign: List[LocusWorkItem] = []
-            for chunk, LL_dev in handles:
+            for chunk, res in handles:
                 with pipeline.timer.time("Device fetch"):
-                    LL_all = np.asarray(LL_dev)
+                    if isinstance(res, tuple):
+                        LL_all, post_all, tot_all = (np.asarray(r)
+                                                     for r in res)
+                    else:
+                        LL_all = np.asarray(res)
+                        post_all = tot_all = None
                 for gi, item in enumerate(chunk):
                     P_real, H_real = item.statics[5], item.statics[6]
                     LL = LL_all[gi, :P_real, :H_real]
+                    post = tot = None
+                    if post_all is not None:
+                        S = item.genotyper.num_samples
+                        post = post_all[gi, :S, :H_real, :H_real]
+                        tot = tot_all[gi, :S]
                     try:
-                        if advance(item, LL):
+                        if advance(item, LL, post, tot):
                             realign.append(item)
                     except Exception as exc:
                         pipeline.counters.genotype_fail += 1
@@ -282,7 +329,8 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                 settle(order)
                 return
             arrays, statics = prepare_locus(g.haplotype, seqs, quals,
-                                            seeds, opts.dtype)
+                                            seeds, opts.dtype,
+                                            post_meta=maybe_post_meta(g))
         prepared.append(
             LocusWorkItem(region, g, arrays, statics, local_chrom_seq, order))
 
@@ -300,7 +348,8 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
             on_cpu = jax.default_backend() == "cpu"
             arrays, (_, _, Sm) = pack_problems(
                 [s[3] for s in staged], pad_g=None if on_cpu else window)
-            dtype_name = "float64" if on_cpu else "float32"
+            dtype_name = ("float64" if on_cpu and jax.config.jax_enable_x64
+                          else "float32")
             out = em_train_batch(arrays, Sm, max_iter=opts.max_em_iter,
                                  min_LL_abs_change=opts.abs_ll_converge,
                                  min_LL_frac_change=opts.frac_ll_converge,

@@ -303,6 +303,55 @@ class SeqStutterGenotyper:
             self.read_weights, self.sample_label, self.num_samples, priors)
         return float(total)
 
+    def posterior_meta(self) -> dict:
+        """Read-level arrays a device posterior kernel needs alongside the
+        [pool, hap] LLs: pool expansion, mate-pair combination structure,
+        phasing priors and sample segments (reference inner loop:
+        src/genotyper.cpp:44-80 plus the mate summing of
+        seq_stutter_genotyper.cpp:530-564).  The read/pool/mate structure
+        is fixed after init, so the dict is computed once and cached."""
+        cached = getattr(self, "_post_meta", None)
+        if cached is not None:
+            return cached
+        R = self.num_reads
+        mate_index = np.arange(R, dtype=np.int32)
+        has_mate = np.zeros(R, dtype=bool)
+        for i in range(R):
+            if self.second_mate[i]:
+                mate_index[i] = i - 1
+                mate_index[i - 1] = i
+                has_mate[i] = has_mate[i - 1] = True
+        # map pool ids to the row order of pool_inputs() (valid pools only)
+        valid = self.valid_pools()
+        pool_row = np.full(self.pooler.num_pools(), 0, dtype=np.int32)
+        read_ok = np.ones(R, dtype=bool)
+        for row, p in enumerate(valid):
+            pool_row[p] = row
+        for i in range(R):
+            if self.pool_seeds[self.pool_index[i]] < 0:
+                read_ok[i] = False
+        self._post_meta = dict(
+            pool_row=pool_row[self.pool_index].astype(np.int32),
+            mate_index=mate_index,
+            has_mate=has_mate,
+            read_ok=read_ok,
+            weights=self.read_weights.copy(),
+            log_p1=self.log_p1.copy(),
+            log_p2=self.log_p2.copy(),
+            sample=self.sample_label.astype(np.int32),
+            num_samples=self.num_samples,
+            haploid=self.haploid,
+        )
+        return self._post_meta
+
+    def install_posteriors(self, log_post: np.ndarray,
+                           sample_total_LLs: np.ndarray) -> None:
+        """Adopt device-computed posteriors (same shapes as
+        calc_log_sample_posteriors would produce)."""
+        self.log_post = np.asarray(log_post, dtype=np.float64)
+        self.sample_total_LLs = np.asarray(sample_total_LLs,
+                                           dtype=np.float64)
+
     def get_optimal_haplotypes(self) -> Tuple[np.ndarray, np.ndarray]:
         A = self.num_alleles
         flat = self.log_post.reshape(self.num_samples, A * A)

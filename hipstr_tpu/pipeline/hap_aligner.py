@@ -39,6 +39,8 @@ _TPU_BUCKETS = dict(
     S=[128, 384],
     O=[8, 32, 64],
     B=[64, 192],
+    RD=[256, 1024, 4096],        # read-level posterior rows
+    SAMP=[8, 64, 512],           # samples
 )
 _CPU_BUCKETS = dict(
     L=[64, 128, 192, 256, 384, 512],
@@ -48,6 +50,8 @@ _CPU_BUCKETS = dict(
     S=[64, 128, 256, 384],
     O=[4, 8, 16, 32, 64],
     B=[32, 64, 128, 192],
+    RD=[32, 64, 128, 256, 512, 1024, 4096],
+    SAMP=[2, 4, 8, 16, 32, 64, 128, 512],
 )
 
 
@@ -138,13 +142,37 @@ def _to_meta_np(d: dict) -> HapMeta:
         row_active=d["row_active"])
 
 
+def pad_posterior_meta(pm: dict, H_real: int) -> dict:
+    """Bucket-pad a SeqStutterGenotyper.posterior_meta dict for stacking
+    into a batched dispatch (padded reads: weight 0, self-mate, sample 0)."""
+    R = pm["pool_row"].shape[0]
+    RD = _bucket(max(R, 1), _profile()["RD"])
+    Sm = _bucket(max(pm["num_samples"], 1), _profile()["SAMP"])
+    out = dict(
+        pool_row=_pad_axis(pm["pool_row"], 0, RD, "constant"),
+        mate_index=np.concatenate(
+            [pm["mate_index"],
+             np.arange(R, RD, dtype=np.int32)]).astype(np.int32),
+        has_mate=_pad_axis(pm["has_mate"], 0, RD, "constant"),
+        read_ok=_pad_axis(pm["read_ok"], 0, RD, "constant"),
+        weights=_pad_axis(pm["weights"], 0, RD, "constant"),
+        log_p1=_pad_axis(pm["log_p1"], 0, RD, "constant"),
+        log_p2=_pad_axis(pm["log_p2"], 0, RD, "constant"),
+        sample=_pad_axis(pm["sample"], 0, RD, "constant"),
+        n_alleles=np.asarray(H_real, dtype=np.int32),
+        haploid=np.asarray(pm["haploid"], dtype=bool),
+    )
+    return out, Sm
+
+
 def prepare_locus(haplotype: Haplotype, seqs, quals, seeds,
-                  dtype: str = "float32"):
+                  dtype: str = "float32", post_meta: dict = None):
     """Pack + bucket-pad one locus; returns (numpy array pytree, statics).
 
     The pytree holds (l_seg, r_seg, fw_meta, rev_meta, seed_meta, seed_codes,
-    seed_quals) with SegmentInputs/HapMeta/SeedMeta leaves as numpy;
-    statics is (R_f, R_r, sr_f, sr_r, period, P_real, H_real).
+    seed_quals[, padded posterior meta]) with SegmentInputs/HapMeta/SeedMeta
+    leaves as numpy; statics is
+    (R_f, R_r, sr_f, sr_r, period, P_real, H_real, Sm or None).
     """
     P_real = len(seqs)
     H_real = haplotype.num_combs
@@ -208,18 +236,25 @@ def prepare_locus(haplotype: Haplotype, seqs, quals, seeds,
     seed_quals = np.concatenate(
         [reads.seed_quals, np.zeros(P_pad - P_real, np.uint8)])
 
-    arrays = (l_seg, r_seg, _to_meta_np(fw_d), _to_meta_np(rev_d), seed_meta,
-              seed_codes, seed_quals)
+    arrays = [l_seg, r_seg, _to_meta_np(fw_d), _to_meta_np(rev_d), seed_meta,
+              seed_codes, seed_quals]
+    Sm = None
+    # the fused posterior output is [G, Sm, H_pad, H_pad]; past H_pad=32 the
+    # fetch volume outweighs the host savings, so wide-allele rounds fall
+    # back to host posteriors
+    if post_meta is not None and H_pad <= 32:
+        pm, Sm = pad_posterior_meta(post_meta, H_real)
+        arrays.append(pm)
     statics = (R_f, R_r, fw_d["stutter_row"], rev_d["stutter_row"],
-               packed.period, P_real, H_real)
-    return arrays, statics
+               packed.period, P_real, H_real, Sm)
+    return tuple(arrays), statics
 
 
 def compute_hap_log_likelihoods(haplotype: Haplotype, seqs, quals, seeds,
                                 dtype: str = "float32") -> np.ndarray:
     """LL[pool, hap] for every read pool against every haplotype combination."""
     arrays, statics = prepare_locus(haplotype, seqs, quals, seeds, dtype)
-    R_f, R_r, sr_f, sr_r, period, P_real, H_real = statics
+    R_f, R_r, sr_f, sr_r, period, P_real, H_real = statics[:7]
     l_seg, r_seg, fw_meta, rev_meta, seed_meta, sc, sq = arrays
     run = _jitted(R_f, R_r, sr_f, sr_r, period, dtype)
     out = run(l_seg, r_seg, fw_meta, rev_meta, seed_meta,
