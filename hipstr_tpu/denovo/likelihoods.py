@@ -13,6 +13,7 @@ device.  All functions take an `xp` namespace (numpy or jax.numpy).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, Sequence, Tuple
 
@@ -208,3 +209,81 @@ def trio_unphased_lls(xp, gl_mother, gl_father, gl_child, log10_freqs,
     ll_denovo = _lse10(xp, xp.stack(den_parts))
     ll_other = _lse10(xp, xp.stack(oth_parts))
     return ll_nomut, ll_denovo, ll_other
+
+
+# --------------------------------------------------------------------------
+# device batching: jit(vmap) over padded job stacks
+#
+# The A^4 (phased-family) and A^4 x A (mutation-marginal) contractions above
+# are pure tensor algebra in the `xp` namespace, so the device path is the
+# same code traced with jax.numpy and vmapped over many (record, family)
+# jobs per dispatch (reference hot loop: src/denovos/denovo_scanner.cpp:
+# 173-252).  Jobs are padded to a shared allele bucket with NEG GLs/freqs:
+# padded configurations underflow out of every log10-sum-exp exactly, so
+# results are bitwise identical to the per-job numpy path in float64.
+# --------------------------------------------------------------------------
+
+def bucket_alleles(A: int) -> int:
+    for b in (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128):
+        if A <= b:
+            return b
+    return A
+
+
+def pad_gl(gl: np.ndarray, Ap: int) -> np.ndarray:
+    A = gl.shape[0]
+    if A == Ap:
+        return gl
+    out = np.full((Ap, Ap), NEG, dtype=gl.dtype)
+    out[:A, :A] = gl
+    return out
+
+
+def pad_freqs(f: np.ndarray, Ap: int) -> np.ndarray:
+    A = f.shape[0]
+    if A == Ap:
+        return f
+    out = np.full(Ap, NEG, dtype=f.dtype)
+    out[:A] = f
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _trio_jitted(Ap: int):
+    import jax
+    import jax.numpy as jnp
+
+    def one(gm, gf, gc, f, mp):
+        return trio_unphased_lls(jnp, gm, gf, gc, f, mp)
+
+    return jax.jit(jax.vmap(one))
+
+
+def trio_unphased_lls_batched(gms, gfs, gcs, freqs, mut_priors):
+    """Device path: stacked padded [N, Ap, Ap] GLs (+ [N, Ap] freqs,
+    [N] priors) -> (nomut [N], denovo [N], other [N]) in one dispatch."""
+    out = _trio_jitted(gms.shape[1])(gms, gfs, gcs, freqs, mut_priors)
+    return tuple(np.asarray(o) for o in out)
+
+
+@functools.lru_cache(maxsize=256)
+def _phased_jitted(Ap: int, mat: tuple, pat: tuple):
+    import jax
+    import jax.numpy as jnp
+    C = len(mat)
+
+    def one(gm, gf, gcs, f, mp):
+        return phased_family_lls(jnp, gm, gf, [gcs[c] for c in range(C)],
+                                 list(mat), list(pat), f, mp)
+
+    return jax.jit(jax.vmap(one))
+
+
+def phased_family_lls_batched(gms, gfs, gcs, mat: tuple, pat: tuple,
+                              freqs, mut_priors):
+    """Device path for families sharing a transmission pattern: stacked
+    padded [N, Ap, Ap] parent GLs, [N, C, Ap, Ap] child GLs ->
+    (nomut [N], denovo [N, C], other [N, C])."""
+    out = _phased_jitted(gms.shape[1], tuple(mat), tuple(pat))(
+        gms, gfs, gcs, freqs, mut_priors)
+    return tuple(np.asarray(o) for o in out)

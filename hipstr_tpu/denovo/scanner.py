@@ -82,8 +82,47 @@ class DenovoScanner:
         o.write("\n")
 
     def scan(self, snp_vcf: VCFReader, str_vcf: VCFReader,
-             sites_to_skip: Optional[Set[str]] = None, logger=None) -> None:
+             sites_to_skip: Optional[Set[str]] = None, logger=None,
+             device_batch: int = 0) -> None:
+        """device_batch > 0 stages (record, family) jobs and evaluates them
+        in jit(vmap) dispatches grouped by (allele bucket, transmission
+        pattern) — see likelihoods.phased_family_lls_batched; 0 keeps the
+        per-family host evaluation."""
         tracker = HaplotypeTracker(self.families, snp_vcf, WINDOW_SIZE)
+        from .likelihoods import (bucket_alleles, pad_freqs, pad_gl,
+                                  phased_family_lls_batched)
+        pending: List[List] = []     # [prefix, cols]
+        jobs: List[tuple] = []
+
+        def fam_col(fam, nomut, denovo, other) -> str:
+            anymut = float(np.log10(
+                np.sum(10.0 ** np.concatenate([denovo, other]))))
+            return ":".join([
+                ",".join(fam.children),
+                _fmt(float(nomut)), _fmt(anymut),
+                ",".join(_fmt(float(x)) for x in denovo),
+                ",".join(_fmt(float(x)) for x in other)])
+
+        def flush():
+            groups = {}
+            for j in jobs:
+                groups.setdefault((j[2], j[7], j[8], len(j[6])), []).append(j)
+            for (Ap, mat, pat, C), js in groups.items():
+                gms = np.stack([pad_gl(j[4], Ap) for j in js])
+                gfs = np.stack([pad_gl(j[5], Ap) for j in js])
+                gcs = np.stack([[pad_gl(g, Ap) for g in j[6]] for j in js])
+                fr = np.stack([pad_freqs(j[9], Ap) for j in js])
+                mp = np.asarray([j[10] for j in js])
+                nomut, denovo, other = phased_family_lls_batched(
+                    gms, gfs, gcs, mat, pat, fr, mp)
+                for i, j in enumerate(js):
+                    pending[j[0]][1][j[1]] = fam_col(
+                        j[3], nomut[i], denovo[i], other[i])
+            jobs.clear()
+            for prefix, cols in pending:
+                self.out.write(prefix + "\t".join(cols) + "\n")
+            pending.clear()
+
         for variant in str_vcf:
             A = variant.num_alleles()
             if A <= 1:
@@ -102,6 +141,7 @@ class DenovoScanner:
             mut_prior = _log10_mut_prior(A)
 
             cols = []
+            rec_i = len(pending)
             for fam in self.families:
                 ok, mat_idx, pat_idx, _ = tracker.infer_haplotype_inheritance(
                     fam, MAX_BEST_SCORE, MIN_SECOND_BEST_SCORE)
@@ -112,21 +152,29 @@ class DenovoScanner:
                 gm = expand_phased_gls(gls[fam.mother], A)
                 gf = expand_phased_gls(gls[fam.father], A)
                 gcs = [expand_phased_gls(gls[c], A) for c in fam.children]
+                if device_batch:
+                    jobs.append((rec_i, len(cols), bucket_alleles(A), fam,
+                                 gm, gf, gcs, tuple(mat_idx), tuple(pat_idx),
+                                 freqs, mut_prior))
+                    cols.append("")
+                    continue
                 nomut, denovo, other = phased_family_lls(
                     np, gm, gf, gcs, mat_idx, pat_idx, freqs, mut_prior)
-                anymut = float(np.log10(
-                    np.sum(10.0 ** np.concatenate([denovo, other]))))
-                cols.append(":".join([
-                    ",".join(fam.children),
-                    _fmt(float(nomut)), _fmt(anymut),
-                    ",".join(_fmt(float(x)) for x in denovo),
-                    ",".join(_fmt(float(x)) for x in other)]))
+                cols.append(fam_col(fam, nomut, denovo, other))
 
             alt = ",".join(variant.alleles[1:]) if A > 1 else "."
-            self.out.write(
-                f"{variant.chrom}\t{variant.pos + 1}\t{variant.vid}\t"
-                f"{variant.alleles[0]}\t{alt}\t.\t.\t{_info_line(variant)}\t"
-                "CHILDREN:NOMUT:ANYMUT:DENOVO:OTHER\t" + "\t".join(cols) + "\n")
+            prefix = (f"{variant.chrom}\t{variant.pos + 1}\t{variant.vid}\t"
+                      f"{variant.alleles[0]}\t{alt}\t.\t.\t"
+                      f"{_info_line(variant)}\t"
+                      "CHILDREN:NOMUT:ANYMUT:DENOVO:OTHER\t")
+            if device_batch:
+                pending.append([prefix, cols])
+                if len(jobs) >= device_batch:
+                    flush()
+            else:
+                self.out.write(prefix + "\t".join(cols) + "\n")
+        if device_batch:
+            flush()
 
 
 class TrioDenovoScanner:
@@ -155,7 +203,37 @@ class TrioDenovoScanner:
                 o.write("\t" + child)
         o.write("\n")
 
-    def scan(self, str_vcf: VCFReader, logger=None) -> None:
+    def scan(self, str_vcf: VCFReader, logger=None,
+             device_batch: int = 0) -> None:
+        """device_batch > 0 stages (record, trio) jobs for jit(vmap)
+        dispatches grouped by allele bucket (see
+        likelihoods.trio_unphased_lls_batched); 0 = host per-trio path."""
+        from .likelihoods import (bucket_alleles, pad_freqs, pad_gl,
+                                  trio_unphased_lls_batched)
+        pending: List[List] = []
+        jobs: List[tuple] = []
+
+        def flush():
+            groups = {}
+            for j in jobs:
+                groups.setdefault(j[2], []).append(j)
+            for Ap, js in groups.items():
+                gms = np.stack([pad_gl(j[3], Ap) for j in js])
+                gfs = np.stack([pad_gl(j[4], Ap) for j in js])
+                gcs = np.stack([pad_gl(j[5], Ap) for j in js])
+                fr = np.stack([pad_freqs(j[6], Ap) for j in js])
+                mp = np.asarray([j[7] for j in js])
+                nomut, denovo, other = trio_unphased_lls_batched(
+                    gms, gfs, gcs, fr, mp)
+                for i, j in enumerate(js):
+                    pending[j[0]][1][j[1]] = ":".join(
+                        [_fmt(float(nomut[i])), _fmt(float(denovo[i])),
+                         _fmt(float(other[i]))])
+            jobs.clear()
+            for prefix, cols in pending:
+                self.out.write(prefix + "\t".join(cols) + "\n")
+            pending.clear()
+
         for variant in str_vcf:
             A = variant.num_alleles()
             if A <= 1:
@@ -171,6 +249,7 @@ class TrioDenovoScanner:
             mut_prior = _log10_mut_prior(A)
 
             cols = []
+            rec_i = len(pending)
             for fam in self.families:
                 have_parents = fam.mother in gls and fam.father in gls
                 for child in fam.children:
@@ -180,6 +259,11 @@ class TrioDenovoScanner:
                     gm = expand_unphased_gls(gls[fam.mother], A)
                     gf = expand_unphased_gls(gls[fam.father], A)
                     gc = expand_unphased_gls(gls[child], A)
+                    if device_batch:
+                        jobs.append((rec_i, len(cols), bucket_alleles(A),
+                                     gm, gf, gc, freqs, mut_prior))
+                        cols.append("")
+                        continue
                     nomut, denovo, other = trio_unphased_lls(
                         np, gm, gf, gc, freqs, mut_prior)
                     cols.append(":".join([_fmt(float(nomut)),
@@ -187,7 +271,14 @@ class TrioDenovoScanner:
                                           _fmt(float(other))]))
 
             alt = ",".join(variant.alleles[1:]) if A > 1 else "."
-            self.out.write(
-                f"{variant.chrom}\t{variant.pos + 1}\t{variant.vid}\t"
-                f"{variant.alleles[0]}\t{alt}\t.\t.\t{_info_line(variant)}\t"
-                "NOMUT:DENOVO:OTHER\t" + "\t".join(cols) + "\n")
+            prefix = (f"{variant.chrom}\t{variant.pos + 1}\t{variant.vid}\t"
+                      f"{variant.alleles[0]}\t{alt}\t.\t.\t"
+                      f"{_info_line(variant)}\tNOMUT:DENOVO:OTHER\t")
+            if device_batch:
+                pending.append([prefix, cols])
+                if len(jobs) >= device_batch:
+                    flush()
+            else:
+                self.out.write(prefix + "\t".join(cols) + "\n")
+        if device_batch:
+            flush()

@@ -30,6 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--denovo-vcf", required=True, help="Output VCF path")
     ap.add_argument("--pop-priors", action="store_true",
                     help="Use founder-derived allele frequency priors")
+    ap.add_argument("--device-batch", type=int, default=-1,
+                    help="Evaluate N (record, family) likelihood jobs per "
+                         "batched device dispatch (0 = per-family host "
+                         "path; default: 256 on accelerator backends, 0 "
+                         "on CPU)")
     return ap
 
 
@@ -42,16 +47,22 @@ def main(argv=None) -> int:
         print("ERROR: no usable nuclear families in pedigree", file=sys.stderr)
         return 1
 
+    device_batch = args.device_batch
+    if device_batch < 0:
+        import jax
+        device_batch = 0 if jax.default_backend() == "cpu" else 256
+
     out = open(args.denovo_vcf, "w")
     cmd = " ".join(sys.argv)
     if args.snp_vcf:
         scanner = DenovoScanner(families, out, args.pop_priors)
         scanner.write_vcf_header(cmd)
-        scanner.scan(VCFReader(args.snp_vcf), str_vcf)
+        scanner.scan(VCFReader(args.snp_vcf), str_vcf,
+                     device_batch=device_batch)
     else:
         scanner = TrioDenovoScanner(families, out, args.pop_priors)
         scanner.write_vcf_header(cmd)
-        scanner.scan(str_vcf)
+        scanner.scan(str_vcf, device_batch=device_batch)
     out.close()
     return 0
 

@@ -221,3 +221,95 @@ def test_denovo_kernels_run_under_jit():
                             jnp.asarray(freqs), mut_prior)
     for a, b in zip(p_np, p_j):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+
+def test_batched_device_kernels_match_host():
+    """jit(vmap)ed padded-job batches (likelihoods.*_batched) match the
+    per-job numpy path bitwise in float64, across allele buckets."""
+    from hipstr_tpu.denovo.likelihoods import (
+        bucket_alleles, pad_freqs, pad_gl, phased_family_lls_batched,
+        trio_unphased_lls_batched)
+
+    rng = np.random.default_rng(17)
+    for A in (2, 3, 5):
+        Ap = bucket_alleles(A)
+        freqs = uniform_log10_freqs(A)
+        jobs = []
+        for _ in range(4):
+            m = rng.uniform(-8, 0, (A, A))
+            jobs.append(((m + m.T) / 2, rng.uniform(-8, 0, (A, A)),
+                         rng.uniform(-8, 0, (A, A))))
+        gms = np.stack([pad_gl(j[0], Ap) for j in jobs])
+        gfs = np.stack([pad_gl(j[1], Ap) for j in jobs])
+        gcs = np.stack([pad_gl(j[2], Ap) for j in jobs])
+        fr = np.stack([pad_freqs(freqs, Ap)] * 4)
+        mp = np.full(4, -1.25)
+        bn, bd, bo = trio_unphased_lls_batched(gms, gfs, gcs, fr, mp)
+        for i, (gm, gf, gc) in enumerate(jobs):
+            n, d, o = trio_unphased_lls(np, gm, gf, gc, freqs, -1.25)
+            # jnp reassociates the final reductions: allow 1-2 ULP
+            assert np.isclose(float(n), bn[i], rtol=0, atol=1e-12)
+            assert np.isclose(float(d), bd[i], rtol=0, atol=1e-12)
+            assert np.isclose(float(o), bo[i], rtol=0, atol=1e-12)
+
+    # phased family groups (2 children, fixed transmission pattern)
+    A = 3
+    Ap = bucket_alleles(A)
+    freqs = uniform_log10_freqs(A)
+    mat, pat = (0, 2), (3, 1)
+    fams = []
+    for _ in range(3):
+        fams.append((rng.uniform(-8, 0, (A, A)), rng.uniform(-8, 0, (A, A)),
+                     [rng.uniform(-8, 0, (A, A)) for _ in range(2)]))
+    gms = np.stack([pad_gl(f[0], Ap) for f in fams])
+    gfs = np.stack([pad_gl(f[1], Ap) for f in fams])
+    gcs = np.stack([[pad_gl(g, Ap) for g in f[2]] for f in fams])
+    fr = np.stack([pad_freqs(freqs, Ap)] * 3)
+    mp = np.full(3, -0.9)
+    bn, bd, bo = phased_family_lls_batched(gms, gfs, gcs, mat, pat, fr, mp)
+    for i, (gm, gf, gcl) in enumerate(fams):
+        n, d, o = phased_family_lls(np, gm, gf, gcl, list(mat), list(pat),
+                                    freqs, -0.9)
+        assert np.isclose(float(n), bn[i], rtol=0, atol=1e-12)
+        assert np.allclose(np.asarray(d), bd[i], rtol=0, atol=1e-12)
+        assert np.allclose(np.asarray(o), bo[i], rtol=0, atol=1e-12)
+
+
+def test_trio_scanner_device_batch_identical(tmp_path):
+    """TrioDenovoScanner with device_batch produces byte-identical VCFs."""
+    import io
+    from hipstr_tpu.denovo.scanner import TrioDenovoScanner
+    from hipstr_tpu.io.vcf_read import VCFReader
+    from hipstr_tpu.phasing.pedigree import extract_pedigree_nuclear_families
+
+    rng = np.random.default_rng(23)
+
+    def gl_text(A):
+        n = A * (A + 1) // 2
+        return ",".join(f"{v:.2f}" for v in rng.uniform(-9, 0, n))
+
+    lines = ["##fileformat=VCFv4.1\n",
+             '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n',
+             '##FORMAT=<ID=GL,Number=G,Type=Float,Description="G">\n',
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+             "\tMOM\tDAD\tKID\n"]
+    for i, A in enumerate((2, 3, 4, 2, 5, 3, 2)):
+        alts = ",".join("A" * (k + 1) for k in range(1, A))
+        lines.append(
+            f"chr1\t{1000 + 100 * i}\t.\tAC\t{alts}\t.\t.\t"
+            f"BPDIFFS=2;START={1000 + 100 * i};END={1001 + 100 * i};PERIOD=2"
+            f"\tGT:GL\t0|0:{gl_text(A)}\t0|0:{gl_text(A)}\t0|1:{gl_text(A)}\n")
+    vcf = tmp_path / "str.vcf"
+    vcf.write_text("".join(lines))
+    fam = tmp_path / "ped.fam"
+    fam.write_text("F1\tKID\tDAD\tMOM\t1\t0\n")
+
+    families = extract_pedigree_nuclear_families(
+        str(fam), {"MOM", "DAD", "KID"})
+    outs = []
+    for db in (0, 3):
+        buf = io.StringIO()
+        sc = TrioDenovoScanner(families, buf)
+        sc.scan(VCFReader(str(vcf)), device_batch=db)
+        outs.append(buf.getvalue())
+    assert outs[0] == outs[1] and outs[0].count("chr1") == 7
