@@ -1,0 +1,60 @@
+"""Multi-host data parallelism (--distributed): 2 CPU processes produce a
+merged VCF byte-identical to a single-process run, with globally reduced
+counters.  (New capability over the reference's manual per-shard processes,
+reference README.md:167-171.)"""
+
+import os
+import socket
+import subprocess
+import sys
+
+from hipstr_tpu.utils.simulate import simulate_locus
+from tests.test_workers import _write_sim
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_matches_single(tmp_path):
+    tmp = str(tmp_path)
+    locs = [simulate_locus(seed=2100 + i, n_samples=2, reads_per_sample=20,
+                           period=2 + (i % 2), ref_units=8,
+                           chrom=f"chrX{i}") for i in range(6)]
+    _write_sim(tmp, locs)
+
+    base = [sys.executable, "-m", "hipstr_tpu.cli",
+            "--bams", f"{tmp}/sim.bam", "--fasta", f"{tmp}/sim.fa",
+            "--regions", f"{tmp}/regions.bed", "--min-reads", "12",
+            "--use-unpaired", "--def-stutter-model", "--quiet",
+            "--platform", "cpu", "--dtype", "float64"]
+    env = dict(os.environ, PYTHONPATH=REPO)
+
+    subprocess.run(base + ["--str-vcf", f"{tmp}/single.vcf"],
+                   check=True, env=env, cwd=REPO)
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        cmd = base + ["--str-vcf", f"{tmp}/dist.vcf", "--distributed",
+                      "--coordinator", f"127.0.0.1:{port}",
+                      "--num-processes", "2", "--process-id", str(pid)]
+        procs.append(subprocess.Popen(
+            cmd, env=env, cwd=REPO, stderr=subprocess.PIPE, text=True))
+    errs = [p.communicate()[1] for p in procs]
+    assert all(p.returncode == 0 for p in procs), errs
+
+    single = [l for l in open(f"{tmp}/single.vcf") if not l.startswith("#")]
+    merged = [l for l in open(f"{tmp}/dist.vcf") if not l.startswith("#")]
+    assert len(single) == 6 and single == merged
+    # globally reduced counters appear on every process's summary
+    assert any("global Summary: success=6" in e for e in errs), errs
+    # shard files cleaned up by the merge
+    assert not os.path.exists(f"{tmp}/dist.vcf.dshard0")
+    assert not os.path.exists(f"{tmp}/dist.vcf.dshard1")
