@@ -39,12 +39,32 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1.0e30
 
 
+def _unrolled_loop(jaxlib, lo, hi, body, unroll):
+    """fori_loop with manual unrolling for TRACED bounds: runs body(t) for
+    t in [lo, hi) plus up to unroll-1 overrun steps, which every caller's
+    body makes exact no-ops (masked columns are zeros / NEG contributions).
+    Amortizes the per-iteration VMEM scratch read/write over `unroll`
+    column updates."""
+    if unroll <= 1:
+        jaxlib.lax.fori_loop(lo, hi, lambda t, c: (body(t), 0)[1], 0)
+        return
+
+    def blk(i, c):
+        t0 = lo + i * unroll
+        for k in range(unroll):
+            body(t0 + k)
+        return 0
+
+    n = (hi - lo + unroll - 1) // unroll
+    jaxlib.lax.fori_loop(0, n, blk, 0)
+
+
 def _emission_kernel(codes_ref, blw_ref, blc_ref,
                      brev_ref, blen_ref,
                      E_ref,
                      e0_s, pref0_s, run6_s, tot6_s, mx6_s, sm6_s, cum6_s,
                      star6_s,
-                     *, Bmax, period, max_units, P, L, dtype):
+                     *, Bmax, period, max_units, P, L, dtype, unroll=1):
     g = pl.program_id(0)
     o = pl.program_id(1)
     codes = codes_ref[0]
@@ -98,7 +118,7 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
         run6_s[d] = zeros
         tot6_s[d] = zeros
 
-    def body1(t, _):
+    def body1(t):
         sc = stack_cols(t)
         pref0_s[:] = pref0_s[:] + sc[0]
         e0_s[:] = jnp.where(t + 1 == blen, pref0_s[:], e0_s[:])
@@ -106,9 +126,8 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
             run6_s[d] = run6_s[d] + sc[1 + d]
             tot6_s[d] = jnp.where(t + 1 == blen - dps[d], run6_s[d],
                                   tot6_s[d])
-        return 0
 
-    jax.lax.fori_loop(0, blen, body1, 0)
+    _unrolled_loop(jax, 0, blen, body1, unroll)
 
     # ---- pass 2: deletion position LSE (evaluate at p, then extend) ------
     pref0_s[:] = zeros
@@ -117,7 +136,7 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
         mx6_s[d] = jnp.full((P, L), NEG_INF, dtype)
         sm6_s[d] = zeros
 
-    def body2(p, _):
+    def body2(p):
         for d in range(nd):
             ok = p <= blen - dps[d]
             val = pref0_s[:] + tot6_s[d] - run6_s[d]
@@ -130,9 +149,8 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
         pref0_s[:] = pref0_s[:] + sc[0]
         for d in range(nd):
             run6_s[d] = run6_s[d] + sc[1 + d]
-        return 0
 
-    jax.lax.fori_loop(0, blen + 1, body2, 0)
+    _unrolled_loop(jax, 0, blen + 1, body2, unroll)
 
     for d in range(nd):
         rem = blen - dps[d]
@@ -150,7 +168,7 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
     # static (6 * period); the captures at t + 1 == kps[k] use static rolls.
     pref0_s[:] = zeros                      # reused as the insertion cumsum
 
-    def body3(t, _):
+    def body3(t):
         cm = t % period
         ch = brev_ref[g, o, cm]
         Sk = jnp.where(codes == ch, blc, blw)
@@ -159,11 +177,12 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
         for k in range(nd):
             start = pref0_s[:] + dyn_shear(e0_s[:], kps[k])
             cum6_s[k] = jnp.where(t + 1 == kps[k], start, cum6_s[k])
-        return 0
 
     for k in range(nd):
         cum6_s[k] = zeros
-    jax.lax.fori_loop(0, max_ins, body3, 0)
+    # static trip count: max_ins = 6 * period
+    for t in range(0, max_ins):
+        body3(t)
 
     # position sweep: cum[k, p] evaluated online with the P*-clamp
     for k in range(nd):
@@ -171,7 +190,7 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
         sm6_s[k] = zeros
         star6_s[k] = zeros
 
-    def body4(p, _):
+    def body4(p):
         for k in range(nd):
             kp = kps[k]
             # P*[j] = clip(min(blen + kp, j + 1) - kp, 0, blen)
@@ -194,9 +213,8 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
         for m in range(nd):
             run = run + dyn_shear(base, kps[m])
             cum6_s[m] = cum6_s[m] + run
-        return 0
 
-    jax.lax.fori_loop(0, blen + 1, body4, 0)
+    _unrolled_loop(jax, 0, blen + 1, body4, unroll)
 
     for k in range(nd):
         kp = kps[k]
@@ -215,15 +233,19 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
 
 def stutter_emissions_pallas(codes, blw, blc, brev, blen, period,
                              max_units=6, dtype=jnp.float32,
-                             interpret=False):
+                             interpret=False, unroll=None):
     """E [G, O, nD, P, L] for a batch: codes [G,P,L] int32, blw/blc [G,P,L],
     brev [G,O,Bmax] int32, blen [G,O] int32."""
     G, P, L = codes.shape
     O, Bmax = brev.shape[1], brev.shape[2]
     nD = 2 * max_units + 1
 
+    if unroll is None:
+        import os
+        unroll = int(os.environ.get("HIPSTR_TPU_E_UNROLL", "4"))
     kernel = functools.partial(_emission_kernel, Bmax=Bmax, period=period,
-                               max_units=max_units, P=P, L=L, dtype=dtype)
+                               max_units=max_units, P=P, L=L, dtype=dtype,
+                               unroll=unroll)
     pool_spec = pl.BlockSpec((1, P, L), lambda g, o: (g, 0, 0),
                              memory_space=pltpu.VMEM)
     smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)

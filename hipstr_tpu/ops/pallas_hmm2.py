@@ -294,9 +294,26 @@ def emissions_batched(codes, quals, rep_rev_codes, rep_len, period,
     rep_rev_codes = rep_rev_codes.astype(jnp.int32)
     if use_kernel is None:
         flag = os.environ.get("HIPSTR_TPU_E_KERNEL", "auto")
-        use_kernel = (flag == "1" or
-                      (flag == "auto" and jax.default_backend() != "cpu"))
-    if use_kernel:
+        if flag == "auto":
+            # v1 (column-sequential): measured faster AND hardware-exact;
+            # the slab-parallel v2 lowers poorly under Mosaic today
+            # (323 vs 141 ms/locus) and mis-lowers some axis-0 ops — kept
+            # for future Mosaic releases, opt-in via HIPSTR_TPU_E_KERNEL=2
+            use_kernel = "1" if jax.default_backend() != "cpu" else "0"
+        else:
+            use_kernel = flag
+    elif use_kernel is True:
+        use_kernel = "1"
+    elif use_kernel is False:
+        use_kernel = "0"
+    if use_kernel == "2":
+        # slab-parallel kernel; prepare_locus provides the lane headroom
+        # its deletion terms need (pallas_emission2.py docstring)
+        from .pallas_emission2 import stutter_emissions_pallas2
+        return stutter_emissions_pallas2(codes, blw, blc, rep_rev_codes,
+                                         rep_len.astype(jnp.int32), period,
+                                         dtype=dtype, interpret=interpret)
+    if use_kernel == "1":
         from .pallas_emission import stutter_emissions_pallas
         return stutter_emissions_pallas(codes, blw, blc, rep_rev_codes,
                                         rep_len.astype(jnp.int32), period,

@@ -40,11 +40,12 @@ def device_em_enabled(opts) -> bool:
     return jax.default_backend() != "cpu"
 
 # On TPU every distinct batch shape costs a fresh trace+lower+compile (tens
-# of seconds on the remote-compile path), while padding a small group up to
-# the full batch size costs only linear device compute (~2ms/locus) — so all
-# TPU dispatches use ONE locus-axis extent: the configured batch size.  On
-# CPU compiles are cheap and padded loci cost real host FLOPs (and memory),
-# so small groups stay small.
+# of seconds on the remote-compile path), while padded loci cost linear
+# device compute — with the emission kernel at tens of ms/locus that
+# padding is no longer negligible, so TPU runs use a SMALL set of
+# locus-axis buckets (quarter/full batch) instead of one.  On CPU compiles
+# are cheap and padded loci cost real host FLOPs (and memory), so small
+# groups stay small.
 CPU_BATCH_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128]
 
 
@@ -54,7 +55,8 @@ def _g_bucket(n: int, batch_size: int) -> int:
             if n <= b:
                 return min(b, batch_size)
         return batch_size
-    return batch_size
+    quarter = max(1, batch_size // 4)
+    return quarter if n <= quarter else batch_size
 
 
 def device_post_enabled() -> bool:
@@ -136,6 +138,17 @@ class BatchedAligner:
         self.groups: Dict[tuple, List[LocusWorkItem]] = {}
         self.logger = logger
         self._logged_mesh = False
+        # per-shape dispatch accounting: key -> [dispatches, real, padded]
+        self.stats: Dict[tuple, list] = {}
+
+    def log_stats(self) -> None:
+        if self.logger is None or not self.stats:
+            return
+        for key, (n, real, padded) in sorted(self.stats.items()):
+            R_f, R_r, sr_f, sr_r, period = key[:5]
+            self.logger.log(
+                f"Dispatch shape period={period} R={R_f}+{R_r}: "
+                f"{n} dispatches, {real} loci ({padded} padded)")
 
     def add(self, item: LocusWorkItem) -> None:
         self.groups.setdefault(item.shape_key(), []).append(item)
@@ -163,6 +176,10 @@ class BatchedAligner:
             # pad the locus axis to a multiple of the device count so GSPMD
             # sharding always engages (never silently degrades to one device)
             Gp = max(Gp, ((Gp + n_dev - 1) // n_dev) * n_dev)
+        st = self.stats.setdefault(tuple(chunk[0].statics[:5]), [0, 0, 0])
+        st[0] += 1
+        st[1] += G
+        st[2] += Gp - G
         padded = chunk + [chunk[-1]] * (Gp - G)
         stacked = jax.tree.map(lambda *xs: np.stack(xs),
                                *[it.arrays for it in padded])
@@ -434,6 +451,7 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
     finish_handles(in_flight)
     in_flight = []
     drain_pending()
+    aligner.log_stats()
 
     if writer is not None:
         writer.close()

@@ -37,7 +37,9 @@ _TPU_BUCKETS = dict(
     H=[8, 32, 128, 512, 1024],
     P=[32, 64, 128, 256, 512, 1024],
     S=[128, 384],
-    O=[8, 32, 64],
+    # emission cost is linear in O; most loci carry 3-5 repeat options, so
+    # a tight first bucket halves the dominant kernel for them
+    O=[4, 8, 32, 64],
     B=[64, 192],
     RD=[256, 1024, 4096],        # read-level posterior rows
     SAMP=[8, 64, 512],           # samples
@@ -176,7 +178,12 @@ def prepare_locus(haplotype: Haplotype, seqs, quals, seeds,
     """
     P_real = len(seqs)
     H_real = haplotype.num_combs
-    L_need = max(2, max(len(s) for s in seqs) - 1)
+    # lane headroom: the slab-parallel emission kernel reads lanes
+    # j + d*period for deletion artifacts (ops/pallas_emission2.py), so
+    # every real read offset needs 6*period lanes above it
+    period_hr = next(b.repeat_info.period for b in haplotype.blocks
+                     if b.is_repeat)
+    L_need = max(2, max(len(s) for s in seqs) - 1 + 6 * period_hr)
     L = _bucket(L_need, _profile()["L"])
 
     packed = pack_haplotypes(haplotype, L)

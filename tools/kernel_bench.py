@@ -15,12 +15,12 @@ import jax
 import jax.numpy as jnp
 
 
-def t_ms(fn, fetch, n=3):
-    fetch(fn())                      # warm (compile)
+def t_ms(fn, args, fetch, n=3):
+    fetch(fn(*args))                 # warm (compile)
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
-        fetch(fn())
+        fetch(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return 1000 * best
 
@@ -33,9 +33,8 @@ def bench_emission(G, O, P, L, Bmax, period):
     blc = jnp.asarray(rng.uniform(-0.01, -0.0001, (G, P, L)), jnp.float32)
     brev = jnp.asarray(rng.integers(0, 4, (G, O, Bmax)), jnp.int32)
     blen = jnp.asarray(rng.integers(Bmax // 2, Bmax, (G, O)), jnp.int32)
-    f = jax.jit(lambda: stutter_emissions_pallas(codes, blw, blc, brev,
-                                                 blen, period))
-    ms = t_ms(f, lambda r: np.asarray(r))
+    f = jax.jit(lambda *a: stutter_emissions_pallas(*a, period))
+    ms = t_ms(f, (codes, blw, blc, brev, blen), lambda r: np.asarray(r))
     print(f"emission G={G} O={O} P={P} L={L} B={Bmax} per={period}: "
           f"{ms:.1f} ms  ({ms/G:.2f} ms/locus)")
     return ms
@@ -62,9 +61,9 @@ def bench_hmm(G, P, L, H, R, sr, period, O=None):
         row_active=jnp.ones((G, R), jnp.int8),
     )
     E = jnp.asarray(rng.uniform(-30, 0, (G, O, nD, P, L)), jnp.float32)
-    f = jax.jit(lambda: k.segment_forward_v2(codes, quals, last, meta, E,
-                                             R, sr, period))
-    ms = t_ms(f, lambda r: np.asarray(r[0]))
+    f = jax.jit(lambda c, q, l, m, e: k.segment_forward_v2(
+        c, q, l, m, e, R, sr, period))
+    ms = t_ms(f, (codes, quals, last, meta, E), lambda r: np.asarray(r[0]))
     print(f"hmm_v2  G={G} P={P} L={L} H={H} R={R} sr={sr} per={period}: "
           f"{ms:.1f} ms  ({ms/G:.2f} ms/locus)")
     return ms
