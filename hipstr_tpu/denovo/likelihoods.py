@@ -31,6 +31,21 @@ def _lse10(xp, x, axis=None):
     return xp.squeeze(out, axis=axis)
 
 
+def _lse_ref(xp, x, axis=None):
+    """Reference-parity aggregation: the reference's streaming accumulator
+    (src/mathops.cpp:72-84, update/finish_streaming_log_sum_exp) applies
+    NATURAL exp/log to the log10-space scenario terms, so the 'log10'
+    values it reports are really max + ln(sum(e^(x - max))).  Replicated
+    here verbatim so golden comparisons against the DenovoFinder binary
+    match; pass exact_lse=True to the kernels for true log10 semantics."""
+    m = xp.max(x, axis=axis, keepdims=True)
+    m = xp.where(xp.isfinite(m), m, 0.0)
+    out = m + xp.log(xp.sum(xp.exp(x - m), axis=axis, keepdims=True))
+    if axis is None:
+        return xp.squeeze(out)
+    return xp.squeeze(out, axis=axis)
+
+
 def uniform_log10_freqs(num_alleles: int) -> np.ndarray:
     return np.full(num_alleles, -math.log10(num_alleles))
 
@@ -93,12 +108,16 @@ def _child_tensor(xp, glc, mat_idx: int, pat_idx: int, A: int):
 
 def phased_family_lls(xp, gl_mother, gl_father, gl_children,
                       maternal_indices: List[int], paternal_indices: List[int],
-                      log10_freqs, log10_mut_prior: float):
-    """Returns (ll_no_mutation, ll_one_denovo[C], ll_one_other[C]) in log10.
+                      log10_freqs, log10_mut_prior: float,
+                      exact_lse: bool = False):
+    """Returns (ll_no_mutation, ll_one_denovo[C], ll_one_other[C]).
 
     gl_* are [A, A] phased-GL matrices; children's transmission patterns come
     from SNP-haplotype inheritance (reference: denovo_scanner.cpp:155-273).
+    By default the final reductions use the reference's hybrid natural-log
+    aggregation (see _lse_ref); exact_lse=True gives true log10 LSE.
     """
+    _lse = _lse10 if exact_lse else _lse_ref
     A = gl_mother.shape[0]
     f = xp.asarray(log10_freqs)
     M = f[:, None] + f[None, :] + gl_mother           # [A, A]
@@ -115,7 +134,7 @@ def phased_family_lls(xp, gl_mother, gl_father, gl_children,
     nomut = base
     for t, _, _ in child_t:
         nomut = nomut + t
-    ll_no_mutation = _lse10(xp, nomut)
+    ll_no_mutation = _lse(xp, nomut)
 
     iota = xp.arange(A)
     grid = [xp.reshape(iota, [A if d == i else 1 for i in range(4)])
@@ -150,16 +169,18 @@ def phased_family_lls(xp, gl_mother, gl_father, gl_children,
 
         both = xp.stack([t1, t2])
         dmask = xp.stack([denovo_mask, denovo_mask])
-        ll_denovo.append(_lse10(xp, xp.where(dmask, both, NEG)))
-        ll_other.append(_lse10(xp, xp.where(dmask, NEG, both)))
+        ll_denovo.append(_lse(xp, xp.where(dmask, both, NEG)))
+        ll_other.append(_lse(xp, xp.where(dmask, NEG, both)))
     return ll_no_mutation, xp.stack(ll_denovo), xp.stack(ll_other)
 
 
 def trio_unphased_lls(xp, gl_mother, gl_father, gl_child, log10_freqs,
-                      log10_mut_prior: float):
-    """Returns (ll_no_mutation, ll_one_denovo, ll_one_other) in log10 for one
-    trio with unphased [A, A] symmetric GL matrices (reference:
-    trio_denovo_scanner.cpp:81-180)."""
+                      log10_mut_prior: float, exact_lse: bool = False):
+    """Returns (ll_no_mutation, ll_one_denovo, ll_one_other) for one trio
+    with unphased [A, A] symmetric GL matrices (reference:
+    trio_denovo_scanner.cpp:81-180).  Final reductions default to the
+    reference's hybrid natural-log aggregation (see _lse_ref)."""
+    _lse = _lse10 if exact_lse else _lse_ref
     A = gl_mother.shape[0]
     f = xp.asarray(log10_freqs)
     LOG2 = math.log10(2.0)
@@ -205,9 +226,9 @@ def trio_unphased_lls(xp, gl_mother, gl_father, gl_child, log10_freqs,
                 den_parts.append(xp.where(denovo_mask, t, NEG))
                 oth_parts.append(xp.where(denovo_mask, NEG, t))
 
-    ll_nomut = _lse10(xp, xp.stack(nomut_parts))
-    ll_denovo = _lse10(xp, xp.stack(den_parts))
-    ll_other = _lse10(xp, xp.stack(oth_parts))
+    ll_nomut = _lse(xp, xp.stack(nomut_parts))
+    ll_denovo = _lse(xp, xp.stack(den_parts))
+    ll_other = _lse(xp, xp.stack(oth_parts))
     return ll_nomut, ll_denovo, ll_other
 
 

@@ -36,6 +36,31 @@ def _log10_mut_prior(num_alleles: int) -> float:
     return -math.log10(2) - math.log10(num_alleles - 1)
 
 
+_LOG_THRESH = -6.907755278982137  # ln(0.001), reference mathops.h:36
+
+
+def _ref_flse_vec(vals) -> float:
+    """Reference fast_log_sum_exp over a vector (mathops.cpp:97-106):
+    natural exp/log on the (log10-space) scenario values, dropping terms
+    more than ln(1000) below the max."""
+    import math
+    m = max(float(v) for v in vals)
+    total = 0.0
+    for v in vals:
+        d = float(v) - m
+        if d > _LOG_THRESH:
+            total += math.exp(d)
+    return m + math.log(total)
+
+
+def _ref_flse2(a: float, b: float) -> float:
+    """Reference pairwise fast_log_sum_exp (mathops.cpp:86-95)."""
+    import math
+    hi, lo = (a, b) if a > b else (b, a)
+    d = lo - hi
+    return hi if d < _LOG_THRESH else hi + math.log(1.0 + math.exp(d))
+
+
 def _founder_gts(variant: VcfVariant, families: List[NuclearFamily]):
     out = []
     for fam in families:
@@ -95,8 +120,9 @@ class DenovoScanner:
         jobs: List[tuple] = []
 
         def fam_col(fam, nomut, denovo, other) -> str:
-            anymut = float(np.log10(
-                np.sum(10.0 ** np.concatenate([denovo, other]))))
+            # reference: fast_log_sum_exp(flse(denovo), flse(other))
+            # (denovo_scanner.cpp:97) — hybrid natural-log aggregation
+            anymut = _ref_flse2(_ref_flse_vec(denovo), _ref_flse_vec(other))
             return ":".join([
                 ",".join(fam.children),
                 _fmt(float(nomut)), _fmt(anymut),

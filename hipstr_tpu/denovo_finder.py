@@ -28,13 +28,21 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Phased SNP VCF (enables the family scan; without "
                          "it the unphased trio scan runs)")
     ap.add_argument("--denovo-vcf", required=True, help="Output VCF path")
-    ap.add_argument("--pop-priors", action="store_true",
-                    help="Use founder-derived allele frequency priors")
+    ap.add_argument("--uniform-prior", action="store_true",
+                    help="Use uniform parental allele priors instead of the "
+                         "default founder-frequency priors (reference: "
+                         "denovo_main.cpp:170 — population priors are the "
+                         "default, --uniform-prior opts out)")
     ap.add_argument("--device-batch", type=int, default=-1,
                     help="Evaluate N (record, family) likelihood jobs per "
                          "batched device dispatch (0 = per-family host "
                          "path; default: 256 on accelerator backends, 0 "
                          "on CPU)")
+    ap.add_argument("--platform", default="",
+                    help="Force a jax platform (cpu/tpu); like the genotyper "
+                         "CLI this must go through jax.config because the "
+                         "environment may pin a platform at interpreter "
+                         "start")
     return ap
 
 
@@ -48,19 +56,30 @@ def main(argv=None) -> int:
         return 1
 
     device_batch = args.device_batch
-    if device_batch < 0:
+    if device_batch != 0:
         import jax
-        device_batch = 0 if jax.default_backend() == "cpu" else 256
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+        try:
+            backend = jax.default_backend()
+        except RuntimeError:
+            # The environment pins an unavailable accelerator platform;
+            # fall back to CPU rather than dying (the scan math is tiny).
+            jax.config.update("jax_platforms", "cpu")
+            backend = "cpu"
+        if device_batch < 0:
+            device_batch = 0 if backend == "cpu" else 256
 
     out = open(args.denovo_vcf, "w")
     cmd = " ".join(sys.argv)
+    use_pop = not args.uniform_prior
     if args.snp_vcf:
-        scanner = DenovoScanner(families, out, args.pop_priors)
+        scanner = DenovoScanner(families, out, use_pop)
         scanner.write_vcf_header(cmd)
         scanner.scan(VCFReader(args.snp_vcf), str_vcf,
                      device_batch=device_batch)
     else:
-        scanner = TrioDenovoScanner(families, out, args.pop_priors)
+        scanner = TrioDenovoScanner(families, out, use_pop)
         scanner.write_vcf_header(cmd)
         scanner.scan(str_vcf, device_batch=device_batch)
     out.close()

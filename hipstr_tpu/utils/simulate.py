@@ -72,7 +72,8 @@ def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25
                    qual_char: str = "I", chrom: str = "chrSim",
                    paired: bool = False,
                    phased_snp_offset: Optional[int] = None,
-                   haploid: bool = False) -> SimulatedLocus:
+                   haploid: bool = False,
+                   sample_names: Optional[List[str]] = None) -> SimulatedLocus:
     rng = np.random.default_rng(seed)
     if stutter is None:
         stutter = StutterModel(0.9, 0.05, 0.08, 0.9, 0.01, 0.01, period)
@@ -104,7 +105,8 @@ def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25
         locus.snp = dict(pos=snp_pos, ref=snp_ref, alt=snp_alt)
 
     for s in range(n_samples):
-        name = f"SAMPLE{s:03d}"
+        name = (sample_names[s] if sample_names is not None
+                else f"SAMPLE{s:03d}")
         locus.sample_names.append(name)
         a1, a2 = rng.choice(allele_units, size=2, p=freqs)
         if haploid:

@@ -17,11 +17,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def lse10(vals):
+    """Reference-parity aggregation: the reference's streaming LSE
+    (mathops.cpp:72-84) applies natural exp/log to log10-space terms, and
+    the kernels replicate that hybrid by default."""
     vals = [v for v in vals if v > -1e20]
     if not vals:
         return NEG
     m = max(vals)
-    return m + math.log10(sum(10.0 ** (v - m) for v in vals))
+    return m + math.log(sum(math.exp(v - m) for v in vals))
 
 
 def brute_trio(gm, gf, gc, freqs, mut_prior):

@@ -1,0 +1,202 @@
+"""Golden comparison: DenovoFinder + PhasingChecker vs the reference
+binaries (/tmp/refbuild, same tree as the HipSTR golden tests).
+
+The STR VCF consumed by both de novo scanners is produced by OUR
+genotyper (GL + PHASEDGL on a simulated trio), so the comparison
+exercises the full consumer path the reference implements
+(reference: src/denovos/denovo_main.cpp, src/denovos/denovo_scanner.cpp:
+110-273, src/denovos/trio_denovo_scanner.cpp, src/check_phasing.cpp).
+"""
+
+import gzip
+import os
+import random
+import subprocess
+import sys
+
+import pytest
+
+REF_DENOVO = "/tmp/refbuild/DenovoFinder"
+REF_PHASING = "/tmp/refbuild/PhasingChecker"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_phasing_checker():
+    if os.path.exists(REF_PHASING):
+        return True
+    if not os.path.exists("/tmp/refbuild/Makefile"):
+        return False
+    r = subprocess.run(["make", "PhasingChecker"], cwd="/tmp/refbuild",
+                       capture_output=True)
+    return r.returncode == 0 and os.path.exists(REF_PHASING)
+
+
+def _write_trio_dataset(out: str, n_loci: int = 6):
+    sys.path.insert(0, REPO)
+    from hipstr_tpu.utils.simulate import simulate_locus
+    from tests.test_workers import _write_sim
+    locs = [simulate_locus(seed=7100 + i, n_samples=3, reads_per_sample=30,
+                           period=2 + (i % 3), ref_units=8,
+                           chrom=f"chr{i + 1}",
+                           sample_names=["MOM", "DAD", "KID"])
+            for i in range(n_loci)]
+    _write_sim(out, locs)
+    with open(f"{out}/trio.fam", "w") as fh:
+        fh.write("FAM1\tKID\tDAD\tMOM\t1\t0\n")
+    return locs
+
+
+def _write_phased_snps(out: str, chroms, seed=5):
+    """300 phased SNPs per chromosome; child = mat hap 1 + pat hap 1."""
+    rng = random.Random(seed)
+    lines = ["##fileformat=VCFv4.1"]
+    for c in chroms:
+        lines.append(f"##contig=<ID={c},length=100000000>")
+    lines += ['##FORMAT=<ID=GT,Number=1,Type=String,Description="G">',
+              "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+              "\tMOM\tDAD\tKID"]
+    for c in chroms:
+        pos = 50
+        for _ in range(300):
+            pos += rng.randint(50, 1500)
+            mom = (rng.randint(0, 1), rng.randint(0, 1))
+            dad = (rng.randint(0, 1), rng.randint(0, 1))
+            kid = (mom[0], dad[0])
+            gts = "\t".join(f"{a}|{b}" for a, b in (mom, dad, kid))
+            lines.append(f"{c}\t{pos}\t.\tA\tC\t.\t.\t.\tGT\t{gts}")
+    sys.path.insert(0, REPO)
+    from hipstr_tpu.io.bgzf import BgzfWriter
+    from hipstr_tpu.io.tabix import TabixBuilder
+    w = BgzfWriter(f"{out}/snps.vcf.gz")
+    tb = TabixBuilder()
+    for line in lines:
+        if not line.startswith("#"):
+            cols = line.split("\t")
+            v0 = w.virtual_offset
+            w.write((line + "\n").encode())
+            tb.add(cols[0], int(cols[1]) - 1, int(cols[1]), v0,
+                   w.virtual_offset)
+        else:
+            w.write((line + "\n").encode())
+    w.close()
+    if tb.names:
+        tb.write(f"{out}/snps.vcf.gz.tbi")
+    return f"{out}/snps.vcf.gz"
+
+
+def _genotype(out: str, extra=()):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run(
+        [sys.executable, "-m", "hipstr_tpu.cli",
+         "--bams", f"{out}/sim.bam", "--fasta", f"{out}/sim.fa",
+         "--regions", f"{out}/regions.bed", "--str-vcf", f"{out}/str.vcf.gz",
+         "--min-reads", "20", "--use-unpaired", "--def-stutter-model",
+         "--output-gls", "--output-phased-gls", "--dtype", "float64",
+         "--quiet"] + list(extra), check=True, env=env, cwd=REPO)
+    return f"{out}/str.vcf.gz"
+
+
+def _records(path):
+    if path.endswith(".gz"):
+        sys.path.insert(0, REPO)
+        from hipstr_tpu.io.bgzf import BgzfReader
+        text = BgzfReader(path).read_all().decode()
+    else:
+        text = open(path).read()
+    return [l for l in text.splitlines() if l and not l.startswith("#")]
+
+
+def _compare_denovo(ref_recs, tpu_recs, fields_by_name, atol=0.02):
+    assert len(ref_recs) == len(tpu_recs) > 0
+    for rr, tr in zip(ref_recs, tpu_recs):
+        rf, tf = rr.split("\t"), tr.split("\t")
+        assert rf[0] == tf[0] and rf[1] == tf[1], (rf[:2], tf[:2])
+        fmt = rf[8].split(":")
+        assert rf[8] == tf[8], (rf[8], tf[8])
+        for s in range(9, len(rf)):
+            rv, tv = rf[s].strip(), tf[s].strip()
+            if rv == "." or tv == ".":
+                assert rv == tv, (rr, tr)
+                continue
+            for name, rx, tx in zip(fmt, rv.split(":"), tv.split(":")):
+                if name not in fields_by_name:
+                    assert rx == tx, (name, rx, tx)
+                    continue
+                for a, b in zip(rx.split(","), tx.split(",")):
+                    assert abs(float(a) - float(b)) <= atol, \
+                        (name, rx, tx, rr)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DENOVO),
+                    reason="reference DenovoFinder not built")
+def test_golden_trio_denovo(tmp_path):
+    out = str(tmp_path)
+    _write_trio_dataset(out)
+    str_vcf = _genotype(out)
+
+    subprocess.run([REF_DENOVO, "--fam", f"{out}/trio.fam",
+                    "--str-vcf", str_vcf,
+                    "--denovo-vcf", f"{out}/ref_denovo.vcf.gz"], check=True)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.denovo_finder",
+                    "--fam", f"{out}/trio.fam", "--str-vcf", str_vcf,
+                    "--denovo-vcf", f"{out}/tpu_denovo.vcf"],
+                   check=True, env=env, cwd=REPO)
+    _compare_denovo(_records(f"{out}/ref_denovo.vcf.gz"),
+                    _records(f"{out}/tpu_denovo.vcf"),
+                    {"NOMUT", "DENOVO", "OTHER"})
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DENOVO),
+                    reason="reference DenovoFinder not built")
+def test_golden_family_denovo(tmp_path):
+    out = str(tmp_path)
+    locs = _write_trio_dataset(out)
+    snp_vcf = _write_phased_snps(out, [l.chrom for l in locs])
+    str_vcf = _genotype(out)
+
+    subprocess.run([REF_DENOVO, "--fam", f"{out}/trio.fam",
+                    "--str-vcf", str_vcf, "--snp-vcf", snp_vcf,
+                    "--denovo-vcf", f"{out}/ref_denovo.vcf.gz"], check=True)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.denovo_finder",
+                    "--fam", f"{out}/trio.fam", "--str-vcf", str_vcf,
+                    "--snp-vcf", snp_vcf,
+                    "--denovo-vcf", f"{out}/tpu_denovo.vcf"],
+                   check=True, env=env, cwd=REPO)
+    _compare_denovo(_records(f"{out}/ref_denovo.vcf.gz"),
+                    _records(f"{out}/tpu_denovo.vcf"),
+                    {"NOMUT", "ANYMUT", "DENOVO", "OTHER"})
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DENOVO),
+                    reason="reference tree not available")
+def test_golden_phasing_checker(tmp_path):
+    if not _ensure_phasing_checker():
+        pytest.skip("PhasingChecker failed to build")
+    out = str(tmp_path)
+    locs = _write_trio_dataset(out)
+    snp_vcf = _write_phased_snps(out, [l.chrom for l in locs])
+    with open(f"{out}/regions.bed") as fh:
+        bed = fh.read()
+
+    subprocess.run([REF_PHASING, "--fam", f"{out}/trio.fam",
+                    "--snp-vcf", snp_vcf, "--regions", f"{out}/regions.bed",
+                    "--out", f"{out}/ref_dists.gz"], check=True)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.phasing_checker",
+                    "--fam", f"{out}/trio.fam", "--snp-vcf", snp_vcf,
+                    "--regions", f"{out}/regions.bed",
+                    "--out", f"{out}/tpu_dists.gz"], check=True, env=env,
+                   cwd=REPO)
+
+    ref = gzip.open(f"{out}/ref_dists.gz", "rt").read().strip().splitlines()
+    sys.path.insert(0, REPO)
+    from hipstr_tpu.io.bgzf import BgzfReader
+    tpu = BgzfReader(f"{out}/tpu_dists.gz").read_all().decode() \
+        .strip().splitlines()
+    ref_body = [l for l in ref if not l.startswith("#")]
+    tpu_body = [l for l in tpu if not l.startswith("#")]
+    assert len(ref_body) == len(tpu_body) > 0
+    for r, t in zip(ref_body, tpu_body):
+        assert r.split() == t.split(), (r, t)
