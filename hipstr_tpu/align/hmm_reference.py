@@ -483,17 +483,19 @@ def align_seq_to_hap(hap: HaplotypeInstance, seq: str,
     """
     L = len(seq)
     H = hap.cur_size
-    match = np.full((H, L), np.nan)
-    insert = np.full((H, L), np.nan)
-    delete = np.full((H, L), np.nan)
-    best_art_size = np.full((hap.num_blocks(), L), -10000, dtype=np.int64)
-    best_art_pos = np.full((hap.num_blocks(), L), -1, dtype=np.int64)
-
     codes = np.frombuffer(seq.encode("latin1"), dtype=np.uint8)
 
-    # native C++ fast path (identical semantics; see native/hmm_kernel.cpp)
+    # native C++ fast path (identical semantics; see native/hmm_kernel.cpp).
+    # The C kernel writes every row it (or any consumer) reads — inner
+    # stutter rows are skipped on both sides — so uninitialized buffers are
+    # safe here and save three NaN fills per segment.
     from .. import native as _native
     if _native.available():
+        match = np.empty((H, L))
+        insert = np.empty((H, L))
+        delete = np.empty((H, L))
+        best_art_size = np.full((hap.num_blocks(), L), -10000, dtype=np.int64)
+        best_art_pos = np.full((hap.num_blocks(), L), -1, dtype=np.int64)
         blw64 = np.ascontiguousarray(blw, dtype=np.float64)
         blc64 = np.ascontiguousarray(blc, dtype=np.float64)
         lp = _native.hmm_fill_dp_native(
@@ -501,6 +503,12 @@ def align_seq_to_hap(hap: HaplotypeInstance, seq: str,
             match, insert, delete, best_art_size, best_art_pos)
         if lp is not None:
             return match, insert, delete, best_art_size, best_art_pos, lp
+
+    match = np.full((H, L), np.nan)
+    insert = np.full((H, L), np.nan)
+    delete = np.full((H, L), np.nan)
+    best_art_size = np.full((hap.num_blocks(), L), -10000, dtype=np.int64)
+    best_art_pos = np.full((hap.num_blocks(), L), -1, dtype=np.int64)
 
     def emit_row(hap_char: str) -> np.ndarray:
         eq = codes == ord(hap_char)

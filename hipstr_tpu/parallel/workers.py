@@ -57,6 +57,12 @@ def _worker_main(conn, spec: dict) -> None:
                                  bam_libs=spec["bam_libs"],
                                  lib_field=spec["lib_field"])
     dtype = opts.dtype
+    # When the parent fuses genotype posteriors into its device dispatches
+    # (executor.device_post_enabled), workers must install those posteriors
+    # instead of recomputing on host — otherwise the pooled and in-process
+    # paths diverge numerically (f32 device vs f64 host) and near-tie
+    # adaptive decisions flip between modes.
+    device_post = bool(spec.get("device_post", False))
     items: Dict[int, tuple] = {}     # idx -> (region, genotyper, gen)
     chrom = None
     chrom_seq = None
@@ -103,8 +109,9 @@ def _worker_main(conn, spec: dict) -> None:
                     pipeline.counters.genotype_fail += 1
                     conn.send(("settled", idx, None, None))
                     return
-                arrays, statics = prepare_locus(g.haplotype, seqs, quals,
-                                                seeds, dtype)
+                arrays, statics = prepare_locus(
+                    g.haplotype, seqs, quals, seeds, dtype,
+                    post_meta=g.posterior_meta() if device_post else None)
             items[idx] = (region, g, None)
             conn.send(("ready", idx, arrays, statics))
         except Exception as exc:  # skip-and-continue, like the reference
@@ -112,12 +119,16 @@ def _worker_main(conn, spec: dict) -> None:
             conn.send(("log", f"ERROR at {region}: {exc!r}"))
             conn.send(("settled", idx, None, None))
 
-    def do_ll(idx, LL):
+    def do_ll(idx, LL, post=None, totals=None):
         region, g, gen = items[idx]
         try:
             g.set_pool_lls(LL)
             with pipeline.timer.time("Genotyping (adaptive)"):
-                g.calc_log_sample_posteriors()
+                if post is not None:
+                    S, H = g.num_samples, g.num_alleles
+                    g.install_posteriors(post[:S, :H, :H], totals[:S])
+                else:
+                    g.calc_log_sample_posteriors()
                 if gen is None:
                     gen = g.adaptive_steps(opts.max_haps,
                                            opts.max_hap_flanks,
@@ -136,8 +147,9 @@ def _worker_main(conn, spec: dict) -> None:
                     return
             with pipeline.timer.time("Locus packing"):
                 seqs, quals, seeds = g.pool_inputs()
-                arrays, statics = prepare_locus(g.haplotype, seqs, quals,
-                                                seeds, dtype)
+                arrays, statics = prepare_locus(
+                    g.haplotype, seqs, quals, seeds, dtype,
+                    post_meta=g.posterior_meta() if device_post else None)
             conn.send(("ready", idx, arrays, statics))
         except Exception as exc:
             items.pop(idx, None)
@@ -151,7 +163,7 @@ def _worker_main(conn, spec: dict) -> None:
         if tag == "prep":
             do_prep(msg[1], msg[2])
         elif tag == "ll":
-            do_ll(msg[1], msg[2])
+            do_ll(msg[1], msg[2], *msg[3:])
         elif tag == "fin":
             conn.send(("fin", pipeline.counters, pipeline._stutter_out,
                        pipeline.timer.totals))
@@ -188,11 +200,13 @@ def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
     stacks ready tensors, and owns every device dispatch.
     """
     import jax
-    from .executor import BatchedAligner, LocusWorkItem
+    from .executor import (BatchedAligner, LocusWorkItem,
+                           device_post_enabled)
     from ..io.regions import read_regions
     from ..io.vcf_write import VCFWriter, build_vcf_header
 
     opts = pipeline.opts
+    worker_spec = dict(worker_spec, device_post=device_post_enabled())
     regions = list(read_regions(regions_bed, opts.max_regions, opts.chrom,
                                 opts.locus_shard))
     window = window or batch_size * 4
@@ -297,12 +311,20 @@ def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
     def fetch_one():
         chunk, handle = inflight.popleft()
         with pipeline.timer.time("Device fetch"):
-            LL_all = np.asarray(handle)
+            if isinstance(handle, tuple):
+                LL_all, post_all, tot_all = (np.asarray(h) for h in handle)
+            else:
+                LL_all = np.asarray(handle)
+                post_all = tot_all = None
         for gi, work in enumerate(chunk):
             item = work._pool_item
             P_real, H_real = item.statics[5], item.statics[6]
             LL = LL_all[gi, :P_real, :H_real]
-            conns[item.worker].send(("ll", item.idx, LL))
+            if post_all is not None:
+                conns[item.worker].send(("ll", item.idx, LL,
+                                         post_all[gi], tot_all[gi]))
+            else:
+                conns[item.worker].send(("ll", item.idx, LL))
             outstanding[item.worker] += 1
 
     t_poll = t_idle = 0.0

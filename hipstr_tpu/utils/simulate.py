@@ -22,6 +22,10 @@ from ..models.stutter import StutterModel
 
 BASES = "ACGT"
 
+# standard Illumina TruSeq R1 adapter (the same constant family the
+# reference trims, src/adapter_trimmer.cpp)
+ADAPTER = "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"
+
 
 @dataclass
 class SimulatedLocus:
@@ -64,6 +68,66 @@ def _sample_stutter(rng, model: StutterModel):
     return 0
 
 
+def _realistic_quals(rng, n: int) -> str:
+    """Position-decaying Illumina-like quality curve with jitter and
+    occasional bad cycles (phred+33)."""
+    pos = np.arange(n) / max(1, n - 1)
+    q = 38.0 - 12.0 * pos ** 1.5 + rng.normal(0.0, 2.0, n)
+    bad = rng.random(n) < 0.01
+    q = q - np.where(bad, rng.uniform(10.0, 25.0, n), 0.0)
+    q = np.clip(np.round(q), 2, 40).astype(int)
+    return "".join(chr(33 + int(v)) for v in q)
+
+
+def _messy_record(rng, rd: dict, read_len: int, chrom: str) -> List[dict]:
+    """Apply real-data artifacts to one exported read record: decaying
+    quality curves with quality-driven errors, N bases, soft-clipped ends,
+    adapter read-through, MAPQ variation, XA multimappers, and PCR
+    duplicates.  Returns the record(s) to export (realism affects the BAM
+    surface both engines consume; the in-memory alns stay clean)."""
+    seq = list(rd["seq"])
+    quals = _realistic_quals(rng, read_len)
+    for i in range(read_len):
+        if rng.random() < 10.0 ** (-(ord(quals[i]) - 33) / 10.0):
+            seq[i] = rng.choice([b for b in BASES if b != seq[i]])
+    if rng.random() < 0.02:
+        seq[int(rng.integers(0, read_len))] = "N"
+
+    cigar = [(read_len, "M")]
+    pos = rd["start"]
+    if rng.random() < 0.10:              # left soft clip (garbage bases)
+        k = int(rng.integers(3, 11))
+        seq[:k] = list(_rand_seq(rng, k))
+        cigar = [(k, "S"), (read_len - k, "M")]
+        pos += k
+    if rng.random() < 0.10:              # right clip / adapter read-through
+        k = int(rng.integers(5, 18))
+        tail = (list(ADAPTER[:k]) if rng.random() < 0.5
+                else list(_rand_seq(rng, k)))
+        seq[read_len - k:] = tail
+        n_m, op = cigar[-1]
+        cigar = cigar[:-1] + [(n_m - k, op), (k, "S")]
+
+    out = dict(rd)
+    out["seq"] = "".join(seq)
+    out["quals"] = quals
+    out["start"] = pos
+    out["cigar"] = cigar
+    out["mapq"] = 60
+    r = rng.random()
+    if r < 0.03:                         # multimapper: both engines drop it
+        out["mapq"] = 0
+        out["tags"] = {"XA": ("Z", f"{chrom},+{pos + 50},{read_len}M,2;")}
+    elif r < 0.08:
+        out["mapq"] = int(rng.choice([20, 30, 40]))
+    recs = [out]
+    if rng.random() < 0.05:              # PCR duplicate (dedup path)
+        dup = dict(out)
+        dup["name"] = out["name"] + "dup"
+        recs.append(dup)
+    return recs
+
+
 def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25,
                    period: int = 3, ref_units: int = 8, read_len: int = 70,
                    flank_len: int = 300, error_rate: float = 0.002,
@@ -73,7 +137,8 @@ def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25
                    paired: bool = False,
                    phased_snp_offset: Optional[int] = None,
                    haploid: bool = False,
-                   sample_names: Optional[List[str]] = None) -> SimulatedLocus:
+                   sample_names: Optional[List[str]] = None,
+                   realism: bool = False) -> SimulatedLocus:
     rng = np.random.default_rng(seed)
     if stutter is None:
         stutter = StutterModel(0.9, 0.05, 0.08, 0.9, 0.01, 0.01, period)
@@ -185,10 +250,15 @@ def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25
                           | (0x20 if str_rev else 0)),
                     mate_pos=map_start, tlen=tlen))
             else:
-                locus.raw_reads.append(dict(
+                rd = dict(
                     name=f"{name}_read{r}", sample=name, seq=read_seq,
                     quals=quals, start=map_start, rev=aln.rev_strand,
-                    hap=1 if from_hap_one else 2))
+                    hap=1 if from_hap_one else 2)
+                if realism:
+                    locus.raw_reads.extend(
+                        _messy_record(rng, rd, read_len, chrom))
+                else:
+                    locus.raw_reads.append(rd)
         # reads must be grouped per sample, ordered consistently
         locus.alns.extend(sorted(sample_alns, key=lambda a: a.name))
         locus.log_p1.append(p1s)

@@ -77,3 +77,33 @@ def test_worker_pool_identical_to_batched():
     b = [l for l in open(f"{tmp}/pool.vcf") if not l.startswith("#")]
     assert len(a) == 6 and a == b
     assert counters.genotype_success == 6
+
+
+def test_worker_pool_device_posteriors_identical(monkeypatch):
+    """On accelerator backends the executor fuses posteriors into the
+    device dispatch; workers must install the SAME posteriors the batched
+    path uses (not recompute on host) or near-tie adaptive decisions flip
+    between modes.  Forces the fused path on CPU to exercise the full
+    (LL, post, totals) worker protocol."""
+    monkeypatch.setenv("HIPSTR_TPU_DEVICE_POST", "1")
+    tmp = tempfile.mkdtemp()
+    locs = [simulate_locus(seed=760 + i, n_samples=2, reads_per_sample=20,
+                           period=2 + (i % 3), ref_units=8, chrom=f"chrWP{i}")
+            for i in range(5)]
+    _write_sim(tmp, locs)
+
+    p = GenotyperPipeline([f"{tmp}/sim.bam"], f"{tmp}/sim.fa", _opts(),
+                          Logger(quiet=True))
+    run_batched(p, f"{tmp}/regions.bed", f"{tmp}/bat.vcf", batch_size=4)
+
+    p2 = GenotyperPipeline([f"{tmp}/sim.bam"], f"{tmp}/sim.fa", _opts(),
+                           Logger(quiet=True))
+    spec = dict(bam_paths=[f"{tmp}/sim.bam"], fasta_path=f"{tmp}/sim.fa",
+                opts=_opts(), bam_samps=None, bam_libs=None, lib_field="LB")
+    counters = run_pooled(p2, f"{tmp}/regions.bed", f"{tmp}/pool.vcf", spec,
+                          n_workers=2, batch_size=4)
+
+    a = [l for l in open(f"{tmp}/bat.vcf") if not l.startswith("#")]
+    b = [l for l in open(f"{tmp}/pool.vcf") if not l.startswith("#")]
+    assert len(a) == 5 and a == b
+    assert counters.genotype_success == 5

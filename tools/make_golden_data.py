@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--hp-tags", action="store_true",
                     help="tag every read with its haplotype of origin "
                          "(HP:i:1/2, the 10x Genomics convention)")
+    ap.add_argument("--realistic", action="store_true",
+                    help="real-data artifacts: decaying quality curves, "
+                         "quality-driven errors, N bases, soft clips, "
+                         "adapter read-through, MAPQ spread, XA "
+                         "multimappers, PCR duplicates")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -50,7 +55,8 @@ def main():
                                reads_per_sample=args.reads,
                                period=args.period, ref_units=args.ref_units,
                                chrom=f"chrS{g}", paired=args.paired,
-                               phased_snp_offset=args.snp_offset or None)
+                               phased_snp_offset=args.snp_offset or None,
+                               realism=args.realistic)
         sample_names = locus.sample_names
         if args.snp_offset:
             snp = locus.snp
@@ -84,11 +90,13 @@ def main():
     for g, chrom, rd in all_reads:
         flag = rd.get("flag", 0x10 if rd["rev"] else 0)
         tags = {"RG": ("Z", f"rg{rd['sample']}")}
+        tags.update(rd.get("tags", {}))
         if args.hp_tags:
             tags["HP"] = ("i", rd["hap"])
         rec = BamRecord(
-            name=rd["name"], flag=flag, ref_id=g, pos=rd["start"], mapq=60,
-            cigar=[(len(rd["seq"]), "M")],
+            name=rd["name"], flag=flag, ref_id=g, pos=rd["start"],
+            mapq=rd.get("mapq", 60),
+            cigar=rd.get("cigar", [(len(rd["seq"]), "M")]),
             mate_ref_id=g if "mate_pos" in rd else -1,
             mate_pos=rd.get("mate_pos", -1), tlen=rd.get("tlen", 0),
             seq=rd["seq"], qual=rd["quals"], tags=tags)
