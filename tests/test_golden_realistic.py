@@ -44,7 +44,9 @@ def _compare(ref_recs, tpu_recs):
                 continue
             assert len(rparts) == len(tparts)
             for name, rv, tv in zip(fmt, rparts, tparts):
-                if name in EXACT_FIELDS:
+                if rv == tv:
+                    continue
+                if name in EXACT_FIELDS or "." in (rv, tv):
                     assert rv == tv, (rf[0], name, rv, tv)
                 elif name in INT_FIELDS:
                     assert int(rv) == int(tv), (rf[0], name, rv, tv)
