@@ -59,20 +59,40 @@ def _write_dataset(tmp, n_loci, reads_per_sample):
     _write_sim(tmp, locs)
 
 
-def _run_e2e(tmp, batch_size):
+def _run_e2e(tmp, batch_size, workers=None):
+    """One full pipeline run in the PRODUCT-DEFAULT configuration: the
+    host worker pool on accelerator backends (cli.py --host-workers auto;
+    outputs byte-identical to the in-process batched path), in-process
+    batched on CPU.  Pass workers=1 to force in-process."""
+    import jax
     from hipstr_tpu.models.stutter import StutterModel
     from hipstr_tpu.parallel.executor import run_batched
     from hipstr_tpu.pipeline.processor import (GenotyperPipeline, Logger,
                                                PipelineOptions)
-    opts = PipelineOptions(
-        min_reads=15, use_unpaired=True, dtype="float32",
-        def_stutter_model=StutterModel(0.95, 0.05, 0.05, 0.95, 0.01,
-                                       0.01, 2))
-    p = GenotyperPipeline([f"{tmp}/sim.bam"], f"{tmp}/sim.fa", opts,
+
+    def mk_opts():
+        return PipelineOptions(
+            min_reads=15, use_unpaired=True, dtype="float32",
+            def_stutter_model=StutterModel(0.95, 0.05, 0.05, 0.95, 0.01,
+                                           0.01, 2))
+    if workers is None:
+        n_cores = os.cpu_count() or 1
+        workers = (min(3, n_cores - 1)
+                   if jax.default_backend() != "cpu" and n_cores >= 3 else 1)
+    p = GenotyperPipeline([f"{tmp}/sim.bam"], f"{tmp}/sim.fa", mk_opts(),
                           Logger(quiet=True))
     t0 = time.perf_counter()
-    counters = run_batched(p, f"{tmp}/regions.bed", f"{tmp}/out.vcf",
-                           batch_size=batch_size)
+    if workers > 1:
+        from hipstr_tpu.parallel.workers import run_pooled
+        spec = dict(bam_paths=[f"{tmp}/sim.bam"], fasta_path=f"{tmp}/sim.fa",
+                    opts=mk_opts(), bam_samps=None, bam_libs=None,
+                    lib_field="LB")
+        counters = run_pooled(p, f"{tmp}/regions.bed", f"{tmp}/out.vcf",
+                              spec, n_workers=workers,
+                              batch_size=batch_size)
+    else:
+        counters = run_batched(p, f"{tmp}/regions.bed", f"{tmp}/out.vcf",
+                               batch_size=batch_size)
     dt = time.perf_counter() - t0
     return dt, counters, dict(p.timer.totals)
 

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import multiprocessing as mp
 import time
-from collections import deque
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -232,7 +231,6 @@ def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
 
     aligner = BatchedAligner(opts.dtype, batch_size, pipeline.logger)
     ready: List[_ReadyItem] = []
-    inflight: deque = deque()       # (chunk [_ReadyItem], handle)
     settled: Dict[int, tuple] = {}  # idx -> (rec, viz)
     next_emit = 0
     n_regions = len(regions)
@@ -306,16 +304,46 @@ def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
             aligner.add(work)
         ready = []
         for chunk, handle in aligner.dispatch_all():
-            inflight.append((chunk, handle))
+            n_inflight[0] += 1
+            inflight_q.put((chunk, handle))
 
-    def fetch_one():
-        chunk, handle = inflight.popleft()
-        with pipeline.timer.time("Device fetch"):
-            if isinstance(handle, tuple):
-                LL_all, post_all, tot_all = (np.asarray(h) for h in handle)
-            else:
-                LL_all = np.asarray(handle)
-                post_all = tot_all = None
+    # background fetcher: device->host result transfers ride the tunnel
+    # (~25-50 ms each); a dedicated thread overlaps them with message
+    # routing and with the device computing the NEXT dispatch.  jax array
+    # fetches release the GIL during the transfer.
+    import queue as _queue
+    import threading as _threading
+    fetched: _queue.Queue = _queue.Queue()
+    fetch_t = [0.0]
+    n_inflight = [0]
+
+    def _fetch_loop():
+        while True:
+            item = inflight_q.get()
+            if item is None:
+                return
+            chunk, handle = item
+            t0 = time.perf_counter()
+            try:
+                if isinstance(handle, tuple):
+                    res = tuple(np.asarray(h) for h in handle)
+                else:
+                    res = np.asarray(handle)
+            except BaseException as exc:   # surface in the main loop
+                fetched.put((None, exc))
+                continue
+            fetch_t[0] += time.perf_counter() - t0
+            fetched.put((chunk, res))
+
+    inflight_q: _queue.Queue = _queue.Queue()
+    fetcher = _threading.Thread(target=_fetch_loop, daemon=True)
+    fetcher.start()
+
+    def send_lls(chunk, res) -> None:
+        if isinstance(res, tuple):
+            LL_all, post_all, tot_all = res
+        else:
+            LL_all, post_all, tot_all = res, None, None
         for gi, work in enumerate(chunk):
             item = work._pool_item
             P_real, H_real = item.statics[5], item.statics[6]
@@ -327,6 +355,20 @@ def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
                 conns[item.worker].send(("ll", item.idx, LL))
             outstanding[item.worker] += 1
 
+    def drain_fetched(block: bool = False) -> bool:
+        got = False
+        while True:
+            try:
+                chunk, res = fetched.get(timeout=0.05 if block and not got
+                                         else 0.0)
+            except _queue.Empty:
+                return got
+            if chunk is None:
+                raise res
+            n_inflight[0] -= 1
+            send_lls(chunk, res)
+            got = True
+
     t_poll = t_idle = 0.0
     while n_settled < n_regions:
         feed_preps()
@@ -334,22 +376,26 @@ def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
         poll_workers(timeout=0.001)
         t_poll += time.perf_counter() - t0
         drain_settled()
+        drain_fetched()
         # dispatch once enough work is staged (or nothing else can make
-        # progress); fetch to keep at most two device rounds in flight
+        # progress)
         starved = (next_region >= n_regions
-                   and not any(outstanding) and not inflight)
+                   and not any(outstanding) and not n_inflight[0])
         if ready and (len(ready) >= window or starved
-                      or (not inflight and not any(outstanding))):
+                      or (not n_inflight[0] and not any(outstanding))):
             dispatch_ready()
-        if inflight and (len(inflight) > 1 or not poll_workers()):
-            fetch_one()
-            continue
-        if not ready and not inflight and n_settled < n_regions:
+        if not ready and not n_inflight[0] and n_settled < n_regions:
             t0 = time.perf_counter()
             if not poll_workers(timeout=0.05):
                 time.sleep(0.005)
             t_idle += time.perf_counter() - t0
+        elif n_inflight[0] and not poll_workers():
+            t0 = time.perf_counter()
+            drain_fetched(block=True)
+            t_idle += time.perf_counter() - t0
     drain_settled()
+    inflight_q.put(None)
+    pipeline.timer.add_time("Device fetch", fetch_t[0])
     pipeline.timer.add_time("Pool poll", t_poll)
     pipeline.timer.add_time("Pool idle", t_idle)
 
