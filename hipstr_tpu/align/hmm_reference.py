@@ -637,24 +637,12 @@ def align_seq_to_hap(hap: HaplotypeInstance, seq: str,
     return match, insert, delete, best_art_size, best_art_pos, left_prob
 
 
-def compute_aln_logprob(fw_hap: HaplotypeInstance,
-                        seq: str, seed_base: int,
-                        blw: np.ndarray, blc: np.ndarray,
-                        l_match: np.ndarray, l_prob: float,
-                        r_match: np.ndarray, r_prob: float):
-    """Seed-anchored combination of the two flank DPs.
-
-    Reference: HapAligner::compute_aln_logprob
-    (src/SeqAlignment/HapAligner.cpp:163-231).  Returns (LL, max_index).
-    """
-    hapsize = fw_hap.cur_size
-    seed_char_code = ord(seq[seed_base])
-
+def seed_meta(fw_hap: HaplotypeInstance):
+    """Cached per-instance seed metadata: rows that can anchor the seed,
+    their haplotype characters, and the anchor ordering the reference
+    iterates (off-hap-left, off-hap-right, then interior rows)."""
     meta = getattr(fw_hap, "_seed_meta", None)
     if meta is None:
-        # cached per-instance seed metadata: rows that can anchor the seed,
-        # their haplotype characters, and the anchor ordering the reference
-        # iterates (off-hap-left, off-hap-right, then interior rows)
         mid_rows, mid_chars = [], []
         hap_index = 1
         for block_index, bi in enumerate(fw_hap.blocks):
@@ -677,7 +665,24 @@ def compute_aln_logprob(fw_hap: HaplotypeInstance,
                 -math.log(num_seeds),
                 ord(fw_hap.get_first_char()), ord(fw_hap.get_last_char()))
         fw_hap._seed_meta = meta
-    mid_rows, mid_chars, seed_log_prior, first_code, last_code = meta
+    return meta
+
+
+def compute_aln_logprob(fw_hap: HaplotypeInstance,
+                        seq: str, seed_base: int,
+                        blw: np.ndarray, blc: np.ndarray,
+                        l_match: np.ndarray, l_prob: float,
+                        r_match: np.ndarray, r_prob: float):
+    """Seed-anchored combination of the two flank DPs.
+
+    Reference: HapAligner::compute_aln_logprob
+    (src/SeqAlignment/HapAligner.cpp:163-231).  Returns (LL, max_index).
+    """
+    hapsize = fw_hap.cur_size
+    seed_char_code = ord(seq[seed_base])
+
+    mid_rows, mid_chars, seed_log_prior, first_code, last_code = \
+        seed_meta(fw_hap)
 
     blc_s = blc[seed_base]
     blw_s = blw[seed_base]

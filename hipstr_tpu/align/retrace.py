@@ -54,6 +54,39 @@ def _pair_min_index(v1, v2):
     return 0 if v1 > v2 + TRACE_LL_TOL else 1
 
 
+def _apply_walk_events(hap: HaplotypeInstance, trace: AlignmentTrace,
+                       res) -> str:
+    """Apply one C walk's event arrays (hmm_retrace_walk layout) to the
+    trace; returns the segment's op string."""
+    (aln_b, frag_block, frag_end, frag_pool, str_block, str_size,
+     str_end, str_pool, snp_pos, snp_base, indel_pos, indel_size,
+     n_ins, n_del) = res
+    nb = hap.num_blocks()
+    prev = 0
+    for bi_idx, end in zip(frag_block, frag_end):
+        frag = frag_pool[prev:end].tobytes().decode("latin1")
+        prev = end
+        if hap.reversed:
+            trace.add_flank_data(nb - 1 - int(bi_idx), frag)
+        else:
+            trace.add_flank_data(int(bi_idx), frag[::-1])
+    prev = 0
+    for bi_idx, size, end in zip(str_block, str_size, str_end):
+        s = str_pool[prev:end].tobytes().decode("latin1")
+        prev = end
+        if hap.reversed:
+            trace.add_str_data(nb - 1 - int(bi_idx), int(size), s)
+        else:
+            trace.add_str_data(int(bi_idx), int(size), s[::-1])
+    for pos_, base_ in zip(snp_pos, snp_base):
+        trace.add_flank_snp(int(pos_), chr(int(base_)))
+    for pos_, size_ in zip(indel_pos, indel_size):
+        trace.add_flank_indel((int(pos_), int(size_)))
+    trace.flank_ins_size += n_ins
+    trace.flank_del_size += n_del
+    return aln_b.tobytes().decode("latin1")
+
+
 def _rev_pair_min_index(v1, v2):
     return 1 if v2 > v1 + TRACE_LL_TOL else 0
 
@@ -79,33 +112,7 @@ def retrace(hap: HaplotypeInstance, read_seq: str, blc: np.ndarray,
             M, I, D, best_art_size, best_art_pos,
             MIN_SNP_LOG_PROB_CORRECT, TRACE_LL_TOL)
         if res is not None:
-            (aln_b, frag_block, frag_end, frag_pool, str_block, str_size,
-             str_end, str_pool, snp_pos, snp_base, indel_pos, indel_size,
-             n_ins, n_del) = res
-            nb = hap.num_blocks()
-            prev = 0
-            for bi_idx, end in zip(frag_block, frag_end):
-                frag = frag_pool[prev:end].tobytes().decode("latin1")
-                prev = end
-                if hap.reversed:
-                    trace.add_flank_data(nb - 1 - int(bi_idx), frag)
-                else:
-                    trace.add_flank_data(int(bi_idx), frag[::-1])
-            prev = 0
-            for bi_idx, size, end in zip(str_block, str_size, str_end):
-                s = str_pool[prev:end].tobytes().decode("latin1")
-                prev = end
-                if hap.reversed:
-                    trace.add_str_data(nb - 1 - int(bi_idx), int(size), s)
-                else:
-                    trace.add_str_data(int(bi_idx), int(size), s[::-1])
-            for pos_, base_ in zip(snp_pos, snp_base):
-                trace.add_flank_snp(int(pos_), chr(int(base_)))
-            for pos_, size_ in zip(indel_pos, indel_size):
-                trace.add_flank_indel((int(pos_), int(size_)))
-            trace.flank_ins_size += n_ins
-            trace.flank_del_size += n_del
-            return aln_b.tobytes().decode("latin1")
+            return _apply_walk_events(hap, trace, res)
 
     MATCH_T, DEL_T, INS_T, NONE_T = 0, 1, 2, -1
     seq_index = seq_len - 1
@@ -367,6 +374,47 @@ def trace_optimal_aln(haplotype: Haplotype, h: int, aln: Alignment,
     if rev is None:
         rev = cache[(h, True)] = HaplotypeInstance(haplotype, h, reverse=True)
     trace = AlignmentTrace(fw.num_blocks())
+
+    # consolidated native path: both fills + seed combine + both walks in
+    # ONE FFI call (native/hmm_kernel.cpp hmm_trace_full); python only
+    # assembles the AlignmentTrace from the walk event arrays
+    from .. import native as _native
+    if _native.available():
+        from .hmm_reference import seed_meta as _seed_meta
+        mid_rows, mid_chars, slp, first_code, last_code = _seed_meta(fw)
+        codes = np.frombuffer(seq.encode("latin1"), dtype=np.uint8)
+        res = _native.hmm_trace_full_native(
+            np.ascontiguousarray(codes),
+            np.ascontiguousarray(blw, dtype=np.float64),
+            np.ascontiguousarray(blc, dtype=np.float64), seed_base,
+            fw, rev, mid_rows, mid_chars, slp, first_code, last_code,
+            MIN_SNP_LOG_PROB_CORRECT, TRACE_LL_TOL)
+        if res is not None:
+            LL, max_index, left_res, right_res = res
+            if left_res is None:
+                left_aln = "S" * seed_base
+            else:
+                left_aln = _apply_walk_events(fw, trace, left_res)
+            left_aln = left_aln[::-1]
+            assert len(left_aln) - left_aln.count("D") == seed_base
+
+            fw_block, _fw_coord = fw.get_coordinates(max_index)
+            if not fw.blocks[fw_block].is_stutter:
+                trace.add_flank_data(fw_block, seq[seed_base])
+
+            rlen = len(seq) - 1 - seed_base
+            if right_res is None:
+                right_aln = "S" * rlen
+            else:
+                right_aln = _apply_walk_events(rev, trace, right_res)
+            assert len(right_aln) - right_aln.count("D") == rlen
+
+            read_aln_to_hap = left_aln + "M" + right_aln
+            trace.hap_aln = read_aln_to_hap
+            trace.traced_aln = stitch_alignment_trace(
+                haplotype.blocks[0].start, hap_info.aln_info(h),
+                read_aln_to_hap, max_index, seed_base, aln)
+            return LL, trace
 
     l_seq = seq[:seed_base]
     l_blw, l_blc = blw[:seed_base], blc[:seed_base]

@@ -77,6 +77,19 @@ def _load():
              ctypes.c_double, ctypes.c_double,               # i2i i2m d2d d2m
              ctypes.c_double, ctypes.c_double]               # min_snp, tol
             + [vp2] * 16)
+        try:
+            lib.hmm_trace_full.restype = ctypes.c_int32
+            lib.hmm_trace_full.argtypes = (
+                [vp2, ctypes.c_int32, vp2, vp2, ctypes.c_int32]  # seq,L,blw,blc,seed
+                + [ctypes.c_void_p] * 4                          # fill/walk structs
+                + [vp2, vp2, ctypes.c_int32,                     # mid rows/chars/n
+                   ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+                   ctypes.c_double, ctypes.c_double,             # snp/tol
+                   ctypes.c_void_p, ctypes.c_void_p,             # max_index, LL
+                   ctypes.c_void_p, ctypes.c_void_p,             # left valid/out
+                   ctypes.c_void_p, ctypes.c_void_p])            # right valid/out
+        except AttributeError:
+            pass  # stale library without the consolidated entry
         lib.stitch_ops.restype = ctypes.c_int32
         lib.stitch_ops.argtypes = [
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
@@ -272,3 +285,149 @@ def bgzf_inflate_native(data: bytes, expected_cap: int) -> Optional[bytes]:
     if n < 0:
         return None
     return out.raw[:n]
+
+
+# ---------------------------------------------------------------------------
+# consolidated per-trace call (hmm_trace_full): both flank fills, the seed
+# combination, and both walks in one FFI round trip.
+
+class _TraceFillArgs(ctypes.Structure):
+    _fields_ = [("H", ctypes.c_int32), ("n_blocks", ctypes.c_int32),
+                ("row_kind", ctypes.c_void_p), ("row_char", ctypes.c_void_p),
+                ("row_homop", ctypes.c_void_p), ("n_st", ctypes.c_int32),
+                ("st_row", ctypes.c_void_p), ("st_block", ctypes.c_void_p),
+                ("st_seq_pool", ctypes.c_void_p), ("st_off", ctypes.c_void_p),
+                ("st_len", ctypes.c_void_p), ("st_period", ctypes.c_void_p),
+                ("st_max_ins", ctypes.c_void_p),
+                ("st_max_del", ctypes.c_void_p),
+                ("st_left_align", ctypes.c_void_p),
+                ("st_nD", ctypes.c_void_p), ("st_art_off", ctypes.c_void_p),
+                ("art_sizes", ctypes.c_void_p), ("art_lpmf", ctypes.c_void_p),
+                ("m2m", ctypes.c_void_p), ("m2i", ctypes.c_void_p),
+                ("m2d", ctypes.c_void_p),
+                ("i2i", ctypes.c_double), ("i2m", ctypes.c_double),
+                ("d2d", ctypes.c_double), ("d2m", ctypes.c_double)]
+
+
+class _TraceWalkArgs(ctypes.Structure):
+    _fields_ = [("n_blocks", ctypes.c_int32),
+                ("bseq_pool", ctypes.c_void_p), ("blk_off", ctypes.c_void_p),
+                ("blk_len", ctypes.c_void_p),
+                ("blk_is_stutter", ctypes.c_void_p),
+                ("blk_src_start", ctypes.c_void_p),
+                ("homop_pool", ctypes.c_void_p),
+                ("homop_off", ctypes.c_void_p)]
+
+
+class _TraceWalkOut(ctypes.Structure):
+    _fields_ = [("aln_out", ctypes.c_void_p), ("aln_len", ctypes.c_void_p),
+                ("frag_block", ctypes.c_void_p), ("frag_end", ctypes.c_void_p),
+                ("n_frags", ctypes.c_void_p), ("frag_pool", ctypes.c_void_p),
+                ("str_block", ctypes.c_void_p), ("str_size", ctypes.c_void_p),
+                ("str_end", ctypes.c_void_p), ("n_str", ctypes.c_void_p),
+                ("str_pool", ctypes.c_void_p),
+                ("snp_pos", ctypes.c_void_p), ("snp_base", ctypes.c_void_p),
+                ("n_snps", ctypes.c_void_p),
+                ("indel_pos", ctypes.c_void_p),
+                ("indel_size", ctypes.c_void_p),
+                ("n_indels", ctypes.c_void_p),
+                ("flank_ins", ctypes.c_void_p), ("flank_del", ctypes.c_void_p)]
+
+
+def trace_structs_for(hap_instance):
+    """Build (and cache on the instance) the packed TraceFillArgs +
+    TraceWalkArgs the consolidated C trace call needs."""
+    cached = getattr(hap_instance, "_trace_structs", None)
+    if cached is not None:
+        return cached
+    pb = hap_instance.native_meta()[-1]
+    fill = _TraceFillArgs(*pb)
+    wb = hap_instance.walk_meta()[15]
+    walk = _TraceWalkArgs(*wb)
+    cached = (fill, walk)
+    hap_instance._trace_structs = cached
+    return cached
+
+
+class _WalkBuffers:
+    """Output buffers for one walk direction (layout of
+    hmm_retrace_walk_native's internals)."""
+
+    def __init__(self, n_rows: int, seg_len: int, nb: int):
+        import numpy as np
+        cap = n_rows + seg_len + 8
+        self.aln = np.empty(cap, dtype=np.uint8)
+        self.counts = np.zeros(6, dtype=np.int32)  # aln,frags,str,snps,indel,+
+        self.frag_block = np.empty(nb + 2, dtype=np.int32)
+        self.frag_end = np.empty(nb + 2, dtype=np.int32)
+        self.frag_pool = np.empty(seg_len + 2, dtype=np.uint8)
+        self.str_block = np.empty(nb + 1, dtype=np.int32)
+        self.str_size = np.empty(nb + 1, dtype=np.int32)
+        self.str_end = np.empty(nb + 1, dtype=np.int32)
+        self.str_pool = np.empty(seg_len + 2, dtype=np.uint8)
+        self.snp_pos = np.empty(seg_len + 2, dtype=np.int32)
+        self.snp_base = np.empty(seg_len + 2, dtype=np.uint8)
+        self.indel_pos = np.empty(cap, dtype=np.int64)
+        self.indel_size = np.empty(cap, dtype=np.int64)
+        self.flanks = np.zeros(2, dtype=np.int32)
+        c = self.counts.ctypes.data
+        self.struct = _TraceWalkOut(
+            self.aln.ctypes.data, c,
+            self.frag_block.ctypes.data, self.frag_end.ctypes.data, c + 4,
+            self.frag_pool.ctypes.data,
+            self.str_block.ctypes.data, self.str_size.ctypes.data,
+            self.str_end.ctypes.data, c + 8, self.str_pool.ctypes.data,
+            self.snp_pos.ctypes.data, self.snp_base.ctypes.data, c + 12,
+            self.indel_pos.ctypes.data, self.indel_size.ctypes.data, c + 16,
+            self.flanks.ctypes.data, self.flanks.ctypes.data + 4)
+
+    def result(self):
+        n_aln, n_frags, n_str, n_snps, n_indels = (int(x) for x in
+                                                   self.counts[:5])
+        return (self.aln[:n_aln], self.frag_block[:n_frags],
+                self.frag_end[:n_frags], self.frag_pool,
+                self.str_block[:n_str], self.str_size[:n_str],
+                self.str_end[:n_str], self.str_pool,
+                self.snp_pos[:n_snps], self.snp_base[:n_snps],
+                self.indel_pos[:n_indels], self.indel_size[:n_indels],
+                int(self.flanks[0]), int(self.flanks[1]))
+
+
+def hmm_trace_full_native(seq_codes, blw, blc, seed_base: int,
+                          fw_instance, rev_instance,
+                          mid_rows, mid_chars, seed_log_prior: float,
+                          first_code: int, last_code: int,
+                          min_snp_lpc: float, tol: float):
+    """One FFI call for a full trace; returns
+    (LL, max_index, left_res|None, right_res|None) where each res has the
+    hmm_retrace_walk_native layout, or None when the library is absent."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hmm_trace_full"):
+        return None
+    import numpy as np
+    fw_fill, fw_walk = trace_structs_for(fw_instance)
+    rev_fill, rev_walk = trace_structs_for(rev_instance)
+    L = len(seq_codes)
+    H = fw_fill.H
+    nb = fw_walk.n_blocks
+    left = _WalkBuffers(H, seed_base, nb)
+    right = _WalkBuffers(H, L - 1 - seed_base, nb)
+    out_max = ctypes.c_int32(-1)
+    out_ll = ctypes.c_double(0.0)
+    lv = ctypes.c_int32(0)
+    rv = ctypes.c_int32(0)
+    rc = lib.hmm_trace_full(
+        seq_codes.ctypes.data, L, blw.ctypes.data, blc.ctypes.data,
+        seed_base,
+        ctypes.byref(fw_fill), ctypes.byref(fw_walk),
+        ctypes.byref(rev_fill), ctypes.byref(rev_walk),
+        mid_rows.ctypes.data, mid_chars.ctypes.data, len(mid_rows),
+        seed_log_prior, first_code, last_code, min_snp_lpc, tol,
+        ctypes.byref(out_max), ctypes.byref(out_ll),
+        ctypes.byref(lv), ctypes.byref(left.struct),
+        ctypes.byref(rv), ctypes.byref(right.struct))
+    if rc != 0:
+        return None
+    return (float(out_ll.value), int(out_max.value),
+            left.result() if lv.value else None,
+            right.result() if rv.value else None)

@@ -671,3 +671,200 @@ extern "C" int32_t stitch_ops(const char* hap_aln, int32_t hap_len,
   }
   return n;
 }
+
+// ---------------------------------------------------------------------------
+// Consolidated per-trace orchestration: both flank DP fills, the seed-anchor
+// combination, and both traceback walks in ONE call (python previously made
+// five ctypes calls plus numpy glue per trace; reference flow:
+// HapAligner::process_read retrace branch, HapAligner.cpp:614-691, and
+// compute_aln_logprob, HapAligner.cpp:163-231).  Event-array outputs have
+// the same layout as hmm_retrace_walk; the caller assembles the
+// AlignmentTrace exactly as before.
+
+struct TraceFillArgs {
+  int32_t H, n_blocks;
+  const uint8_t *row_kind, *row_char;
+  const int32_t* row_homop;
+  int32_t n_st;
+  const int32_t *st_row, *st_block;
+  const uint8_t* st_seq_pool;
+  const int32_t *st_off, *st_len, *st_period, *st_max_ins, *st_max_del,
+      *st_left_align, *st_nD, *st_art_off, *art_sizes;
+  const double* art_lpmf;
+  const double *m2m, *m2i, *m2d;
+  double i2i, i2m, d2d, d2m;
+};
+
+struct TraceWalkArgs {
+  int32_t n_blocks;
+  const uint8_t* bseq_pool;
+  const int32_t *blk_off, *blk_len;
+  const uint8_t* blk_is_stutter;
+  const int32_t *blk_src_start, *homop_pool, *homop_off;
+};
+
+struct TraceWalkOut {
+  uint8_t* aln_out; int32_t* aln_len;
+  int32_t *frag_block, *frag_end, *n_frags; uint8_t* frag_pool;
+  int32_t *str_block, *str_size, *str_end, *n_str; uint8_t* str_pool;
+  int32_t* snp_pos; uint8_t* snp_base; int32_t* n_snps;
+  int64_t *indel_pos, *indel_size; int32_t* n_indels;
+  int32_t *flank_ins, *flank_del;
+};
+
+static int fill_segment(const TraceFillArgs* fa, const uint8_t* seq,
+                        int32_t L, const double* blw, const double* blc,
+                        std::vector<double>& M, std::vector<double>& I,
+                        std::vector<double>& D, std::vector<int64_t>& bas,
+                        std::vector<int64_t>& bap, double* out_lp) {
+  M.resize((size_t)fa->H * L);
+  I.resize((size_t)fa->H * L);
+  D.resize((size_t)fa->H * L);
+  bas.assign((size_t)fa->n_blocks * L, -10000);
+  bap.assign((size_t)fa->n_blocks * L, -1);
+  return hmm_fill_dp(seq, L, blw, blc, fa->H, fa->n_blocks, fa->row_kind,
+                     fa->row_char, fa->row_homop, fa->n_st, fa->st_row,
+                     fa->st_block, fa->st_seq_pool, fa->st_off, fa->st_len,
+                     fa->st_period, fa->st_max_ins, fa->st_max_del,
+                     fa->st_left_align, fa->st_nD, fa->st_art_off,
+                     fa->art_sizes, fa->art_lpmf, fa->m2m, fa->m2i, fa->m2d,
+                     fa->i2i, fa->i2m, fa->d2d, fa->d2m, M.data(), I.data(),
+                     D.data(), bas.data(), bap.data(), out_lp);
+}
+
+static void hap_coords(const TraceWalkArgs* wa, int32_t hap_pos,
+                       int32_t* block, int32_t* coord) {
+  for (int b = 0; b < wa->n_blocks; ++b) {
+    if (hap_pos < wa->blk_len[b]) { *block = b; *coord = hap_pos; return; }
+    hap_pos -= wa->blk_len[b];
+  }
+  *block = -1;  // out of range: caller treats as error
+  *coord = -1;
+}
+
+static int32_t run_walk(const TraceFillArgs* fa, const TraceWalkArgs* wa,
+                        int reversed_flag, int32_t start_index,
+                        const uint8_t* seq, int32_t seg_len,
+                        const double* blc, const std::vector<double>& M,
+                        const std::vector<double>& I,
+                        const std::vector<double>& D,
+                        const std::vector<int64_t>& bas,
+                        const std::vector<int64_t>& bap, double min_snp_lpc,
+                        double tol, const TraceWalkOut* out) {
+  int32_t block, coord;
+  hap_coords(wa, start_index, &block, &coord);
+  if (block < 0) return -10;
+  int32_t base_index;
+  if (coord == 0) {
+    block -= 1;
+    if (block < 0) return -11;
+    base_index = wa->blk_len[block] - 1;
+  } else {
+    base_index = coord - 1;
+  }
+  return hmm_retrace_walk(
+      seq, seg_len, blc, wa->n_blocks, wa->bseq_pool, wa->blk_off,
+      wa->blk_len, wa->blk_is_stutter, wa->blk_src_start, wa->homop_pool,
+      wa->homop_off, reversed_flag, block, base_index, start_index - 1,
+      seg_len - 1, M.data(), I.data(), D.data(), seg_len, bas.data(),
+      bap.data(), fa->m2m, fa->m2i, fa->m2d, fa->i2i, fa->i2m, fa->d2d,
+      fa->d2m, min_snp_lpc, tol, out->aln_out, out->aln_len,
+      out->frag_block, out->frag_end, out->n_frags, out->frag_pool,
+      out->str_block, out->str_size, out->str_end, out->n_str,
+      out->str_pool, out->snp_pos, out->snp_base, out->n_snps,
+      out->indel_pos, out->indel_size, out->n_indels, out->flank_ins,
+      out->flank_del);
+}
+
+extern "C" int32_t hmm_trace_full(
+    const uint8_t* seq, int32_t L, const double* blw, const double* blc,
+    int32_t seed_base,
+    const TraceFillArgs* fw_fill, const TraceWalkArgs* fw_walk,
+    const TraceFillArgs* rev_fill, const TraceWalkArgs* rev_walk,
+    const int64_t* mid_rows, const int64_t* mid_chars, int32_t n_mid,
+    double seed_log_prior, int32_t first_code, int32_t last_code,
+    double min_snp_lpc, double tol,
+    int32_t* out_max_index, double* out_LL,
+    int32_t* left_valid, const TraceWalkOut* left_out,
+    int32_t* right_valid, const TraceWalkOut* right_out) {
+  if (seed_base <= 0 || seed_base >= L - 1) return -1;
+  const int32_t llen = seed_base;
+  const int32_t rlen = L - 1 - seed_base;
+  const int32_t hapsize = fw_fill->H;
+
+  // right segment: read suffix reversed, with its blw/blc
+  thread_local std::vector<uint8_t> r_seq;
+  thread_local std::vector<double> r_blw, r_blc;
+  r_seq.resize(rlen);
+  r_blw.resize(rlen);
+  r_blc.resize(rlen);
+  for (int j = 0; j < rlen; ++j) {
+    r_seq[j] = seq[L - 1 - j];
+    r_blw[j] = blw[L - 1 - j];
+    r_blc[j] = blc[L - 1 - j];
+  }
+
+  thread_local std::vector<double> lM, lI, lD, rM, rI, rD;
+  thread_local std::vector<int64_t> l_bas, l_bap, r_bas, r_bap;
+  double l_prob = 0.0, r_prob = 0.0;
+  int rc = fill_segment(fw_fill, seq, llen, blw, blc, lM, lI, lD, l_bas,
+                        l_bap, &l_prob);
+  if (rc != 0) return rc;
+  rc = fill_segment(rev_fill, r_seq.data(), rlen, r_blw.data(), r_blc.data(),
+                    rM, rI, rD, r_bas, r_bap, &r_prob);
+  if (rc != 0) return rc;
+
+  // seed-anchored combination (python compute_aln_logprob: identical
+  // per-element add order; first-max tie-breaking like np.argmax)
+  const double blc_s = blc[seed_base], blw_s = blw[seed_base];
+  const uint8_t sc = seq[seed_base];
+  const double lp0 = seed_log_prior + (sc == (uint8_t)first_code ? blc_s
+                                                                 : blw_s) +
+                     l_prob + rM[(size_t)(hapsize - 2) * rlen + (rlen - 1)];
+  const double lp1 = seed_log_prior + (sc == (uint8_t)last_code ? blc_s
+                                                                : blw_s) +
+                     r_prob + lM[(size_t)(hapsize - 2) * llen + (llen - 1)];
+  double best = lp0;
+  int best_i = 0;
+  if (lp1 > best) { best = lp1; best_i = 1; }
+  double lse_m = std::max(lp0, lp1), lse_s = 0.0;
+  thread_local std::vector<double> mids;
+  mids.resize(n_mid);
+  for (int k = 0; k < n_mid; ++k) {
+    const int64_t row = mid_rows[k];
+    double v = seed_log_prior +
+               ((uint8_t)mid_chars[k] == sc ? blc_s : blw_s) +
+               lM[(size_t)(row - 1) * llen + (llen - 1)] +
+               rM[(size_t)(hapsize - row - 2) * rlen + (rlen - 1)];
+    mids[k] = v;
+    if (v > best) { best = v; best_i = k + 2; }
+    if (v > lse_m) lse_m = v;
+  }
+  lse_s = std::exp(lp0 - lse_m) + std::exp(lp1 - lse_m);
+  for (int k = 0; k < n_mid; ++k) lse_s += std::exp(mids[k] - lse_m);
+  *out_LL = lse_m + std::log(lse_s);
+
+  int32_t max_index;
+  if (best_i == 0) max_index = 0;
+  else if (best_i == 1) max_index = hapsize - 1;
+  else max_index = (int32_t)mid_rows[best_i - 2];
+  *out_max_index = max_index;
+
+  *left_valid = 0;
+  *right_valid = 0;
+  if (max_index != 0) {
+    rc = run_walk(fw_fill, fw_walk, 0, max_index, seq, llen, blc, lM, lI,
+                  lD, l_bas, l_bap, min_snp_lpc, tol, left_out);
+    if (rc != 0) return rc;
+    *left_valid = 1;
+  }
+  const int32_t rev_max_index = hapsize - 1 - max_index;
+  if (rev_max_index != 0) {
+    rc = run_walk(rev_fill, rev_walk, 1, rev_max_index, r_seq.data(), rlen,
+                  r_blc.data(), rM, rI, rD, r_bas, r_bap, min_snp_lpc, tol,
+                  right_out);
+    if (rc != 0) return rc;
+    *right_valid = 1;
+  }
+  return 0;
+}

@@ -99,10 +99,14 @@ def test_native_hmm_dp_matches_oracle():
                     for a, b in zip(out_n, out_p):
                         a = np.asarray(a, dtype=np.float64)
                         b = np.asarray(b, dtype=np.float64)
-                        both_nan = np.isnan(a) & np.isnan(b)
-                        assert (np.isnan(a) == np.isnan(b)).all()
-                        diff = np.abs(np.where(both_nan, 0, a - b))
-                        assert np.nanmax(diff) < 1e-9
+                        # the oracle NaN-fills rows it never writes (inner
+                        # stutter rows); the native path leaves those
+                        # uninitialized (nothing reads them) - compare only
+                        # oracle-defined cells
+                        defined = ~np.isnan(b)
+                        diff = np.abs(np.where(defined, a - b, 0.0))
+                        assert not np.isnan(diff).any()
+                        assert diff.max() < 1e-9
 
 
 def test_native_adapter_trim_matches_python():
