@@ -192,8 +192,10 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         "n_loci": n_loci,
         "success": counters.genotype_success,
+        # with concurrent fetcher threads the summed fetch time can exceed
+        # wall time; host_s is clamped accordingly
         "device_wait_s": round(times.get("Device fetch", 0.0), 2),
-        "host_s": round(dt - times.get("Device fetch", 0.0), 2),
+        "host_s": round(max(0.0, dt - times.get("Device fetch", 0.0)), 2),
         "kernel_ms_per_locus": round(kernel_ms, 2),
         "kernel_deep_ms_per_locus": (round(deep_ms, 2)
                                      if deep_ms is not None else None),
