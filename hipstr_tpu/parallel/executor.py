@@ -295,7 +295,8 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
             seqs, quals, seeds = g.pool_inputs()
             item.arrays, item.statics = prepare_locus(
                 g.haplotype, seqs, quals, seeds, opts.dtype,
-                post_meta=maybe_post_meta(g))
+                post_meta=maybe_post_meta(g),
+                read_cache=g.__dict__.setdefault("_read_pack_cache", {}))
         return True
 
     def finish_handles(handles) -> None:
@@ -345,9 +346,10 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                 pipeline.counters.genotype_fail += 1
                 settle(order)
                 return
-            arrays, statics = prepare_locus(g.haplotype, seqs, quals,
-                                            seeds, opts.dtype,
-                                            post_meta=maybe_post_meta(g))
+            arrays, statics = prepare_locus(
+                g.haplotype, seqs, quals, seeds, opts.dtype,
+                post_meta=maybe_post_meta(g),
+                read_cache=g.__dict__.setdefault("_read_pack_cache", {}))
         prepared.append(
             LocusWorkItem(region, g, arrays, statics, local_chrom_seq, order))
 

@@ -110,7 +110,8 @@ def _worker_main(conn, spec: dict) -> None:
                     return
                 arrays, statics = prepare_locus(
                     g.haplotype, seqs, quals, seeds, dtype,
-                    post_meta=g.posterior_meta() if device_post else None)
+                    post_meta=g.posterior_meta() if device_post else None,
+                    read_cache=g.__dict__.setdefault("_read_pack_cache", {}))
             items[idx] = (region, g, None)
             conn.send(("ready", idx, arrays, statics))
         except Exception as exc:  # skip-and-continue, like the reference
@@ -148,7 +149,8 @@ def _worker_main(conn, spec: dict) -> None:
                 seqs, quals, seeds = g.pool_inputs()
                 arrays, statics = prepare_locus(
                     g.haplotype, seqs, quals, seeds, dtype,
-                    post_meta=g.posterior_meta() if device_post else None)
+                    post_meta=g.posterior_meta() if device_post else None,
+                    read_cache=g.__dict__.setdefault("_read_pack_cache", {}))
             conn.send(("ready", idx, arrays, statics))
         except Exception as exc:
             items.pop(idx, None)

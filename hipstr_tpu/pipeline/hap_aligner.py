@@ -168,7 +168,8 @@ def pad_posterior_meta(pm: dict, H_real: int) -> dict:
 
 
 def prepare_locus(haplotype: Haplotype, seqs, quals, seeds,
-                  dtype: str = "float32", post_meta: dict = None):
+                  dtype: str = "float32", post_meta: dict = None,
+                  read_cache: dict = None):
     """Pack + bucket-pad one locus; returns (numpy array pytree, statics).
 
     The pytree holds (l_seg, r_seg, fw_meta, rev_meta, seed_meta, seed_codes,
@@ -187,7 +188,16 @@ def prepare_locus(haplotype: Haplotype, seqs, quals, seeds,
     L = _bucket(L_need, _profile()["L"])
 
     packed = pack_haplotypes(haplotype, L)
-    reads = pack_reads(seqs, quals, seeds, L)
+    # the pooled reads never change across a locus's adaptive rounds —
+    # only the haplotype does — so callers may pass a per-locus dict to
+    # reuse the packed read tensors between rounds (keyed by (P, L))
+    if read_cache is not None:
+        key = (P_real, L)
+        reads = read_cache.get(key)
+        if reads is None:
+            reads = read_cache[key] = pack_reads(seqs, quals, seeds, L)
+    else:
+        reads = pack_reads(seqs, quals, seeds, L)
 
     H_pad = _bucket(H_real, _profile()["H"])
     O_pad = _bucket(packed.O, _profile()["O"])
