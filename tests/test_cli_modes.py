@@ -550,3 +550,30 @@ def test_paired_end_pipeline(tmp_path):
         got = sorted(int(x) for x in parts[gb_idx].split("|"))
         correct += (got == want)
     assert called == 3 and correct == 3
+
+
+def test_profile_flag_writes_trace(tmp_path):
+    """--profile captures a jax.profiler trace directory and leaves the
+    VCF identical (aux subsystem: tracing/profiling, SURVEY §5)."""
+    from hipstr_tpu.utils.simulate import simulate_locus
+    locus = simulate_locus(seed=321, n_samples=3, reads_per_sample=25,
+                           period=3, ref_units=8)
+    out = str(tmp_path)
+    _write_inputs(locus, out)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    common = ["--bams", f"{out}/sim.bam", "--fasta", f"{out}/sim.fa",
+              "--regions", f"{out}/regions.bed", "--min-reads", "15",
+              "--use-unpaired", "--def-stutter-model", "--dtype",
+              "float64", "--silent"]
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.cli",
+                    "--str-vcf", f"{out}/plain.vcf"] + common,
+                   check=True, env=env, cwd=REPO)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.cli",
+                    "--str-vcf", f"{out}/prof.vcf",
+                    "--profile", f"{out}/trace"] + common,
+                   check=True, env=env, cwd=REPO)
+    assert _records(f"{out}/plain.vcf") == _records(f"{out}/prof.vcf")
+    found = []
+    for root, _dirs, files in os.walk(f"{out}/trace"):
+        found.extend(files)
+    assert found, "profiler trace directory is empty"
