@@ -62,7 +62,13 @@ def _worker_main(conn, spec: dict) -> None:
     # paths diverge numerically (f32 device vs f64 host) and near-tie
     # adaptive decisions flip between modes.
     device_post = bool(spec.get("device_post", False))
+    # EM-learned stutter models train on the parent's device in batched
+    # waves (ops/em_batched.py), exactly like the in-process executor —
+    # workers ship the packed EM problem up and resume on the reply, so
+    # pooled and in-process runs stay byte-identical in EM mode too.
+    device_em = bool(spec.get("device_em", False))
     items: Dict[int, tuple] = {}     # idx -> (region, genotyper, gen)
+    em_pending: Dict[int, tuple] = {}  # idx -> (region, prep, chrom_seq)
     chrom = None
     chrom_seq = None
 
@@ -98,23 +104,68 @@ def _worker_main(conn, spec: dict) -> None:
             chrom = region.chrom
             chrom_seq = pipeline.fasta.get_sequence(chrom)
         try:
+            if device_em:
+                prep = pipeline.prepare_reads(region, chrom_seq)
+                if prep is None:
+                    conn.send(("settled", idx, None, None))
+                    return
+                with pipeline.timer.time("Stutter estimation"):
+                    inputs = pipeline.stutter_em_inputs(
+                        prep.alns_by_rg, prep.log_p1s, prep.log_p2s, region)
+                if inputs is None:
+                    conn.send(("settled", idx, None, None))
+                    return
+                from ..ops.em_batched import EMProblem
+                prob = EMProblem.build(prep.haploid, region.period, *inputs)
+                em_pending[idx] = (region, prep, chrom_seq)
+                conn.send(("em", idx, prob))
+                return
             g = pipeline.prepare_locus_genotyper(region, chrom_seq)
             if g is None:
                 conn.send(("settled", idx, None, None))
                 return
-            with pipeline.timer.time("Locus packing"):
-                seqs, quals, seeds = g.pool_inputs()
-                if not seqs:
-                    pipeline.counters.genotype_fail += 1
-                    conn.send(("settled", idx, None, None))
-                    return
-                arrays, statics = prepare_locus(
-                    g.haplotype, seqs, quals, seeds, dtype,
-                    post_meta=g.posterior_meta() if device_post else None,
-                    read_cache=g.__dict__.setdefault("_read_pack_cache", {}))
-            items[idx] = (region, g, None)
-            conn.send(("ready", idx, arrays, statics))
+            _stage(idx, region, g)
         except Exception as exc:  # skip-and-continue, like the reference
+            pipeline.counters.genotype_fail += 1
+            conn.send(("log", f"ERROR at {region}: {exc!r}"))
+            conn.send(("settled", idx, None, None))
+
+    def _stage(idx, region, g):
+        with pipeline.timer.time("Locus packing"):
+            seqs, quals, seeds = g.pool_inputs()
+            if not seqs:
+                pipeline.counters.genotype_fail += 1
+                conn.send(("settled", idx, None, None))
+                return
+            arrays, statics = prepare_locus(
+                g.haplotype, seqs, quals, seeds, dtype,
+                post_meta=g.posterior_meta() if device_post else None,
+                read_cache=g.__dict__.setdefault("_read_pack_cache", {}))
+        items[idx] = (region, g, None)
+        conn.send(("ready", idx, arrays, statics))
+
+    def do_emr(idx, params, converged):
+        """Resume a locus whose stutter model trained on the parent's
+        device (run_batched.solve_staged_em parity)."""
+        region, prep, local_seq = em_pending.pop(idx)
+        try:
+            if not converged:
+                pipeline.counters.em_fail += 1
+                conn.send(("log", f"Stutter EM failed for {region}"))
+                conn.send(("settled", idx, None, None))
+                return
+            from ..models.stutter import StutterModel
+            model = StutterModel(*params, region.period)
+            pipeline.register_learned_model(region, model)
+            if opts.skip_genotyping:
+                conn.send(("settled", idx, None, None))
+                return
+            g = pipeline.finish_prepare(prep, region, local_seq, model)
+            if g is None:
+                conn.send(("settled", idx, None, None))
+                return
+            _stage(idx, region, g)
+        except Exception as exc:
             pipeline.counters.genotype_fail += 1
             conn.send(("log", f"ERROR at {region}: {exc!r}"))
             conn.send(("settled", idx, None, None))
@@ -165,6 +216,8 @@ def _worker_main(conn, spec: dict) -> None:
             do_prep(msg[1], msg[2])
         elif tag == "ll":
             do_ll(msg[1], msg[2], *msg[3:])
+        elif tag == "emr":
+            do_emr(msg[1], msg[2], msg[3])
         elif tag == "fin":
             conn.send(("fin", pipeline.counters, pipeline._stutter_out,
                        pipeline.timer.totals))
@@ -206,8 +259,12 @@ def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
     from ..io.regions import read_regions
     from ..io.vcf_write import VCFWriter, build_vcf_header
 
+    from .executor import device_em_enabled
+
     opts = pipeline.opts
-    worker_spec = dict(worker_spec, device_post=device_post_enabled())
+    em_device = device_em_enabled(opts)
+    worker_spec = dict(worker_spec, device_post=device_post_enabled(),
+                       device_em=em_device)
     regions = list(read_regions(regions_bed, opts.max_regions, opts.chrom,
                                 opts.locus_shard))
     window = window or batch_size * 4
@@ -265,6 +322,8 @@ def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
             outstanding[w] += 1
             next_region += 1
 
+    em_jobs: List[tuple] = []       # (idx, worker, EMProblem)
+
     def handle_msg(w, msg):
         nonlocal n_settled
         tag = msg[0]
@@ -275,8 +334,37 @@ def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
             outstanding[w] -= 1
             settled[msg[1]] = (msg[2], msg[3])
             n_settled += 1
+        elif tag == "em":
+            outstanding[w] -= 1
+            em_jobs.append((msg[1], w, msg[2]))
         elif tag == "log":
             pipeline.logger.log(msg[1])
+
+    def solve_em_jobs():
+        """One device dispatch trains every staged locus's stutter model
+        (run_batched.solve_staged_em parity), then replies to owners."""
+        nonlocal em_jobs
+        if not em_jobs:
+            return
+        from ..ops.em_batched import em_train_batch, pack_problems
+        import jax
+        jobs, em_jobs = em_jobs, []
+        with pipeline.timer.time("Stutter estimation (device)"):
+            on_cpu = jax.default_backend() == "cpu"
+            arrays, (_, _, Sm) = pack_problems(
+                [j[2] for j in jobs], pad_g=None if on_cpu else window)
+            dtype_name = ("float64" if on_cpu and jax.config.jax_enable_x64
+                          else "float32")
+            out = em_train_batch(arrays, Sm, max_iter=opts.max_em_iter,
+                                 min_LL_abs_change=opts.abs_ll_converge,
+                                 min_LL_frac_change=opts.frac_ll_converge,
+                                 dtype_name=dtype_name)
+            params = np.asarray(out["params"], np.float64)
+            conv = np.asarray(out["converged"])
+        for i, (idx, w, _prob) in enumerate(jobs):
+            conns[w].send(("emr", idx, tuple(float(x) for x in params[i]),
+                           bool(conv[i])))
+            outstanding[w] += 1
 
     def poll_workers(timeout=0.0):
         got = False
@@ -391,6 +479,11 @@ def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
         # progress)
         starved = (next_region >= n_regions
                    and not any(outstanding) and not n_inflight[0])
+        if em_jobs and (len(em_jobs) >= batch_size or starved
+                        or (not ready and not n_inflight[0]
+                            and not any(outstanding))):
+            solve_em_jobs()
+            continue
         if ready and (len(ready) >= window or starved
                       or (not n_inflight[0] and not any(outstanding))):
             dispatch_ready()

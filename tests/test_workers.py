@@ -107,3 +107,39 @@ def test_worker_pool_device_posteriors_identical(monkeypatch):
     b = [l for l in open(f"{tmp}/pool.vcf") if not l.startswith("#")]
     assert len(a) == 5 and a == b
     assert counters.genotype_success == 5
+
+
+def test_worker_pool_device_em_identical(monkeypatch):
+    """In EM mode on accelerator backends the in-process executor trains
+    stutter models in batched device dispatches; pooled workers must get
+    the SAME device-trained models (via the parent) or the two modes
+    diverge.  Forces the device-EM path on CPU to exercise the full
+    em -> emr worker protocol."""
+    monkeypatch.setenv("HIPSTR_TPU_DEVICE_EM", "1")
+    monkeypatch.setenv("HIPSTR_TPU_DEVICE_POST", "1")
+    tmp = tempfile.mkdtemp()
+    locs = [simulate_locus(seed=810 + i, n_samples=3, reads_per_sample=25,
+                           period=2 + (i % 2), ref_units=8, chrom=f"chrWE{i}")
+            for i in range(5)]
+    _write_sim(tmp, locs)
+
+    def em_opts():
+        return PipelineOptions(min_reads=12, use_unpaired=True,
+                               dtype="float64", stutter_out=f"{tmp}/so.txt")
+
+    p = GenotyperPipeline([f"{tmp}/sim.bam"], f"{tmp}/sim.fa", em_opts(),
+                          Logger(quiet=True))
+    run_batched(p, f"{tmp}/regions.bed", f"{tmp}/bat.vcf", batch_size=4)
+
+    p2 = GenotyperPipeline([f"{tmp}/sim.bam"], f"{tmp}/sim.fa", em_opts(),
+                           Logger(quiet=True))
+    spec = dict(bam_paths=[f"{tmp}/sim.bam"], fasta_path=f"{tmp}/sim.fa",
+                opts=em_opts(), bam_samps=None, bam_libs=None,
+                lib_field="LB")
+    counters = run_pooled(p2, f"{tmp}/regions.bed", f"{tmp}/pool.vcf", spec,
+                          n_workers=2, batch_size=4)
+
+    a = [l for l in open(f"{tmp}/bat.vcf") if not l.startswith("#")]
+    b = [l for l in open(f"{tmp}/pool.vcf") if not l.startswith("#")]
+    assert len(a) == len(b) > 0 and a == b
+    assert counters.genotype_success == len(a)
