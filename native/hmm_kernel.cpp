@@ -107,7 +107,8 @@ struct StutterBlock {
   double ins_emission(const uint8_t* seq, int L, const double* blw,
                       const double* blc, int base_len, int j, int offset,
                       int D, int64_t* pos_out) const {
-    std::vector<double> probs;
+    static thread_local std::vector<double> probs;
+    probs.clear();
     const std::vector<int32_t>& um0 = um[0];
     double lp = -std::log((double)(blen + 1))
               + ins_probs[(size_t)offset * std::max(n_ins, 1) + D / period - 1]
@@ -145,7 +146,8 @@ struct StutterBlock {
   double del_emission(const uint8_t* seq, int L, const double* blw,
                       const double* blc, int base_len, int j, int offset,
                       int D, int64_t* pos_out) const {
-    std::vector<double> probs;
+    static thread_local std::vector<double> probs;
+    probs.clear();
     const std::vector<int32_t>& umk = um[-D / period - 1];
     double lp = -std::log((double)(blen + D + 1));
     if (offset + D >= 0) {
@@ -209,7 +211,8 @@ extern "C" int hmm_fill_dp(
     double i2i, double i2m, double d2d, double d2m,
     double* match, double* insert_m, double* delete_m,
     int64_t* best_art_size, int64_t* best_art_pos, double* out_left_prob) {
-  std::vector<double> C((size_t)L), Csh((size_t)L);
+  static thread_local std::vector<double> C, Csh;
+  C.resize((size_t)L); Csh.resize((size_t)L);
   double acc = 0.0;
   for (int j = 0; j < L; ++j) { Csh[j] = acc; acc += blc[j]; C[j] = acc; }
   *out_left_prob = C[L - 1];
@@ -222,7 +225,6 @@ extern "C" int hmm_fill_dp(
     blocks[s].load_read(seq, L, blw, blc);
   }
 
-  std::vector<double> probs_col((size_t)L);  // scratch per artifact
   int st_cursor = 0;
   for (int r = 0; r < H; ++r) {
     double* M = match + (size_t)r * L;
@@ -248,9 +250,8 @@ extern "C" int hmm_fill_dp(
       const double* Mp = match + (size_t)(r - B.blen) * L;
       int64_t* bas = best_art_size + (size_t)bi * L;
       int64_t* bap = best_art_pos + (size_t)bi * L;
-      std::vector<double> col_m(L, kImpossible), col_s(L, 0.0);
-      std::vector<int> col_n(L, 0);
-      std::vector<double> all((size_t)B.nD * L, kImpossible);
+      static thread_local std::vector<double> all;
+      all.assign((size_t)B.nD * L, kImpossible);
       for (int ai = 0; ai < B.nD; ++ai) {
         int D = B.art[ai];
         if (B.blen + D < 0) continue;
