@@ -393,6 +393,23 @@ class _WalkBuffers:
                 int(self.flanks[0]), int(self.flanks[1]))
 
 
+_walk_buf_tls = threading.local()
+
+
+def _tls_walk_buffers(n_rows: int, seed_base: int, rlen: int, nb: int):
+    """Grow-only per-thread (left, right) walk-buffer pair: results are
+    consumed into python objects before the next trace call, so the
+    buffers (and their ctypes structs) can be reused."""
+    pair = getattr(_walk_buf_tls, "pair", None)
+    dims = getattr(_walk_buf_tls, "dims", None)
+    seg = max(seed_base, rlen)
+    if pair is None or dims[0] < n_rows or dims[1] < seg or dims[2] < nb:
+        pair = (_WalkBuffers(n_rows, seg, nb), _WalkBuffers(n_rows, seg, nb))
+        _walk_buf_tls.pair = pair
+        _walk_buf_tls.dims = (n_rows, seg, nb)
+    return pair
+
+
 def hmm_trace_full_native(seq_codes, blw, blc, seed_base: int,
                           fw_instance, rev_instance,
                           mid_rows, mid_chars, seed_log_prior: float,
@@ -410,8 +427,7 @@ def hmm_trace_full_native(seq_codes, blw, blc, seed_base: int,
     L = len(seq_codes)
     H = fw_fill.H
     nb = fw_walk.n_blocks
-    left = _WalkBuffers(H, seed_base, nb)
-    right = _WalkBuffers(H, L - 1 - seed_base, nb)
+    left, right = _tls_walk_buffers(H, seed_base, L - 1 - seed_base, nb)
     out_max = ctypes.c_int32(-1)
     out_ll = ctypes.c_double(0.0)
     lv = ctypes.c_int32(0)
