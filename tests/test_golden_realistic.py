@@ -89,3 +89,41 @@ def test_golden_realistic_reads(tmp_path):
     tpu_recs = [l for l in open(f"{out}/tpu.vcf").read().splitlines()
                 if not l.startswith("#")]
     _compare(ref_recs, tpu_recs)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BINARY),
+                    reason="reference binary not built")
+def test_golden_deep_coverage(tmp_path):
+    """Deep-coverage parity: 250 reads/sample (750 reads/locus) pushes the
+    pooling, pruning and P-bucket padding paths the 20-read goldens never
+    reach (reference guards allow up to 1e6 reads/locus,
+    src/bam_processor.h:91-96)."""
+    out = str(tmp_path)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/make_golden_data.py"),
+         out, "--loci", "2", "--samples", "3", "--reads", "250",
+         "--seed", "777"], check=True)
+    common = ["--use-unpaired", "--min-reads", "20", "--def-stutter-model"]
+
+    chroms = sorted({l.split()[0] for l in open(f"{out}/regions.bed")})
+    ref_recs = []
+    for chrom in chroms:
+        subprocess.run(
+            [REF_BINARY, "--bams", f"{out}/sim.bam",
+             "--fasta", f"{out}/sim.fa", "--regions", f"{out}/regions.bed",
+             "--chrom", chrom, "--str-vcf", f"{out}/ref_{chrom}.vcf.gz",
+             "--silent"] + common, check=True)
+        from hipstr_tpu.io.bgzf import BgzfReader
+        text = BgzfReader(f"{out}/ref_{chrom}.vcf.gz").read_all().decode()
+        ref_recs.extend(l for l in text.splitlines() if not l.startswith("#"))
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.cli",
+                    "--bams", f"{out}/sim.bam", "--fasta", f"{out}/sim.fa",
+                    "--regions", f"{out}/regions.bed",
+                    "--str-vcf", f"{out}/tpu.vcf", "--dtype", "float64",
+                    "--silent"] + common, check=True, env=env, cwd=REPO)
+
+    tpu_recs = [l for l in open(f"{out}/tpu.vcf").read().splitlines()
+                if not l.startswith("#")]
+    _compare(ref_recs, tpu_recs)
