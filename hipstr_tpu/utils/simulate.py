@@ -128,6 +128,49 @@ def _messy_record(rng, rd: dict, read_len: int, chrom: str) -> List[dict]:
     return recs
 
 
+def _messy_mate(rng, rd: dict, read_len: int) -> dict:
+    """Position-preserving artifacts for one mate of a proper pair:
+    decaying quality curve with quality-driven errors, N bases, and
+    3'-end clips / adapter read-through (left clips would shift pos and
+    desync the mate's mate_pos, so pairs only get right-end artifacts —
+    which is also where real fragment-shorter-than-read adapter
+    contamination lands)."""
+    seq = list(rd["seq"])
+    quals = _realistic_quals(rng, read_len)
+    for i in range(read_len):
+        if rng.random() < 10.0 ** (-(ord(quals[i]) - 33) / 10.0):
+            seq[i] = rng.choice([b for b in BASES if b != seq[i]])
+    if rng.random() < 0.02:
+        seq[int(rng.integers(0, read_len))] = "N"
+    cigar = [(read_len, "M")]
+    if rng.random() < 0.15:
+        k = int(rng.integers(5, 18))
+        tail = (list(ADAPTER[:k]) if rng.random() < 0.5
+                else list(_rand_seq(rng, k)))
+        seq[read_len - k:] = tail
+        cigar = [(read_len - k, "M"), (k, "S")]
+    out = dict(rd)
+    out["seq"] = "".join(seq)
+    out["quals"] = quals
+    out["cigar"] = cigar
+    out["mapq"] = 60 if rng.random() > 0.05 else int(rng.choice([20, 30, 40]))
+    return out
+
+
+def _messy_pair(rng, rd1: dict, rd2: dict, read_len: int) -> List[dict]:
+    """Apply real-data artifacts to a proper pair; occasionally emit a PCR
+    duplicate of the whole pair."""
+    a = _messy_mate(rng, rd1, read_len)
+    b = _messy_mate(rng, rd2, read_len)
+    recs = [a, b]
+    if rng.random() < 0.05:
+        da, db = dict(a), dict(b)
+        da["name"] = a["name"] + "dup"
+        db["name"] = b["name"] + "dup"
+        recs += [da, db]
+    return recs
+
+
 def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25,
                    period: int = 3, ref_units: int = 8, read_len: int = 70,
                    flank_len: int = 300, error_rate: float = 0.002,
@@ -235,20 +278,26 @@ def simulate_locus(seed: int = 0, n_samples: int = 4, reads_per_sample: int = 25
                 mate_seq = chrom_seq[mate_start:mate_start + read_len]
                 str_rev = bool(aln.rev_strand)
                 tlen = map_start + read_len - mate_start
-                locus.raw_reads.append(dict(
+                rd1 = dict(
                     name=f"{name}_read{r}", sample=name, seq=read_seq,
                     quals=quals, start=map_start, rev=str_rev,
                     hap=1 if from_hap_one else 2,
                     flag=(0x1 | 0x2 | 0x40 | (0x10 if str_rev else 0)
                           | (0x20 if not str_rev else 0)),
-                    mate_pos=mate_start, tlen=-tlen))
-                locus.raw_reads.append(dict(
+                    mate_pos=mate_start, tlen=-tlen)
+                rd2 = dict(
                     name=f"{name}_read{r}", sample=name, seq=mate_seq,
                     quals=qual_char * read_len, start=mate_start,
                     rev=not str_rev, hap=1 if from_hap_one else 2,
                     flag=(0x1 | 0x2 | 0x80 | (0x10 if not str_rev else 0)
                           | (0x20 if str_rev else 0)),
-                    mate_pos=map_start, tlen=tlen))
+                    mate_pos=map_start, tlen=tlen)
+                if realism:
+                    locus.raw_reads.extend(
+                        _messy_pair(rng, rd1, rd2, read_len))
+                else:
+                    locus.raw_reads.append(rd1)
+                    locus.raw_reads.append(rd2)
             else:
                 rd = dict(
                     name=f"{name}_read{r}", sample=name, seq=read_seq,

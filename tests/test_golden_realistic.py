@@ -127,3 +127,41 @@ def test_golden_deep_coverage(tmp_path):
     tpu_recs = [l for l in open(f"{out}/tpu.vcf").read().splitlines()
                 if not l.startswith("#")]
     _compare(ref_recs, tpu_recs)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BINARY),
+                    reason="reference binary not built")
+def test_golden_realistic_paired(tmp_path):
+    """Paired-end realism: both mates carry quality curves, errors, and
+    3'-end clips / adapter read-through — the configuration the
+    reference's adapter trimmer and mate-pair machinery were built for
+    (src/adapter_trimmer.cpp, bam_processor.cpp mate maps)."""
+    out = str(tmp_path)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/make_golden_data.py"),
+         out, "--loci", "4", "--samples", "3", "--reads", "45",
+         "--paired", "--realistic", "--seed", "9191"], check=True)
+    common = ["--min-reads", "15", "--def-stutter-model"]
+
+    chroms = sorted({l.split()[0] for l in open(f"{out}/regions.bed")})
+    ref_recs = []
+    for chrom in chroms:
+        subprocess.run(
+            [REF_BINARY, "--bams", f"{out}/sim.bam",
+             "--fasta", f"{out}/sim.fa", "--regions", f"{out}/regions.bed",
+             "--chrom", chrom, "--str-vcf", f"{out}/ref_{chrom}.vcf.gz",
+             "--silent"] + common, check=True)
+        from hipstr_tpu.io.bgzf import BgzfReader
+        text = BgzfReader(f"{out}/ref_{chrom}.vcf.gz").read_all().decode()
+        ref_recs.extend(l for l in text.splitlines() if not l.startswith("#"))
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.cli",
+                    "--bams", f"{out}/sim.bam", "--fasta", f"{out}/sim.fa",
+                    "--regions", f"{out}/regions.bed",
+                    "--str-vcf", f"{out}/tpu.vcf", "--dtype", "float64",
+                    "--silent"] + common, check=True, env=env, cwd=REPO)
+
+    tpu_recs = [l for l in open(f"{out}/tpu.vcf").read().splitlines()
+                if not l.startswith("#")]
+    _compare(ref_recs, tpu_recs)
