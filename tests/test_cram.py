@@ -73,3 +73,45 @@ def test_cram_pipeline_identical_to_bam(tmp_path):
                     "--str-vcf", f"{out}/from_cram.vcf",
                     "--def-stutter-model"], check=True, env=env, cwd=REPO)
     assert _records(f"{out}/from_bam.vcf") == _records(f"{out}/from_cram.vcf")
+
+
+def test_cram_realistic_reads_roundtrip(tmp_path):
+    """Reference-encoded CRAM of artifact-bearing reads (soft clips, aux
+    tags, per-base quality curves, MAPQ spread) decodes bit-identically to
+    the source BAM, and genotyping from the CRAM matches the BAM."""
+    if not os.path.exists("/tmp/cramgen/bam2cram"):
+        pytest.skip("htslib bam2cram helper not built")
+    out = str(tmp_path)
+    repo = REPO
+    subprocess.run([sys.executable, os.path.join(repo,
+                    "tools/make_golden_data.py"), out, "--loci", "3",
+                    "--samples", "3", "--reads", "40", "--realistic",
+                    "--seed", "5511"], check=True)
+    subprocess.run(["/tmp/cramgen/bam2cram", f"{out}/sim.bam",
+                    f"{out}/sim.fa", f"{out}/sim.cram", "3.0"], check=True)
+
+    from hipstr_tpu.io.bam import BamReader
+    from hipstr_tpu.io.cram import CramReader
+    crecs = sorted(CramReader(f"{out}/sim.cram", f"{out}/sim.fa"),
+                   key=lambda r: (r.ref_id, r.pos, r.name))
+    brecs = sorted(BamReader(f"{out}/sim.bam"),
+                   key=lambda r: (r.ref_id, r.pos, r.name))
+    assert len(crecs) == len(brecs) > 0
+    for c, b in zip(crecs, brecs):
+        assert (c.name, c.pos, c.seq, c.qual, c.cigar, c.mapq,
+                c.tags.get("XA")) == (b.name, b.pos, b.seq, b.qual,
+                                      b.cigar, b.mapq, b.tags.get("XA"))
+
+    env = dict(os.environ, PYTHONPATH=repo)
+    common = ["--fasta", f"{out}/sim.fa", "--regions", f"{out}/regions.bed",
+              "--min-reads", "15", "--use-unpaired", "--def-stutter-model",
+              "--dtype", "float64", "--silent"]
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.cli", "--bams",
+                    f"{out}/sim.bam", "--str-vcf", f"{out}/b.vcf"] + common,
+                   check=True, env=env, cwd=repo)
+    subprocess.run([sys.executable, "-m", "hipstr_tpu.cli", "--bams",
+                    f"{out}/sim.cram", "--str-vcf", f"{out}/c.vcf"] + common,
+                   check=True, env=env, cwd=repo)
+    a = [l for l in open(f"{out}/b.vcf") if not l.startswith("#")]
+    b = [l for l in open(f"{out}/c.vcf") if not l.startswith("#")]
+    assert len(a) == len(b) > 0 and a == b
