@@ -167,6 +167,26 @@ def main():
     reads = int(os.environ.get("BENCH_READS", "20"))
     batch = int(os.environ.get("BENCH_BATCH", "32"))
 
+    # the tunneled accelerator service is not always reachable, and a
+    # dead tunnel HANGS jax.devices() rather than raising — probe it in a
+    # subprocess with a deadline so a bench run always emits its JSON
+    # line (CPU fallback, tagged)
+    import subprocess
+    import jax
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=180)
+        platform = (probe.stdout.strip().splitlines()[-1]
+                    if probe.returncode == 0 and probe.stdout.strip()
+                    else "")
+    except subprocess.TimeoutExpired:
+        platform = ""
+    if platform in ("", "cpu"):
+        jax.config.update("jax_platforms", "cpu")
+        platform = platform or "cpu-fallback"
+
     tmp = tempfile.mkdtemp(prefix="hipstr_bench_")
     _write_dataset(tmp, n_loci, reads)
     _run_e2e(tmp, batch)                       # pass 1: warm compile cache
@@ -203,6 +223,7 @@ def main():
         "achieved_gflops": round(gflops, 1),
         "mfu_vs_peak": round(gflops / 197000.0, 5),
         "fetch_ms": round(_fetch_ms(), 1),
+        "platform": platform,
         "ref_loci_per_sec": REF_LOCI_PER_SEC,
     }))
 
