@@ -109,14 +109,16 @@ def _pack_orientation(src: Haplotype, digit_rows: List[List[int]],
             row_char[h, r] = BASE_CODES.get(seq[c], 4)
             if r == 0 or r == struct.stutter_row + 1:
                 continue  # init / forced-match rows don't use transitions
-            ck = (key_all, b, c)
-            if ck not in homop_cache:
-                hp = min(
-                    MAX_HOMOP_LEN,
-                    max(src.homopolymer_length_digits(digits, b, c),
-                        src.homopolymer_length_digits(digits, b, max(0, c - 1))))
-                homop_cache[ck] = hp
-            hp = homop_cache[ck]
+            ck = (key_all, b)
+            raw = homop_cache.get(ck)
+            if raw is None:
+                # one pass per (digit-tuple, block): each position's run
+                # length is shared by its own row AND the next row's
+                # max(h[c], h[c-1]) lookup
+                raw = [src.homopolymer_length_digits(digits, b, i)
+                       for i in range(len(seq))]
+                homop_cache[ck] = raw
+            hp = min(MAX_HOMOP_LEN, max(raw[c], raw[max(0, c - 1)]))
             row_m2m[h, r] = LOG_MATCH_TO_MATCH[hp]
             row_m2i[h, r] = LOG_MATCH_TO_INS[hp]
             row_m2d[h, r] = LOG_MATCH_TO_DEL[hp]
