@@ -209,8 +209,11 @@ def _worker_main(conn, spec: dict) -> None:
             conn.send(("log", f"ERROR at {region}: {exc!r}"))
             conn.send(("settled", idx, None, None))
 
+    idle_t = 0.0
     while True:
+        t0 = time.perf_counter()
         msg = conn.recv()
+        idle_t += time.perf_counter() - t0
         tag = msg[0]
         if tag == "prep":
             do_prep(msg[1], msg[2])
@@ -219,6 +222,7 @@ def _worker_main(conn, spec: dict) -> None:
         elif tag == "emr":
             do_emr(msg[1], msg[2], msg[3])
         elif tag == "fin":
+            pipeline.timer.add_time("Worker idle", idle_t)
             conn.send(("fin", pipeline.counters, pipeline._stutter_out,
                        pipeline.timer.totals))
             conn.close()
