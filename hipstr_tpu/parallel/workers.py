@@ -483,7 +483,7 @@ def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
         # progress)
         starved = (next_region >= n_regions
                    and not any(outstanding) and not n_inflight[0])
-        if em_jobs and (len(em_jobs) >= batch_size or starved
+        if em_jobs and (len(em_jobs) >= window or starved
                         or (not ready and not n_inflight[0]
                             and not any(outstanding))):
             solve_em_jobs()
