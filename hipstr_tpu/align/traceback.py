@@ -122,6 +122,20 @@ def stitch_alignment_trace(hap_start: int, hap_aln_to_ref: str,
     Literal port of stitch_alignment_trace
     (reference: AlignmentTraceback.cpp:55-144).
     """
+    # one-call native path: index walks, both stitches, soft-clip
+    # conversion, CIGAR RLE and aligned-string assembly all in C
+    from ..native import stitch_trace_native
+    res = stitch_trace_native(hap_aln_to_ref, read_aln_to_hap, hap_start,
+                              hap_index, seed_base, orig_aln.sequence)
+    if res is not None:
+        start, stop, cig_ops, cig_num, aligned = res
+        new_aln = Alignment(start, stop, False, "TRACE",
+                            orig_aln.base_qualities, orig_aln.sequence,
+                            aligned)
+        new_aln.cigar = [CigarElement(chr(op), int(n))
+                         for op, n in zip(cig_ops, cig_num)]
+        return new_aln
+
     hap_aln_index = 0
     seed_pos = hap_start
     hi = hap_index

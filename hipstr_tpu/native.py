@@ -94,6 +94,18 @@ def _load():
         lib.stitch_ops.argtypes = [
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p]
+        try:
+            lib.stitch_trace.restype = ctypes.c_int32
+            lib.stitch_trace.argtypes = [
+                ctypes.c_char_p, ctypes.c_int32,      # hap_aln
+                ctypes.c_char_p, ctypes.c_int32,      # read_aln
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_char_p, ctypes.c_int32,      # bases
+                ctypes.c_void_p, ctypes.c_void_p,     # start/stop
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # cigar
+                ctypes.c_char_p, ctypes.c_void_p]     # aligned string
+        except AttributeError:
+            pass  # stale library without the full-stitch entry
         for fn in (lib.prefix_match_counts, lib.suffix_match_counts):
             fn.restype = None
             fn.argtypes = [ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
@@ -238,6 +250,38 @@ def stitch_ops_native(hap_aln: str, read_aln: str, h_index: int,
     if n < 0:
         return None
     return out.raw[:n].decode("latin1")
+
+
+def stitch_trace_native(hap_aln: str, read_aln: str, hap_start: int,
+                        hap_index: int, seed_base: int, bases: str):
+    """Full trace stitch in C (semantics of traceback.stitch_alignment_trace);
+    returns (start, stop, cigar_ops_bytes, cigar_nums, aligned_str) or None
+    when the library is absent / the op pairing is invalid."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "stitch_trace"):
+        return None
+    import numpy as np
+    cap = len(hap_aln) + len(read_aln) + 2
+    start = ctypes.c_int64(0)
+    stop = ctypes.c_int64(0)
+    cig_ops = ctypes.create_string_buffer(cap)
+    cig_num = np.empty(cap, dtype=np.int32)
+    n_cig = ctypes.c_int32(0)
+    aln_out = ctypes.create_string_buffer(cap)
+    aln_len = ctypes.c_int32(0)
+    rc = lib.stitch_trace(
+        hap_aln.encode("latin1"), len(hap_aln),
+        read_aln.encode("latin1"), len(read_aln),
+        hap_start, hap_index, seed_base,
+        bases.encode("latin1"), len(bases),
+        ctypes.byref(start), ctypes.byref(stop),
+        cig_ops, cig_num.ctypes.data, ctypes.byref(n_cig),
+        aln_out, ctypes.byref(aln_len))
+    if rc != 0:
+        return None
+    nc = n_cig.value
+    return (int(start.value), int(stop.value), cig_ops.raw[:nc],
+            cig_num[:nc], aln_out.raw[:aln_len.value].decode("latin1"))
 
 
 def end_match_counts_native(s1: str, s2: str, lo: int, hi: int,

@@ -84,11 +84,26 @@ def _jitted(R_f: int, R_r: int, sr_f: int, sr_r: int, period: int,
 
 
 def _pad_axis(a: np.ndarray, axis: int, target: int, mode: str = "edge"):
-    if a.shape[axis] == target:
+    # hot path: np.pad costs ~0.3ms/call in Python dispatch; a preallocated
+    # slice-assign is ~10x cheaper for the two modes used here
+    n = a.shape[axis]
+    if n == target:
         return a
-    pad = [(0, 0)] * a.ndim
-    pad[axis] = (0, target - a.shape[axis])
-    return np.pad(a, pad, mode=mode)
+    shape = list(a.shape)
+    shape[axis] = target
+    if mode == "constant":
+        dst = np.zeros(shape, dtype=a.dtype)
+    else:  # edge: replicate the last real entry along `axis`
+        dst = np.empty(shape, dtype=a.dtype)
+        edge = [slice(None)] * a.ndim
+        edge[axis] = slice(n - 1, n)
+        tail = [slice(None)] * a.ndim
+        tail[axis] = slice(n, target)
+        dst[tuple(tail)] = a[tuple(edge)]
+    head = [slice(None)] * a.ndim
+    head[axis] = slice(0, n)
+    dst[tuple(head)] = a
+    return dst
 
 
 def _pad_orientation(d: dict, sr_real: int, R_real: int, H_pad: int,
@@ -102,29 +117,31 @@ def _pad_orientation(d: dict, sr_real: int, R_real: int, H_pad: int,
     pad1 = B1 - sr_real
     R_pad = B1 + 2 + B3
 
+    # vectorized row remap: rm[r] = padded row index of real row r
+    rm = np.empty(R_real, dtype=np.int64)
+    if sr_real > 1:
+        rm[1:sr_real] = pad1 + np.arange(1, sr_real)
+    if sr_real > 0:              # row 0 wins over the stutter row (r==0 first)
+        rm[sr_real] = B1
+    rm[0] = 0
+    if R_real > sr_real + 1:
+        rm[sr_real + 1] = B1 + 1
+    if R_real > sr_real + 2:
+        rm[sr_real + 2:] = B1 + 2 + np.arange(R_real - sr_real - 2)
+
     def row_map(r: int) -> int:
-        if r == 0:
-            return 0
-        if r < sr_real:          # pre-stutter flank rows
-            return pad1 + r
-        if r == sr_real:         # stutter row
-            return B1
-        if r == sr_real + 1:     # forced-match row
-            return B1 + 1
-        return B1 + 2 + (r - sr_real - 2)
+        return int(rm[r])
 
     H = d["row_char"].shape[0]
     out = {}
     for key in ("row_char", "row_m2m", "row_m2i", "row_m2d"):
         src = d[key]
         dst = np.zeros((H, R_pad), dtype=src.dtype)
-        for r in range(R_real):
-            dst[:, row_map(r)] = src[:, r]
+        dst[:, rm] = src
         out[key] = _pad_axis(dst, 0, H_pad)
 
     active = np.zeros(R_pad, dtype=bool)
-    for r in range(R_real):
-        active[row_map(r)] = True
+    active[rm] = True
     out["row_active"] = active
 
     out["rep_rev_codes"] = _pad_axis(

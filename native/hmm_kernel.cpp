@@ -869,3 +869,144 @@ extern "C" int32_t hmm_trace_full(
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Full trace stitch: read->haplotype + haplotype->reference => read->reference
+// in ONE call (semantics of align/traceback.py stitch_alignment_trace,
+// reference src/SeqAlignment/AlignmentTraceback.cpp:55-144).  Emits the
+// run-length-encoded CIGAR, the reference start/stop, and the aligned string
+// (read bases with '-' for deletions) so python only wraps the results.
+// Returns 0 on success, -1 on an invalid op pairing or assertion failure
+// (caller falls back to the python path, which raises).
+
+static int stitch_dir(const char* hap_aln, int32_t hap_len,
+                      const char* read_aln, int32_t read_len,
+                      int32_t h_index, int32_t r_index, int32_t increment,
+                      char* out, int32_t* out_n) {
+  int n = 0;
+  while (r_index >= 0 && r_index < read_len) {
+    char rc = read_aln[r_index];
+    if (rc == 'S') {
+      out[n++] = 'S';
+      r_index += increment;
+      continue;
+    }
+    if (h_index < 0 || h_index >= hap_len) return -1;
+    char hc = hap_aln[h_index];
+    if (hc == 'D') {
+      if (rc == 'I') {
+        out[n++] = 'M';
+        r_index += increment;
+        h_index += increment;
+      } else {
+        out[n++] = 'D';
+        h_index += increment;
+      }
+    } else if (rc == 'I') {
+      out[n++] = 'I';
+      r_index += increment;
+    } else if (rc == 'D') {
+      if (hc == 'M') out[n++] = 'D';
+      else if (hc != 'I') return -1;
+      r_index += increment;
+      h_index += increment;
+    } else if (rc == 'M') {
+      if (hc != 'M' && hc != 'I') return -1;
+      out[n++] = hc;
+      r_index += increment;
+      h_index += increment;
+    } else {
+      return -1;
+    }
+  }
+  *out_n = n;
+  return 0;
+}
+
+extern "C" int32_t stitch_trace(
+    const char* hap_aln, int32_t hap_len,    // haplotype->reference ops
+    const char* read_aln, int32_t read_len,  // read->haplotype ops
+    int64_t hap_start, int32_t hap_index, int32_t seed_base,
+    const char* bases, int32_t bases_len,
+    int64_t* out_start, int64_t* out_stop,
+    char* cigar_ops, int32_t* cigar_num, int32_t* n_cigar,  // cap: full len
+    char* aln_out, int32_t* aln_len) {                      // cap: full len
+  // advance to the seed's position in the hap->ref alignment
+  int32_t hap_aln_index = 0;
+  int64_t seed_pos = hap_start;
+  int32_t hi = hap_index;
+  while (hi > 0 && hap_aln_index < hap_len) {
+    char c = hap_aln[hap_aln_index];
+    if (c == 'M' || c == 'I') --hi;
+    if (c == 'M' || c == 'D') ++seed_pos;
+    ++hap_aln_index;
+  }
+  while (hap_aln_index < hap_len && hap_aln[hap_aln_index] == 'D')
+    ++hap_aln_index;
+  if (hap_aln_index == hap_len) return -1;
+
+  // advance to the seed's position in the read->hap alignment
+  int32_t read_aln_index = 0;
+  int32_t sb = seed_base;
+  while (sb > 0 && read_aln_index < read_len) {
+    char c = read_aln[read_aln_index];
+    if (c == 'M' || c == 'I' || c == 'S') --sb;
+    ++read_aln_index;
+  }
+  while (read_aln_index < read_len && read_aln[read_aln_index] == 'D')
+    ++read_aln_index;
+  if (read_aln_index == read_len) return -1;
+
+  // full = reverse(stitch left) + 'M' + stitch right
+  std::vector<char> full(hap_len + read_len + 2);
+  int32_t n_left = 0;
+  if (stitch_dir(hap_aln, hap_len, read_aln, read_len, hap_aln_index - 1,
+                 read_aln_index - 1, -1, full.data(), &n_left) != 0)
+    return -1;
+  std::reverse(full.data(), full.data() + n_left);
+  int64_t left_dm = 0;
+  for (int i = 0; i < n_left; ++i)
+    if (full[i] == 'D' || full[i] == 'M') ++left_dm;
+  full[n_left] = 'M';
+  int32_t n_right = 0;
+  if (stitch_dir(hap_aln, hap_len, read_aln, read_len, hap_aln_index + 1,
+                 read_aln_index + 1, 1, full.data() + n_left + 1,
+                 &n_right) != 0)
+    return -1;
+  int64_t right_dm = 0;
+  for (int i = n_left + 1; i < n_left + 1 + n_right; ++i)
+    if (full[i] == 'D' || full[i] == 'M') ++right_dm;
+  const int32_t n_full = n_left + 1 + n_right;
+
+  // leading insertions become soft clips
+  for (int i = 0; i < n_full && full[i] == 'I'; ++i) full[i] = 'S';
+
+  *out_start = seed_pos - left_dm;
+  *out_stop = seed_pos + right_dm;
+
+  // run-length encode + build the aligned string
+  int nc = 0, na = 0, read_index = 0;
+  for (int i = 0; i < n_full; ++i) {
+    char c = full[i];
+    if (nc > 0 && cigar_ops[nc - 1] == c) {
+      ++cigar_num[nc - 1];
+    } else {
+      cigar_ops[nc] = c;
+      cigar_num[nc] = 1;
+      ++nc;
+    }
+    if (c == 'S') {
+      ++read_index;
+    } else if (c == 'M' || c == 'I') {
+      if (read_index >= bases_len) return -1;
+      aln_out[na++] = bases[read_index++];
+    } else if (c == 'D') {
+      aln_out[na++] = '-';
+    } else {
+      return -1;
+    }
+  }
+  *n_cigar = nc;
+  *aln_len = na;
+  return 0;
+}

@@ -193,3 +193,48 @@ def test_native_retrace_walk_matches_python():
                     (tr_p.flank_ins_size, tr_p.flank_del_size)
                 assert abs(LL_n - LL_p) < 1e-9
     assert checks > 30
+
+def test_native_stitch_trace_matches_python():
+    """The one-call C stitch (stitch_trace) yields the same traced Alignment
+    (start/stop/CIGAR/aligned string) as the python stitch path."""
+    import numpy as np
+    from tests.test_hmm_kernel import _mk_haplotype, _reads_from_hap
+    from hipstr_tpu.align.retrace import trace_optimal_aln, HapAlignInfo
+    from hipstr_tpu.align.alignment_data import Alignment
+    from hipstr_tpu.models.base_quality import BaseQuality
+    from hipstr_tpu import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    bq = BaseQuality()
+    checks = 0
+    for trial in range(5):
+        period = int(rng.integers(1, 5))
+        units = int(rng.integers(4, 10))
+        hap = _mk_haplotype(rng, period, units, n_rep_alts=2,
+                            n_flank_alts=trial % 2)
+        seqs, quals, seeds = _reads_from_hap(rng, hap, 4, 60)
+        info = HapAlignInfo(hap)
+        for h in range(min(hap.num_combs, 3)):
+            for seq, q, seed in zip(seqs, quals, seeds):
+                blw = np.array([bq.log_prob_error(c) - np.log(3.0)
+                                for c in q])
+                blc = np.array([bq.log_prob_correct(c) for c in q])
+                aln = Alignment(1000, 1000 + len(seq), False, "r", q, seq, "")
+                _, tr_n = trace_optimal_aln(hap, h, aln, seed, blw, blc, info)
+                real = native.stitch_trace_native
+                native.stitch_trace_native = lambda *a: None
+                try:
+                    _, tr_p = trace_optimal_aln(hap, h, aln, seed, blw, blc,
+                                                info)
+                finally:
+                    native.stitch_trace_native = real
+                a_n, a_p = tr_n.traced_aln, tr_p.traced_aln
+                assert (a_n.start, a_n.stop) == (a_p.start, a_p.stop)
+                assert a_n.alignment == a_p.alignment
+                assert [(c.type, c.num) for c in a_n.cigar] == \
+                    [(c.type, c.num) for c in a_p.cigar]
+                checks += 1
+    assert checks > 30
