@@ -352,6 +352,97 @@ class HapAlignInfo:
         return "".join(ref_hap), "".join(alt_hap)
 
 
+def _instances_for(haplotype: Haplotype, h: int):
+    """(fw, rev) realized instances, cached on the haplotype — immutable
+    w.r.t. (h, reverse), so repeated traces reuse the native row metadata."""
+    cache = getattr(haplotype, "_inst_cache", None)
+    if cache is None:
+        cache = haplotype._inst_cache = {}
+    fw = cache.get((h, False))
+    if fw is None:
+        fw = cache[(h, False)] = HaplotypeInstance(haplotype, h, reverse=False)
+    rev = cache.get((h, True))
+    if rev is None:
+        rev = cache[(h, True)] = HaplotypeInstance(haplotype, h, reverse=True)
+    return fw, rev
+
+
+def _assemble_native(haplotype: Haplotype, h: int, aln: Alignment,
+                     seed_base: int, hap_info: HapAlignInfo,
+                     fw: HaplotypeInstance, rev: HaplotypeInstance,
+                     res) -> Tuple[float, AlignmentTrace]:
+    """Build the (LL, AlignmentTrace) from one native trace result
+    (hmm_trace_full / hmm_trace_batch layout)."""
+    seq = aln.sequence
+    trace = AlignmentTrace(fw.num_blocks())
+    LL, max_index, left_res, right_res = res
+    if left_res is None:
+        left_aln = "S" * seed_base
+    else:
+        left_aln = _apply_walk_events(fw, trace, left_res)
+    left_aln = left_aln[::-1]
+    assert len(left_aln) - left_aln.count("D") == seed_base
+
+    fw_block, _fw_coord = fw.get_coordinates(max_index)
+    if not fw.blocks[fw_block].is_stutter:
+        trace.add_flank_data(fw_block, seq[seed_base])
+
+    rlen = len(seq) - 1 - seed_base
+    if right_res is None:
+        right_aln = "S" * rlen
+    else:
+        right_aln = _apply_walk_events(rev, trace, right_res)
+    assert len(right_aln) - right_aln.count("D") == rlen
+
+    read_aln_to_hap = left_aln + "M" + right_aln
+    trace.hap_aln = read_aln_to_hap
+    trace.traced_aln = stitch_alignment_trace(
+        haplotype.blocks[0].start, hap_info.aln_info(h),
+        read_aln_to_hap, max_index, seed_base, aln)
+    return LL, trace
+
+
+def trace_batch(haplotype: Haplotype, jobs, hap_info: HapAlignInfo,
+                n_threads: int = 1):
+    """Run many traces of one locus through ONE native FFI call.
+
+    `jobs` is a list of (h, pooled_aln, seed_base, blw, blc).  Returns a
+    list of (LL, AlignmentTrace) in job order — jobs the C side rejects
+    fall back to trace_optimal_aln individually — or None when the native
+    batched entry is unavailable (caller loops trace_optimal_aln).
+    """
+    from .. import native as _native
+    if not jobs or not _native.available():
+        return None
+    from .hmm_reference import seed_meta as _seed_meta
+    njobs = []
+    insts = []
+    for h, aln, seed_base, blw, blc in jobs:
+        fw, rev = _instances_for(haplotype, h)
+        mid_rows, mid_chars, slp, first_code, last_code = _seed_meta(fw)
+        codes = np.frombuffer(aln.sequence.encode("latin1"), dtype=np.uint8)
+        njobs.append((np.ascontiguousarray(codes),
+                      np.ascontiguousarray(blw, dtype=np.float64),
+                      np.ascontiguousarray(blc, dtype=np.float64),
+                      seed_base, fw, rev, mid_rows, mid_chars, slp,
+                      first_code, last_code))
+        insts.append((fw, rev))
+    res_list = _native.hmm_trace_batch_native(
+        njobs, MIN_SNP_LOG_PROB_CORRECT, TRACE_LL_TOL, n_threads)
+    if res_list is None:
+        return None
+    out = []
+    for (h, aln, seed_base, blw, blc), (fw, rev), res in zip(jobs, insts,
+                                                             res_list):
+        if res is None:
+            out.append(trace_optimal_aln(haplotype, h, aln, seed_base,
+                                         blw, blc, hap_info))
+        else:
+            out.append(_assemble_native(haplotype, h, aln, seed_base,
+                                        hap_info, fw, rev, res))
+    return out
+
+
 def trace_optimal_aln(haplotype: Haplotype, h: int, aln: Alignment,
                       seed_base: int, blw: np.ndarray, blc: np.ndarray,
                       hap_info: HapAlignInfo) -> Tuple[float, AlignmentTrace]:
@@ -362,17 +453,7 @@ def trace_optimal_aln(haplotype: Haplotype, h: int, aln: Alignment,
     """
     seq = aln.sequence
     assert 0 < seed_base < len(seq) - 1
-    # realized instances are immutable w.r.t. (h, reverse); cache them on the
-    # haplotype so repeated traces reuse the native row metadata
-    cache = getattr(haplotype, "_inst_cache", None)
-    if cache is None:
-        cache = haplotype._inst_cache = {}
-    fw = cache.get((h, False))
-    if fw is None:
-        fw = cache[(h, False)] = HaplotypeInstance(haplotype, h, reverse=False)
-    rev = cache.get((h, True))
-    if rev is None:
-        rev = cache[(h, True)] = HaplotypeInstance(haplotype, h, reverse=True)
+    fw, rev = _instances_for(haplotype, h)
     trace = AlignmentTrace(fw.num_blocks())
 
     # consolidated native path: both fills + seed combine + both walks in
@@ -390,31 +471,8 @@ def trace_optimal_aln(haplotype: Haplotype, h: int, aln: Alignment,
             fw, rev, mid_rows, mid_chars, slp, first_code, last_code,
             MIN_SNP_LOG_PROB_CORRECT, TRACE_LL_TOL)
         if res is not None:
-            LL, max_index, left_res, right_res = res
-            if left_res is None:
-                left_aln = "S" * seed_base
-            else:
-                left_aln = _apply_walk_events(fw, trace, left_res)
-            left_aln = left_aln[::-1]
-            assert len(left_aln) - left_aln.count("D") == seed_base
-
-            fw_block, _fw_coord = fw.get_coordinates(max_index)
-            if not fw.blocks[fw_block].is_stutter:
-                trace.add_flank_data(fw_block, seq[seed_base])
-
-            rlen = len(seq) - 1 - seed_base
-            if right_res is None:
-                right_aln = "S" * rlen
-            else:
-                right_aln = _apply_walk_events(rev, trace, right_res)
-            assert len(right_aln) - right_aln.count("D") == rlen
-
-            read_aln_to_hap = left_aln + "M" + right_aln
-            trace.hap_aln = read_aln_to_hap
-            trace.traced_aln = stitch_alignment_trace(
-                haplotype.blocks[0].start, hap_info.aln_info(h),
-                read_aln_to_hap, max_index, seed_base, aln)
-            return LL, trace
+            return _assemble_native(haplotype, h, aln, seed_base, hap_info,
+                                    fw, rev, res)
 
     l_seq = seq[:seed_base]
     l_blw, l_blc = blw[:seed_base], blc[:seed_base]

@@ -90,6 +90,29 @@ def _load():
                    ctypes.c_void_p, ctypes.c_void_p])            # right valid/out
         except AttributeError:
             pass  # stale library without the consolidated entry
+        try:
+            lib.hmm_trace_batch.restype = ctypes.c_int32
+            lib.hmm_trace_batch.argtypes = (
+                [ctypes.c_int32]
+                + [ctypes.c_void_p] * 4 + [ctypes.c_void_p]   # seq,L,blw,blc,seed
+                + [ctypes.c_void_p] * 4                       # fill/walk ptr arrays
+                + [ctypes.c_void_p] * 3                       # mids
+                + [ctypes.c_void_p] * 3                       # slp, first, last
+                + [ctypes.c_double, ctypes.c_double, ctypes.c_int32]
+                + [ctypes.c_void_p] * 4                       # LL,max,rc,valid
+                + [ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]  # aln
+                + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+                   ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]  # frags
+                + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                   ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+                   ctypes.c_int32]                            # str
+                + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+                   ctypes.c_void_p]                           # snps
+                + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+                   ctypes.c_void_p]                           # indels
+                + [ctypes.c_void_p, ctypes.c_void_p])         # flanks
+        except AttributeError:
+            pass  # stale library without the batched entry
         lib.stitch_ops.restype = ctypes.c_int32
         lib.stitch_ops.argtypes = [
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
@@ -452,6 +475,128 @@ def _tls_walk_buffers(n_rows: int, seed_base: int, rlen: int, nb: int):
         _walk_buf_tls.pair = pair
         _walk_buf_tls.dims = (n_rows, seg, nb)
     return pair
+
+
+def hmm_trace_batch_native(jobs, min_snp_lpc: float, tol: float,
+                           n_threads: int = 1):
+    """N traces in ONE FFI call (native hmm_trace_batch).
+
+    Each job is (seq_codes, blw, blc, seed_base, fw_instance, rev_instance,
+    mid_rows, mid_chars, seed_log_prior, first_code, last_code) — the same
+    per-trace inputs as hmm_trace_full_native.  Returns a list with one
+    (LL, max_index, left_res|None, right_res|None) per job (None for a job
+    the C side rejected), or None when the library lacks the entry.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "hmm_trace_batch"):
+        return None
+    import numpy as np
+    n = len(jobs)
+    if n == 0:
+        return []
+
+    VP = ctypes.c_void_p * n
+    seq_p, blw_p, blc_p = VP(), VP(), VP()
+    ffp, fwp, rfp, rwp = VP(), VP(), VP(), VP()
+    mrp, mcp = VP(), VP()
+    Ls = np.empty(n, dtype=np.int32)
+    seeds = np.empty(n, dtype=np.int32)
+    nmids = np.empty(n, dtype=np.int32)
+    slps = np.empty(n, dtype=np.float64)
+    firsts = np.empty(n, dtype=np.int32)
+    lasts = np.empty(n, dtype=np.int32)
+    keep = []  # keep per-job arrays alive across the call
+    max_rows = max_L = max_nb = 0
+    for i, (seq, blw, blc, seed_base, fw, rev, mid_rows, mid_chars,
+            slp, first, last) in enumerate(jobs):
+        fw_fill, fw_walk = trace_structs_for(fw)
+        rev_fill, rev_walk = trace_structs_for(rev)
+        seq_p[i] = seq.ctypes.data
+        blw_p[i] = blw.ctypes.data
+        blc_p[i] = blc.ctypes.data
+        ffp[i] = ctypes.addressof(fw_fill)
+        fwp[i] = ctypes.addressof(fw_walk)
+        rfp[i] = ctypes.addressof(rev_fill)
+        rwp[i] = ctypes.addressof(rev_walk)
+        mrp[i] = mid_rows.ctypes.data
+        mcp[i] = mid_chars.ctypes.data
+        Ls[i] = len(seq)
+        seeds[i] = seed_base
+        nmids[i] = len(mid_rows)
+        slps[i] = slp
+        firsts[i] = first
+        lasts[i] = last
+        keep.append((seq, blw, blc, mid_rows, mid_chars))
+        max_rows = max(max_rows, fw_fill.H)
+        max_L = max(max_L, len(seq))
+        max_nb = max(max_nb, fw_walk.n_blocks)
+
+    n2 = 2 * n
+    aln_stride = max_rows + max_L + 8
+    frag_stride = max_nb + 2
+    seq_stride = max_L + 2
+    out_LL = np.empty(n, dtype=np.float64)
+    out_max = np.empty(n, dtype=np.int32)
+    out_rc = np.empty(n, dtype=np.int32)
+    out_valid = np.zeros(n2, dtype=np.uint8)
+    aln_pool = np.empty((n2, aln_stride), dtype=np.uint8)
+    aln_len = np.zeros(n2, dtype=np.int32)
+    frag_block = np.empty((n2, frag_stride), dtype=np.int32)
+    frag_end = np.empty((n2, frag_stride), dtype=np.int32)
+    n_frags = np.zeros(n2, dtype=np.int32)
+    fragp = np.empty((n2, seq_stride), dtype=np.uint8)
+    str_block = np.empty((n2, frag_stride), dtype=np.int32)
+    str_size = np.empty((n2, frag_stride), dtype=np.int32)
+    str_end = np.empty((n2, frag_stride), dtype=np.int32)
+    n_str = np.zeros(n2, dtype=np.int32)
+    strp = np.empty((n2, seq_stride), dtype=np.uint8)
+    snp_pos = np.empty((n2, seq_stride), dtype=np.int32)
+    snp_base = np.empty((n2, seq_stride), dtype=np.uint8)
+    n_snps = np.zeros(n2, dtype=np.int32)
+    indel_pos = np.empty((n2, aln_stride), dtype=np.int64)
+    indel_size = np.empty((n2, aln_stride), dtype=np.int64)
+    n_indels = np.zeros(n2, dtype=np.int32)
+    flank_ins = np.zeros(n2, dtype=np.int32)
+    flank_del = np.zeros(n2, dtype=np.int32)
+
+    rc = lib.hmm_trace_batch(
+        n, seq_p, Ls.ctypes.data, blw_p, blc_p, seeds.ctypes.data,
+        ffp, fwp, rfp, rwp, mrp, mcp, nmids.ctypes.data,
+        slps.ctypes.data, firsts.ctypes.data, lasts.ctypes.data,
+        min_snp_lpc, tol, n_threads,
+        out_LL.ctypes.data, out_max.ctypes.data, out_rc.ctypes.data,
+        out_valid.ctypes.data,
+        aln_pool.ctypes.data, aln_stride, aln_len.ctypes.data,
+        frag_block.ctypes.data, frag_end.ctypes.data, frag_stride,
+        n_frags.ctypes.data, fragp.ctypes.data, seq_stride,
+        str_block.ctypes.data, str_size.ctypes.data, str_end.ctypes.data,
+        frag_stride, n_str.ctypes.data, strp.ctypes.data, seq_stride,
+        snp_pos.ctypes.data, snp_base.ctypes.data, seq_stride,
+        n_snps.ctypes.data,
+        indel_pos.ctypes.data, indel_size.ctypes.data, aln_stride,
+        n_indels.ctypes.data, flank_ins.ctypes.data, flank_del.ctypes.data)
+    del keep
+    if rc != 0:
+        return None
+
+    def slot(s):
+        return (aln_pool[s, :aln_len[s]], frag_block[s, :n_frags[s]],
+                frag_end[s, :n_frags[s]], fragp[s],
+                str_block[s, :n_str[s]], str_size[s, :n_str[s]],
+                str_end[s, :n_str[s]], strp[s],
+                snp_pos[s, :n_snps[s]], snp_base[s, :n_snps[s]],
+                indel_pos[s, :n_indels[s]], indel_size[s, :n_indels[s]],
+                int(flank_ins[s]), int(flank_del[s]))
+
+    results = []
+    for i in range(n):
+        if out_rc[i] != 0:
+            results.append(None)
+            continue
+        results.append((float(out_LL[i]), int(out_max[i]),
+                        slot(2 * i) if out_valid[2 * i] else None,
+                        slot(2 * i + 1) if out_valid[2 * i + 1] else None))
+    return results
 
 
 def hmm_trace_full_native(seq_codes, blw, blc, seed_base: int,

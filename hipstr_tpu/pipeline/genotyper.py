@@ -374,20 +374,47 @@ class SeqStutterGenotyper:
 
     def retrace_alignments(self) -> List[Optional[AlignmentTrace]]:
         """ML trace per read (reference retrace_alignments,
-        seq_stutter_genotyper.cpp:805-841)."""
+        seq_stutter_genotyper.cpp:805-841).  Cache misses are computed in
+        ONE batched native call (align/retrace.trace_batch)."""
         haps_a, haps_b = self.get_optimal_haplotypes()
-        traces: List[Optional[AlignmentTrace]] = []
+        best_haps: List[Optional[int]] = []
         for i in range(self.num_reads):
             if self.seed_positions[i] < 0:
-                traces.append(None)
+                best_haps.append(None)
                 continue
             s = self.sample_label[i]
             ha, hb = int(haps_a[s]), int(haps_b[s])
             v1 = LOG_ONE_HALF + self.log_p1[i] + self.log_aln_probs[i, ha]
             v2 = LOG_ONE_HALF + self.log_p2[i] + self.log_aln_probs[i, hb]
-            best = ha if v1 > v2 else hb
-            traces.append(self._trace_for(i, best))
-        return traces
+            best_haps.append(ha if v1 > v2 else hb)
+
+        missing: List[Tuple[int, Tuple[int, int]]] = []
+        seen = set()
+        for i, best in enumerate(best_haps):
+            if best is None:
+                continue
+            key = (int(self.pool_index[i]), int(best))
+            if key not in self.trace_cache and key not in seen:
+                seen.add(key)
+                missing.append((i, key))
+        if len(missing) > 1:
+            from ..align.retrace import trace_batch
+            jobs = []
+            for i, key in missing:
+                pooled = self.pooler.pooled_alns[key[0]]
+                blw = self.base_quality.quals_to_log_error(
+                    pooled.base_qualities)
+                blc = self.base_quality.quals_to_log_correct(
+                    pooled.base_qualities)
+                jobs.append((key[1], pooled, int(self.seed_positions[i]),
+                             blw, blc))
+            results = trace_batch(self.haplotype, jobs, self.hap_info)
+            if results is not None:
+                for (i, key), (_, trace) in zip(missing, results):
+                    self.trace_cache[key] = trace
+
+        return [None if best is None else self._trace_for(i, best)
+                for i, best in enumerate(best_haps)]
 
     # ----------------------------------------------------- allele management
     def add_and_remove_alleles(self, alleles_to_remove: List[List[int]],

@@ -11,6 +11,7 @@
 #include <cstdint>
 #include <vector>
 #include <algorithm>
+#include <thread>
 
 namespace {
 
@@ -1008,5 +1009,93 @@ extern "C" int32_t stitch_trace(
   }
   *n_cigar = nc;
   *aln_len = na;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Batched traces: N independent (read pool, haplotype) traces in ONE call.
+// Inputs arrive as parallel pointer arrays (one element per job); event
+// outputs land in caller-allocated pooled buffers with fixed per-slot
+// strides, slot s = 2*job + direction (0 = left/fw, 1 = right/rev).  Each
+// job is exactly hmm_trace_full; out_rc[i] != 0 marks a failed job the
+// caller re-runs through its python fallback.  With n_threads > 1 the jobs
+// are chunked across std::thread workers — slots are disjoint, so the
+// output is bit-identical to the sequential order.
+
+extern "C" int32_t hmm_trace_batch(
+    int32_t n,
+    const void* const* seq_ptrs, const int32_t* Ls,
+    const void* const* blw_ptrs, const void* const* blc_ptrs,
+    const int32_t* seed_bases,
+    const void* const* fw_fill_ptrs, const void* const* fw_walk_ptrs,
+    const void* const* rev_fill_ptrs, const void* const* rev_walk_ptrs,
+    const void* const* mid_rows_ptrs, const void* const* mid_chars_ptrs,
+    const int32_t* n_mids, const double* seed_log_priors,
+    const int32_t* first_codes, const int32_t* last_codes,
+    double min_snp_lpc, double tol, int32_t n_threads,
+    double* out_LL, int32_t* out_max_index, int32_t* out_rc,
+    uint8_t* out_valid,                                    // [2n]
+    uint8_t* aln_pool, int32_t aln_stride, int32_t* aln_len,
+    int32_t* frag_block, int32_t* frag_end, int32_t frag_stride,
+    int32_t* n_frags, uint8_t* fragp_pool, int32_t fragp_stride,
+    int32_t* str_block, int32_t* str_size, int32_t* str_end,
+    int32_t str_stride, int32_t* n_str, uint8_t* strp_pool,
+    int32_t strp_stride,
+    int32_t* snp_pos, uint8_t* snp_base, int32_t snp_stride, int32_t* n_snps,
+    int64_t* indel_pos, int64_t* indel_size, int32_t indel_stride,
+    int32_t* n_indels, int32_t* flank_ins, int32_t* flank_del) {
+  auto run_range = [&](int32_t lo, int32_t hi) {
+    for (int32_t i = lo; i < hi; ++i) {
+      TraceWalkOut outs[2];
+      for (int d = 0; d < 2; ++d) {
+        const int64_t s = 2 * (int64_t)i + d;
+        outs[d].aln_out = aln_pool + s * aln_stride;
+        outs[d].aln_len = aln_len + s;
+        outs[d].frag_block = frag_block + s * frag_stride;
+        outs[d].frag_end = frag_end + s * frag_stride;
+        outs[d].n_frags = n_frags + s;
+        outs[d].frag_pool = fragp_pool + s * fragp_stride;
+        outs[d].str_block = str_block + s * str_stride;
+        outs[d].str_size = str_size + s * str_stride;
+        outs[d].str_end = str_end + s * str_stride;
+        outs[d].n_str = n_str + s;
+        outs[d].str_pool = strp_pool + s * strp_stride;
+        outs[d].snp_pos = snp_pos + s * snp_stride;
+        outs[d].snp_base = snp_base + s * snp_stride;
+        outs[d].n_snps = n_snps + s;
+        outs[d].indel_pos = indel_pos + s * indel_stride;
+        outs[d].indel_size = indel_size + s * indel_stride;
+        outs[d].n_indels = n_indels + s;
+        outs[d].flank_ins = flank_ins + s;
+        outs[d].flank_del = flank_del + s;
+      }
+      int32_t lv = 0, rv = 0;
+      out_rc[i] = hmm_trace_full(
+          (const uint8_t*)seq_ptrs[i], Ls[i], (const double*)blw_ptrs[i],
+          (const double*)blc_ptrs[i], seed_bases[i],
+          (const TraceFillArgs*)fw_fill_ptrs[i],
+          (const TraceWalkArgs*)fw_walk_ptrs[i],
+          (const TraceFillArgs*)rev_fill_ptrs[i],
+          (const TraceWalkArgs*)rev_walk_ptrs[i],
+          (const int64_t*)mid_rows_ptrs[i], (const int64_t*)mid_chars_ptrs[i],
+          n_mids[i], seed_log_priors[i], first_codes[i], last_codes[i],
+          min_snp_lpc, tol, out_max_index + i, out_LL + i, &lv, &outs[0],
+          &rv, &outs[1]);
+      out_valid[2 * i] = (uint8_t)lv;
+      out_valid[2 * i + 1] = (uint8_t)rv;
+    }
+  };
+  if (n_threads <= 1 || n < 2 * n_threads) {
+    run_range(0, n);
+  } else {
+    std::vector<std::thread> threads;
+    const int32_t chunk = (n + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      const int32_t lo = t * chunk, hi = std::min(n, lo + chunk);
+      if (lo >= hi) break;
+      threads.emplace_back(run_range, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+  }
   return 0;
 }

@@ -238,3 +238,45 @@ def test_native_stitch_trace_matches_python():
                     [(c.type, c.num) for c in a_p.cigar]
                 checks += 1
     assert checks > 30
+
+def test_native_trace_batch_matches_single():
+    """hmm_trace_batch (one FFI call for N traces, threaded or not) yields
+    traces identical to per-trace hmm_trace_full calls."""
+    import numpy as np
+    from tests.test_hmm_kernel import _mk_haplotype, _reads_from_hap
+    from hipstr_tpu.align.retrace import (HapAlignInfo, trace_batch,
+                                          trace_optimal_aln)
+    from hipstr_tpu.align.alignment_data import Alignment
+    from hipstr_tpu.models.base_quality import BaseQuality
+    from hipstr_tpu import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(23)
+    bq = BaseQuality()
+    for trial, n_threads in ((0, 1), (1, 3)):
+        period = int(rng.integers(1, 5))
+        hap = _mk_haplotype(rng, period, 8, n_rep_alts=2,
+                            n_flank_alts=trial % 2)
+        seqs, quals, seeds = _reads_from_hap(rng, hap, 6, 60)
+        info = HapAlignInfo(hap)
+        jobs = []
+        for j, (seq, q, seed) in enumerate(zip(seqs, quals, seeds)):
+            blw = np.array([bq.log_prob_error(c) - np.log(3.0) for c in q])
+            blc = np.array([bq.log_prob_correct(c) for c in q])
+            aln = Alignment(1000, 1000 + len(seq), False, "r", q, seq, "")
+            jobs.append((j % min(hap.num_combs, 3), aln, seed, blw, blc))
+        batch = trace_batch(hap, jobs, info, n_threads=n_threads)
+        assert batch is not None and len(batch) == len(jobs)
+        for (h, aln, seed, blw, blc), (LL_b, tr_b) in zip(jobs, batch):
+            LL_s, tr_s = trace_optimal_aln(hap, h, aln, seed, blw, blc, info)
+            assert LL_b == LL_s
+            assert tr_b.hap_aln == tr_s.hap_aln
+            assert tr_b.flank_seqs == tr_s.flank_seqs
+            assert tr_b.flank_indels == tr_s.flank_indels
+            assert tr_b.flank_snps == tr_s.flank_snps
+            assert tr_b._str_data == tr_s._str_data
+            a_b, a_s = tr_b.traced_aln, tr_s.traced_aln
+            assert (a_b.start, a_b.stop) == (a_s.start, a_s.stop)
+            assert a_b.alignment == a_s.alignment
