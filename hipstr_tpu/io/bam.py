@@ -190,28 +190,32 @@ def encode_record(rec: BamRecord) -> bytes:
     return struct.pack("<I", len(body)) + body
 
 
+# decode_record fast paths: one 2-char string per packed byte, and a
+# 256-byte translate table mapping raw qual -> phred+33 char (capped 93)
+_SEQ_PAIR = [_SEQ_CODE[b >> 4] + _SEQ_CODE[b & 0xf] for b in range(256)]
+_QUAL_XLAT = bytes(min(93, q) + 33 for q in range(256))
+
+
 def decode_record(buf: bytes) -> BamRecord:
     (ref_id, pos, l_name, mapq, _bin, n_cigar, flag, l_seq, mate_ref,
      mate_pos, tlen) = struct.unpack("<iiBBHHHiiii", buf[:32])
     off = 32
     name = buf[off:off + l_name - 1].decode()
     off += l_name
-    cigar = []
-    for _ in range(n_cigar):
-        v = struct.unpack("<I", buf[off:off + 4])[0]
-        cigar.append((v >> 4, _CIGAR_OPS[v & 0xf]))
-        off += 4
-    seq_chars = []
-    for i in range(l_seq):
-        b = buf[off + i // 2]
-        code = (b >> 4) if i % 2 == 0 else (b & 0xf)
-        seq_chars.append(_SEQ_CODE[code])
-    off += (l_seq + 1) // 2
-    qual = "".join(chr(min(93, q) + 33) for q in buf[off:off + l_seq])
+    if n_cigar:
+        vals = struct.unpack("<%dI" % n_cigar, buf[off:off + 4 * n_cigar])
+        cigar = [(v >> 4, _CIGAR_OPS[v & 0xf]) for v in vals]
+        off += 4 * n_cigar
+    else:
+        cigar = []
+    nb = (l_seq + 1) // 2
+    seq = "".join(map(_SEQ_PAIR.__getitem__, buf[off:off + nb]))[:l_seq]
+    off += nb
+    qual = buf[off:off + l_seq].translate(_QUAL_XLAT).decode("latin1")
     off += l_seq
     tags = _decode_tags(buf[off:])
     return BamRecord(name, flag, ref_id, pos, mapq, cigar, mate_ref,
-                     mate_pos, tlen, "".join(seq_chars), qual, tags)
+                     mate_pos, tlen, seq, qual, tags)
 
 
 class BamWriter:
