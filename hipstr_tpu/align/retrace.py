@@ -28,7 +28,7 @@ from ..models.alignment_model import (
     LOG_MATCH_TO_MATCH,
     MAX_HOMOP_LEN,
 )
-from .alignment_data import Alignment
+from .alignment_data import Alignment, CigarElement
 from .haplotype import Haplotype
 from .hmm_reference import HaplotypeInstance, align_seq_to_hap, compute_aln_logprob
 from .nw import align as nw_align
@@ -284,6 +284,16 @@ class HapAlignInfo:
         self._cache: Dict[int, str] = {}
         self._ref_seq = haplotype.seq(0)
 
+    def aln_info_bytes(self, h: int) -> bytes:
+        """aln_info(h) pre-encoded for the native batched stitch (cached)."""
+        cache = getattr(self, "_bytes_cache", None)
+        if cache is None:
+            cache = self._bytes_cache = {}
+        b = cache.get(h)
+        if b is None:
+            b = cache[h] = self.aln_info(h).encode("latin1")
+        return b
+
     def aln_info(self, h: int) -> str:
         if h not in self._cache:
             alt_seq = self.haplotype.seq(h)
@@ -370,9 +380,13 @@ def _instances_for(haplotype: Haplotype, h: int):
 def _assemble_native(haplotype: Haplotype, h: int, aln: Alignment,
                      seed_base: int, hap_info: HapAlignInfo,
                      fw: HaplotypeInstance, rev: HaplotypeInstance,
-                     res) -> Tuple[float, AlignmentTrace]:
+                     res, stitch_sink=None) -> Tuple[float, AlignmentTrace]:
     """Build the (LL, AlignmentTrace) from one native trace result
-    (hmm_trace_full / hmm_trace_batch layout)."""
+    (hmm_trace_full / hmm_trace_batch layout).
+
+    With `stitch_sink` (a list), the read->reference stitch is DEFERRED:
+    the job inputs are appended to the sink and `trace.traced_aln` is left
+    None for the caller to fill from one batched native stitch call."""
     seq = aln.sequence
     trace = AlignmentTrace(fw.num_blocks())
     LL, max_index, left_res, right_res = res
@@ -396,14 +410,32 @@ def _assemble_native(haplotype: Haplotype, h: int, aln: Alignment,
 
     read_aln_to_hap = left_aln + "M" + right_aln
     trace.hap_aln = read_aln_to_hap
+    if stitch_sink is not None:
+        stitch_sink.append((trace, h, read_aln_to_hap, max_index,
+                            seed_base, aln))
+        return LL, trace
     trace.traced_aln = stitch_alignment_trace(
         haplotype.blocks[0].start, hap_info.aln_info(h),
         read_aln_to_hap, max_index, seed_base, aln)
     return LL, trace
 
 
+def trace_threads() -> int:
+    """Threads for the native trace batch.  Deterministic at any count
+    (jobs write disjoint output slots); HIPSTR_TRACE_THREADS overrides —
+    the worker pool pins 1 per worker process to avoid oversubscription."""
+    import os
+    v = os.environ.get("HIPSTR_TRACE_THREADS")
+    if v:
+        try:
+            return max(1, int(v))
+        except ValueError:
+            pass
+    return min(4, os.cpu_count() or 1)
+
+
 def trace_batch(haplotype: Haplotype, jobs, hap_info: HapAlignInfo,
-                n_threads: int = 1):
+                n_threads: int = 0):
     """Run many traces of one locus through ONE native FFI call.
 
     `jobs` is a list of (h, pooled_aln, seed_base, blw, blc).  Returns a
@@ -428,10 +460,14 @@ def trace_batch(haplotype: Haplotype, jobs, hap_info: HapAlignInfo,
                       first_code, last_code))
         insts.append((fw, rev))
     res_list = _native.hmm_trace_batch_native(
-        njobs, MIN_SNP_LOG_PROB_CORRECT, TRACE_LL_TOL, n_threads)
+        njobs, MIN_SNP_LOG_PROB_CORRECT, TRACE_LL_TOL,
+        n_threads or trace_threads())
     if res_list is None:
         return None
     out = []
+    # always defer the stitches: _stitch_deferred batches them in one
+    # native call and falls back per job when the entry is unavailable
+    sink = []
     for (h, aln, seed_base, blw, blc), (fw, rev), res in zip(jobs, insts,
                                                              res_list):
         if res is None:
@@ -439,8 +475,39 @@ def trace_batch(haplotype: Haplotype, jobs, hap_info: HapAlignInfo,
                                          blw, blc, hap_info))
         else:
             out.append(_assemble_native(haplotype, h, aln, seed_base,
-                                        hap_info, fw, rev, res))
+                                        hap_info, fw, rev, res,
+                                        stitch_sink=sink))
+    if sink:
+        _stitch_deferred(haplotype, hap_info, sink)
     return out
+
+
+def _stitch_deferred(haplotype: Haplotype, hap_info: HapAlignInfo,
+                     sink) -> None:
+    """Resolve deferred read->reference stitches with ONE native call
+    (semantics of stitch_alignment_trace per job; C-rejected jobs fall
+    back to the per-job path)."""
+    from .. import native as _native
+    hap_start = haplotype.blocks[0].start
+    sjobs = []
+    for trace, h, read_aln, max_index, seed_base, aln in sink:
+        sjobs.append((hap_info.aln_info_bytes(h),
+                      read_aln.encode("latin1"), hap_start, max_index,
+                      seed_base, aln.sequence.encode("latin1")))
+    results = _native.stitch_trace_batch_native(sjobs)
+    for (trace, h, read_aln, max_index, seed_base, aln), res in zip(
+            sink, results if results is not None else [None] * len(sink)):
+        if res is None:
+            trace.traced_aln = stitch_alignment_trace(
+                hap_start, hap_info.aln_info(h), read_aln, max_index,
+                seed_base, aln)
+        else:
+            start, stop, cig_ops, cig_num, aligned = res
+            new_aln = Alignment(start, stop, False, "TRACE",
+                                aln.base_qualities, aln.sequence, aligned)
+            new_aln.cigar = [CigarElement(chr(op), int(n))
+                             for op, n in zip(cig_ops, cig_num)]
+            trace.traced_aln = new_aln
 
 
 def trace_optimal_aln(haplotype: Haplotype, h: int, aln: Alignment,

@@ -129,6 +129,22 @@ def _load():
                 ctypes.c_char_p, ctypes.c_void_p]     # aligned string
         except AttributeError:
             pass  # stale library without the full-stitch entry
+        try:
+            lib.stitch_trace_batch.restype = ctypes.c_int32
+            lib.stitch_trace_batch.argtypes = [
+                ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p,     # hap_aln ptrs/lens
+                ctypes.c_void_p, ctypes.c_void_p,     # read_aln ptrs/lens
+                ctypes.c_void_p, ctypes.c_void_p,     # hap_start, hap_index
+                ctypes.c_void_p,                      # seed_base
+                ctypes.c_void_p, ctypes.c_void_p,     # bases ptrs/lens
+                ctypes.c_int32,                       # stride
+                ctypes.c_void_p, ctypes.c_void_p,     # start/stop
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # cigar
+                ctypes.c_void_p, ctypes.c_void_p,     # aligned string
+                ctypes.c_void_p]                      # rc
+        except AttributeError:
+            pass  # stale library without the batched-stitch entry
         for fn in (lib.prefix_match_counts, lib.suffix_match_counts):
             fn.restype = None
             fn.argtypes = [ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
@@ -305,6 +321,69 @@ def stitch_trace_native(hap_aln: str, read_aln: str, hap_start: int,
     nc = n_cig.value
     return (int(start.value), int(stop.value), cig_ops.raw[:nc],
             cig_num[:nc], aln_out.raw[:aln_len.value].decode("latin1"))
+
+
+def stitch_trace_batch_native(jobs):
+    """N full trace stitches in ONE FFI call (native stitch_trace_batch).
+
+    Each job is (hap_aln_bytes, read_aln_bytes, hap_start, hap_index,
+    seed_base, bases_bytes).  Returns a list with one
+    (start, stop, cigar_ops_bytes, cigar_nums, aligned_str) per job
+    (None where the C side rejected the op pairing), or None when the
+    library lacks the entry.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "stitch_trace_batch"):
+        return None
+    import numpy as np
+    n = len(jobs)
+    if n == 0:
+        return []
+    VP = ctypes.c_void_p * n
+    hap_p, read_p, bases_p = VP(), VP(), VP()
+    hap_l = np.empty(n, dtype=np.int32)
+    read_l = np.empty(n, dtype=np.int32)
+    bases_l = np.empty(n, dtype=np.int32)
+    hap_starts = np.empty(n, dtype=np.int64)
+    hap_idx = np.empty(n, dtype=np.int32)
+    seeds = np.empty(n, dtype=np.int32)
+    stride = 0
+    for i, (ha, ra, hs, hi_, sb, bs) in enumerate(jobs):
+        hap_p[i] = ctypes.cast(ctypes.c_char_p(ha), ctypes.c_void_p)
+        read_p[i] = ctypes.cast(ctypes.c_char_p(ra), ctypes.c_void_p)
+        bases_p[i] = ctypes.cast(ctypes.c_char_p(bs), ctypes.c_void_p)
+        hap_l[i] = len(ha)
+        read_l[i] = len(ra)
+        bases_l[i] = len(bs)
+        hap_starts[i] = hs
+        hap_idx[i] = hi_
+        seeds[i] = sb
+        stride = max(stride, len(ha) + len(ra) + 2)
+    out_start = np.empty(n, dtype=np.int64)
+    out_stop = np.empty(n, dtype=np.int64)
+    cig_ops = np.empty((n, stride), dtype=np.uint8)
+    cig_num = np.empty((n, stride), dtype=np.int32)
+    n_cig = np.zeros(n, dtype=np.int32)
+    aln_pool = np.empty((n, stride), dtype=np.uint8)
+    aln_len = np.zeros(n, dtype=np.int32)
+    out_rc = np.empty(n, dtype=np.int32)
+    lib.stitch_trace_batch(
+        n, hap_p, hap_l.ctypes.data, read_p, read_l.ctypes.data,
+        hap_starts.ctypes.data, hap_idx.ctypes.data, seeds.ctypes.data,
+        bases_p, bases_l.ctypes.data, stride,
+        out_start.ctypes.data, out_stop.ctypes.data,
+        cig_ops.ctypes.data, cig_num.ctypes.data, n_cig.ctypes.data,
+        aln_pool.ctypes.data, aln_len.ctypes.data, out_rc.ctypes.data)
+    out = []
+    for i in range(n):
+        if out_rc[i] != 0:
+            out.append(None)
+            continue
+        nc = int(n_cig[i])
+        out.append((int(out_start[i]), int(out_stop[i]),
+                    cig_ops[i, :nc].tobytes(), cig_num[i, :nc],
+                    aln_pool[i, :aln_len[i]].tobytes().decode("latin1")))
+    return out
 
 
 def end_match_counts_native(s1: str, s2: str, lo: int, hi: int,

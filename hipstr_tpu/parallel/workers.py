@@ -39,6 +39,9 @@ def _worker_main(conn, spec: dict) -> None:
     # axon runtime.  Pin the CPU backend before anything imports jax state.
     import jax
     jax.config.update("jax_platforms", "cpu")
+    # one native-trace thread per worker: the pool already occupies the cores
+    import os as _os
+    _os.environ.setdefault("HIPSTR_TRACE_THREADS", "1")
 
     from ..pipeline.processor import (GenotyperPipeline, Logger,
                                       PipelineOptions)

@@ -1099,3 +1099,35 @@ extern "C" int32_t hmm_trace_batch(
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Batched trace stitching: N independent read->reference merges in ONE call
+// (same per-job semantics as stitch_trace; reference
+// AlignmentTraceback.cpp:55-144).  Outputs land in caller-allocated pools
+// with a shared per-job stride >= hap_len[i] + read_len[i] + 2; out_rc[i]
+// != 0 marks a job the caller must re-run through its fallback.
+
+extern "C" int32_t stitch_trace_batch(
+    int32_t n,
+    const void* const* hap_alns, const int32_t* hap_lens,
+    const void* const* read_alns, const int32_t* read_lens,
+    const int64_t* hap_starts, const int32_t* hap_indices,
+    const int32_t* seed_bases,
+    const void* const* bases_ptrs, const int32_t* bases_lens,
+    int32_t stride,
+    int64_t* out_start, int64_t* out_stop,
+    char* cigar_ops_pool, int32_t* cigar_num_pool, int32_t* n_cigar,
+    char* aln_pool, int32_t* aln_len, int32_t* out_rc) {
+  for (int32_t i = 0; i < n; ++i) {
+    const int64_t off = (int64_t)i * stride;
+    out_rc[i] = stitch_trace(
+        (const char*)hap_alns[i], hap_lens[i],
+        (const char*)read_alns[i], read_lens[i],
+        hap_starts[i], hap_indices[i], seed_bases[i],
+        (const char*)bases_ptrs[i], bases_lens[i],
+        out_start + i, out_stop + i,
+        cigar_ops_pool + off, cigar_num_pool + off, n_cigar + i,
+        aln_pool + off, aln_len + i);
+  }
+  return 0;
+}
