@@ -267,6 +267,54 @@ class Haplotype:
     def homopolymer_length(self, h: int, block_index: int, base_index: int) -> int:
         return self.homopolymer_length_digits(self.digits(h), block_index, base_index)
 
+    def homopolymer_array(self, digits, block_index: int) -> np.ndarray:
+        """Vectorized homopolymer_length_digits over every base of one
+        block (cached per (digits, block) — the hot consumers, device
+        packing and native-trace metadata, need the whole column).
+
+        Semantics per element match homopolymer_length_digits: the block's
+        precomputed left/right run arrays plus cross-block extension at the
+        (few) positions whose run reaches a block edge."""
+        cache = getattr(self, "_homop_arr_cache", None)
+        if cache is None:
+            cache = self._homop_arr_cache = {}
+        key = (tuple(digits), block_index)
+        out = cache.get(key)
+        if out is not None:
+            return out
+        block = self.blocks[block_index]
+        d = digits[block_index]
+        seq = block.get_seq(d)
+        n = len(seq)
+        if n == 0:
+            out = cache[key] = np.zeros(0, dtype=np.int64)
+            return out
+        llen = block._lhomop[d]
+        rlen = block._rhomop[d]
+        out = llen + rlen + 1
+        idx = np.arange(n)
+        for i in np.nonzero(idx == llen)[0]:
+            out[i] += self._left_homopolymer_len(digits, seq[i],
+                                                 block_index - 1)
+        for i in np.nonzero(idx + rlen == n - 1)[0]:
+            out[i] += self._right_homopolymer_len(digits, seq[i],
+                                                  block_index + 1)
+        cache[key] = out
+        return out
+
+    def reversed_view(self) -> "Haplotype":
+        """reverse(), cached.  Invalidated when a repeat block's stutter
+        model object is swapped (recompute_stutter_models mutates it in
+        place on the original blocks)."""
+        key = tuple(id(b.repeat_info.stutter_model) if b.repeat_info else None
+                    for b in self.blocks)
+        cached = getattr(self, "_rev_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        rev = self.reverse()
+        self._rev_cache = (key, rev)
+        return rev
+
     def homopolymer_length_digits(self, digits, block_index: int, base_index: int) -> int:
         block = self.blocks[block_index]
         seq = block.get_seq(digits[block_index])

@@ -277,7 +277,7 @@ class HaplotypeInstance:
 
     def __init__(self, haplotype: Haplotype, h: int, reverse: bool):
         self.reversed = reverse
-        src = haplotype.reverse() if reverse else haplotype
+        src = haplotype.reversed_view() if reverse else haplotype
         digits = (haplotype.reversed_digits(h) if reverse else haplotype.digits(h))
         self._src = src
         self._digits = digits
@@ -304,10 +304,9 @@ class HaplotypeInstance:
             tables = self._homop_tables = {}
         tbl = tables.get(block_index)
         if tbl is None:
-            n = len(self.blocks[block_index].seq)
-            hl = [self.homopolymer_length(block_index, c) for c in range(n)]
-            tbl = [min(MAX_HOMOP_LEN, max(hl[c], hl[max(0, c - 1)]))
-                   for c in range(n)]
+            hl = self._src.homopolymer_array(self._digits, block_index)
+            prev = np.concatenate([hl[:1], hl[:-1]]) if hl.size else hl
+            tbl = np.minimum(MAX_HOMOP_LEN, np.maximum(hl, prev)).tolist()
             tables[block_index] = tbl
         return tbl
 
@@ -420,11 +419,7 @@ class HaplotypeInstance:
                         row_kind[r] = 2
                     else:
                         row_kind[r] = 1
-                        row_homop[r] = min(
-                            MAX_HOMOP_LEN,
-                            max(self.homopolymer_length(block_index, coord),
-                                self.homopolymer_length(block_index,
-                                                        max(0, coord - 1))))
+                        row_homop[r] = self.homop_table(block_index)[coord]
                     coord += 1
                     hap_index += 1
         assert hap_index == H

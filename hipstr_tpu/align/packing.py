@@ -112,13 +112,12 @@ def _pack_orientation(src: Haplotype, digit_rows: List[List[int]],
             ck = (key_all, b)
             raw = homop_cache.get(ck)
             if raw is None:
-                # one pass per (digit-tuple, block): each position's run
-                # length is shared by its own row AND the next row's
-                # max(h[c], h[c-1]) lookup
-                raw = [src.homopolymer_length_digits(digits, b, i)
-                       for i in range(len(seq))]
+                # one vectorized pass per (digit-tuple, block): each
+                # position's run length is shared by its own row AND the
+                # next row's max(h[c], h[c-1]) lookup
+                raw = src.homopolymer_array(digits, b)
                 homop_cache[ck] = raw
-            hp = min(MAX_HOMOP_LEN, max(raw[c], raw[max(0, c - 1)]))
+            hp = min(MAX_HOMOP_LEN, int(max(raw[c], raw[c - 1 if c else 0])))
             row_m2m[h, r] = LOG_MATCH_TO_MATCH[hp]
             row_m2i[h, r] = LOG_MATCH_TO_INS[hp]
             row_m2d[h, r] = LOG_MATCH_TO_DEL[hp]
@@ -175,7 +174,7 @@ def pack_haplotypes(haplotype: Haplotype, L: int) -> PackedHaplotypes:
             if len(s) + D >= 0:
                 lpmf[o, d] = rinfo.log_prob_pcr_artifact(o, int(D))
 
-    rev_hap = haplotype.reverse()
+    rev_hap = haplotype.reversed_view()
     fw = _pack_orientation(haplotype, digit_rows, fw_struct, L,
                            fw_codes, rep_len, lpmf, hap_opt, art_sizes)
     rev = _pack_orientation(rev_hap, rev_digit_rows, rev_struct, L,

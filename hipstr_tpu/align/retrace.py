@@ -282,13 +282,12 @@ class HapAlignInfo:
     def __init__(self, haplotype: Haplotype):
         self.haplotype = haplotype
         self._cache: Dict[int, str] = {}
+        self._bytes_cache: Dict[int, bytes] = {}
         self._ref_seq = haplotype.seq(0)
 
     def aln_info_bytes(self, h: int) -> bytes:
         """aln_info(h) pre-encoded for the native batched stitch (cached)."""
-        cache = getattr(self, "_bytes_cache", None)
-        if cache is None:
-            cache = self._bytes_cache = {}
+        cache = self._bytes_cache
         b = cache.get(h)
         if b is None:
             b = cache[h] = self.aln_info(h).encode("latin1")
@@ -431,7 +430,13 @@ def trace_threads() -> int:
             return max(1, int(v))
         except ValueError:
             pass
-    return min(4, os.cpu_count() or 1)
+    # honor CPU affinity / cgroup quotas where exposed (a containerized or
+    # taskset-restricted run sees fewer usable cores than os.cpu_count())
+    try:
+        n_cores = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        n_cores = os.cpu_count() or 1
+    return min(4, n_cores)
 
 
 def trace_batch(haplotype: Haplotype, jobs, hap_info: HapAlignInfo,
@@ -498,9 +503,14 @@ def _stitch_deferred(haplotype: Haplotype, hap_info: HapAlignInfo,
     for (trace, h, read_aln, max_index, seed_base, aln), res in zip(
             sink, results if results is not None else [None] * len(sink)):
         if res is None:
+            # the batch entry already rejected this job; skip the identical
+            # single-call native retry and go straight to the Python path
+            # (which asserts on genuinely invalid op pairings, matching the
+            # reference's assertion behavior)
             trace.traced_aln = stitch_alignment_trace(
                 hap_start, hap_info.aln_info(h), read_aln, max_index,
-                seed_base, aln)
+                seed_base, aln,
+                try_native=results is None)
         else:
             start, stop, cig_ops, cig_num, aligned = res
             new_aln = Alignment(start, stop, False, "TRACE",

@@ -116,17 +116,22 @@ def _stitch(hap_aln: str, read_aln: str, h_index: int, r_index: int,
 
 def stitch_alignment_trace(hap_start: int, hap_aln_to_ref: str,
                            read_aln_to_hap: str, hap_index: int,
-                           seed_base: int, orig_aln: Alignment) -> Alignment:
+                           seed_base: int, orig_aln: Alignment,
+                           try_native: bool = True) -> Alignment:
     """Read->haplotype + haplotype->reference => read->reference Alignment.
 
     Literal port of stitch_alignment_trace
-    (reference: AlignmentTraceback.cpp:55-144).
+    (reference: AlignmentTraceback.cpp:55-144).  An invalid op pairing
+    raises AssertionError from the pure-Python path, matching the
+    reference's assertion behavior; callers that already saw the native
+    side reject the same job pass try_native=False to skip the retry.
     """
     # one-call native path: index walks, both stitches, soft-clip
     # conversion, CIGAR RLE and aligned-string assembly all in C
     from ..native import stitch_trace_native
-    res = stitch_trace_native(hap_aln_to_ref, read_aln_to_hap, hap_start,
-                              hap_index, seed_base, orig_aln.sequence)
+    res = (stitch_trace_native(hap_aln_to_ref, read_aln_to_hap, hap_start,
+                               hap_index, seed_base, orig_aln.sequence)
+           if try_native else None)
     if res is not None:
         start, stop, cig_ops, cig_num, aligned = res
         new_aln = Alignment(start, stop, False, "TRACE",

@@ -380,8 +380,10 @@ def stitch_trace_batch_native(jobs):
             out.append(None)
             continue
         nc = int(n_cig[i])
+        # copy: cig_num[i, :nc] is a view into the shared (n, stride) pool;
+        # a caller holding one result must not pin (or alias) the whole pool
         out.append((int(out_start[i]), int(out_stop[i]),
-                    cig_ops[i, :nc].tobytes(), cig_num[i, :nc],
+                    cig_ops[i, :nc].tobytes(), cig_num[i, :nc].copy(),
                     aln_pool[i, :aln_len[i]].tobytes().decode("latin1")))
     return out
 
