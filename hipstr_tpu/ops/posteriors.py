@@ -102,6 +102,13 @@ def batched_pool_posteriors(jnp, LL, pm, Sm: int, dtype):
 
     G, P, H = LL.shape
     LL = LL.astype(dtype)
+    cols = pm.get("col_index")
+    if cols is not None:
+        # speculative dispatches align a superset haplotype; gather the
+        # columns that belong to the genotyper's current alleles so the
+        # posterior math (and its priors) sees exactly those
+        LL = jnp.take_along_axis(LL, cols.astype(jnp.int32)[:, None, :],
+                                 axis=2)
     pool_row = pm["pool_row"].astype(jnp.int32)
     LLr = jnp.take_along_axis(LL, pool_row[:, :, None], axis=1)  # [G, R, H]
     LLr = jnp.where(pm["read_ok"][:, :, None], LLr, 0.0)

@@ -294,7 +294,7 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
         with pipeline.timer.time("Locus packing"):
             seqs, quals, seeds = g.pool_inputs()
             item.arrays, item.statics = prepare_locus(
-                g.haplotype, seqs, quals, seeds, opts.dtype,
+                g.align_haplotype(), seqs, quals, seeds, opts.dtype,
                 post_meta=maybe_post_meta(g),
                 read_cache=g.__dict__.setdefault("_read_pack_cache", {}))
         return True
@@ -318,7 +318,10 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                     post = tot = None
                     if post_all is not None:
                         S = item.genotyper.num_samples
-                        post = post_all[gi, :S, :H_real, :H_real]
+                        # the fused posterior gathers the CURRENT alleles'
+                        # columns out of a (possibly speculative) dispatch
+                        A = item.genotyper.num_alleles
+                        post = post_all[gi, :S, :A, :A]
                         tot = tot_all[gi, :S]
                     try:
                         if advance(item, LL, post, tot):
@@ -347,7 +350,7 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                 settle(order)
                 return
             arrays, statics = prepare_locus(
-                g.haplotype, seqs, quals, seeds, opts.dtype,
+                g.align_haplotype(), seqs, quals, seeds, opts.dtype,
                 post_meta=maybe_post_meta(g),
                 read_cache=g.__dict__.setdefault("_read_pack_cache", {}))
         prepared.append(

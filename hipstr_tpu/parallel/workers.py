@@ -141,7 +141,7 @@ def _worker_main(conn, spec: dict) -> None:
                 conn.send(("settled", idx, None, None))
                 return
             arrays, statics = prepare_locus(
-                g.haplotype, seqs, quals, seeds, dtype,
+                g.align_haplotype(), seqs, quals, seeds, dtype,
                 post_meta=g.posterior_meta() if device_post else None,
                 read_cache=g.__dict__.setdefault("_read_pack_cache", {}))
         items[idx] = (region, g, None)
@@ -202,7 +202,7 @@ def _worker_main(conn, spec: dict) -> None:
             with pipeline.timer.time("Locus packing"):
                 seqs, quals, seeds = g.pool_inputs()
                 arrays, statics = prepare_locus(
-                    g.haplotype, seqs, quals, seeds, dtype,
+                    g.align_haplotype(), seqs, quals, seeds, dtype,
                     post_meta=g.posterior_meta() if device_post else None,
                     read_cache=g.__dict__.setdefault("_read_pack_cache", {}))
             conn.send(("ready", idx, arrays, statics))

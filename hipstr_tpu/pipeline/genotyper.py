@@ -20,6 +20,7 @@ src/seq_stutter_genotyper.{h,cpp}), re-architected for TPU execution:
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -43,6 +44,14 @@ MIN_SEED_DIST = 5
 TOLERANCE = 1e-10
 STRAND_TOLERANCE = 0.1
 MAX_FLANK_INDEL_FRAC = 0.15
+
+# speculative stutter-allele alignment (see _build_speculative_haplotype)
+MAX_SPEC_OPTIONS = 8
+MAX_SPEC_COMBS = 512
+
+
+def speculation_enabled() -> bool:
+    return os.environ.get("HIPSTR_TPU_SPECULATE", "1") != "0"
 
 
 def order_key(seq: str):
@@ -191,6 +200,9 @@ class SeqStutterGenotyper:
             prev_name = aln.name
 
         self.call_sample = [""] * self.num_samples
+        self._pool_logq_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._spec_hap: Optional[Haplotype] = None
+        self._spec_LL: Optional[np.ndarray] = None
         self.haplotype: Optional[Haplotype] = None
         self.hap_info: Optional[HapAlignInfo] = None
         self.trace_cache: Dict[Tuple[int, int], AlignmentTrace] = {}
@@ -263,13 +275,128 @@ class SeqStutterGenotyper:
                 [pooled[p].base_qualities for p in valid],
                 [int(self.pool_seeds[p]) for p in valid])
 
+    # ------------------------------------------------- speculative alignment
+    def _build_speculative_haplotype(self) -> None:
+        """Speculatively include likely stutter-candidate repeat alleles in
+        the FIRST alignment dispatch.
+
+        The adaptive loop's first realignment round almost always exists to
+        add the stutter-artifact alleles the miner finds in the ML traces
+        (get_stutter_candidate_alleles; reference:
+        src/seq_stutter_genotyper.cpp:570-601, 843-879).  Those candidates
+        are read sequences over the repeat block, so they can be predicted
+        from the raw spanning alignments before any alignment runs: align
+        the superset once, and when the mined set is contained in it, gather
+        the new haplotype's likelihood columns on host instead of paying a
+        second device round.  Exactness is preserved — posteriors and
+        mining decisions only ever see the CURRENT haplotype's columns, the
+        per-(pool, haplotype) kernel math is independent of which other
+        columns share the dispatch, and a mined allele outside the
+        speculative set falls back to a realignment dispatch."""
+        self._spec_hap = None
+        self._spec_LL = None
+        if not speculation_enabled() or self.ref_vcf_alleles is not None:
+            return
+        from ..align.hap_generator import HaplotypeGenerator
+        blocks = self.haplotype.blocks
+        spec_blocks = list(blocks)
+        added_any = False
+        for bi, block in enumerate(blocks):
+            if not block.is_repeat:
+                continue
+            period = block.repeat_info.period
+            max_art = 6 * period
+            lens = {len(s) for s in block.seqs}
+            counts: List[Dict[str, int]] = [dict()
+                                            for _ in range(self.num_samples)]
+            span = np.zeros(self.num_samples, dtype=np.int64)
+            for i, aln in enumerate(self.alns):
+                if aln.start < block.start and aln.stop > block.end:
+                    seq = HaplotypeGenerator.extract_sequence(
+                        aln, block.start, block.end)
+                    if seq:
+                        s = self.sample_label[i]
+                        counts[s][seq] = counts[s].get(seq, 0) + 1
+                        span[s] += 1
+            cands = set()
+            for s in range(self.num_samples):
+                for seq, cnt in counts[s].items():
+                    # mirror the miner's >=2 reads & >=15% thresholds with
+                    # margin (0.10): a looser filter only costs device
+                    # padding, a tighter one only costs a fallback round
+                    if cnt < 2 or cnt < 0.10 * span[s] or block.contains(seq):
+                        continue
+                    if any(abs(len(seq) - L) <= max_art
+                           and (len(seq) - L) % period == 0 for L in lens):
+                        cands.add(seq)
+            cand_list = sorted(cands, key=order_key)[:MAX_SPEC_OPTIONS]
+            if cand_list:
+                nb = block.remove_alleles([])
+                for seq in cand_list:
+                    nb.add_alternate(seq)
+                spec_blocks[bi] = nb
+                added_any = True
+        if not added_any:
+            return
+        spec = Haplotype(spec_blocks)
+        if spec.num_combs > MAX_SPEC_COMBS:
+            return
+        self._spec_hap = spec
+
+    def align_haplotype(self) -> Haplotype:
+        """The haplotype the device aligns against: the speculative superset
+        while active, else the current haplotype."""
+        return self._spec_hap if self._spec_hap is not None else self.haplotype
+
+    def _spec_cols(self) -> Optional[np.ndarray]:
+        """Column of each current-haplotype combination inside the
+        speculative LL matrix; None when some block option is absent."""
+        spec = self._spec_hap
+        maps = []
+        for b_cur, b_spec in zip(self.haplotype.blocks, spec.blocks):
+            m: Dict[str, int] = {}
+            for d, seq in enumerate(b_spec.seqs):
+                m.setdefault(seq, d)
+            row = []
+            for seq in b_cur.seqs:
+                d = m.get(seq)
+                if d is None:
+                    return None
+                row.append(d)
+            maps.append(row)
+        cols = np.empty(self.num_alleles, dtype=np.int64)
+        for h in range(self.num_alleles):
+            digits = self.haplotype.digits(h)
+            cols[h] = spec.hap_index_for_options(
+                [maps[b][d] for b, d in enumerate(digits)])
+        return cols
+
+    def device_col_index(self) -> np.ndarray:
+        """Columns of the dispatched LL matrix holding the current
+        haplotype (identity without speculation); consumed by the fused
+        device posterior kernel."""
+        if self._spec_hap is not None:
+            cols = self._spec_cols()
+            if cols is not None:
+                return cols.astype(np.int32)
+        return np.arange(self.num_alleles, dtype=np.int32)
+
     def set_pool_lls(self, LL: np.ndarray) -> None:
-        """Install externally computed [valid_pools, A] log-likelihoods and
-        expand them to reads (mate pairs combined)."""
+        """Install externally computed [valid_pools, A] log-likelihoods
+        (columns of align_haplotype()) and expand them to reads (mate pairs
+        combined)."""
         valid = self.valid_pools()
-        self.pool_LLs = np.zeros((self.pooler.num_pools(), self.num_alleles))
+        H = self.align_haplotype().num_combs
+        full = np.zeros((self.pooler.num_pools(), H))
         for row, p in enumerate(valid):
-            self.pool_LLs[p] = LL[row]
+            full[p] = LL[row]
+        if self._spec_hap is not None:
+            self._spec_LL = full
+            cols = self._spec_cols()
+            assert cols is not None, "speculative haplotype lost a column"
+            self.pool_LLs = full[:, cols]
+        else:
+            self.pool_LLs = full
         self._expand_pool_lls()
 
     def _expand_pool_lls(self) -> None:
@@ -288,12 +415,13 @@ class SeqStutterGenotyper:
         """Batched device alignment of every pool against every haplotype,
         then mate-pair combination (reference calc_hap_aln_probs,
         seq_stutter_genotyper.cpp:519-568)."""
+        hap = self.align_haplotype()
         seqs, quals, seeds = self.pool_inputs()
         if seqs:
-            LL = compute_hap_log_likelihoods(self.haplotype, seqs, quals,
+            LL = compute_hap_log_likelihoods(hap, seqs, quals,
                                              seeds, dtype=self.dtype)
         else:
-            LL = np.zeros((0, self.num_alleles))
+            LL = np.zeros((0, hap.num_combs))
         self.set_pool_lls(LL)
 
     def calc_log_sample_posteriors(self) -> float:
@@ -309,10 +437,11 @@ class SeqStutterGenotyper:
         phasing priors and sample segments (reference inner loop:
         src/genotyper.cpp:44-80 plus the mate summing of
         seq_stutter_genotyper.cpp:530-564).  The read/pool/mate structure
-        is fixed after init, so the dict is computed once and cached."""
+        is fixed after init, so the dict is computed once and cached; only
+        the speculative column map (col_index) is refreshed per call."""
         cached = getattr(self, "_post_meta", None)
         if cached is not None:
-            return cached
+            return dict(cached, col_index=self.device_col_index())
         R = self.num_reads
         mate_index = np.arange(R, dtype=np.int32)
         has_mate = np.zeros(R, dtype=bool)
@@ -342,7 +471,7 @@ class SeqStutterGenotyper:
             num_samples=self.num_samples,
             haploid=self.haploid,
         )
-        return self._post_meta
+        return dict(self._post_meta, col_index=self.device_col_index())
 
     def install_posteriors(self, log_post: np.ndarray,
                            sample_total_LLs: np.ndarray) -> None:
@@ -359,13 +488,23 @@ class SeqStutterGenotyper:
         return best // A, best % A
 
     # ------------------------------------------------------------- traces
+    def _pool_logq(self, pool_idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(log_error, log_correct) arrays for one pool's qualities; the
+        pooled quality strings are fixed after pool(), so cache them."""
+        got = self._pool_logq_cache.get(pool_idx)
+        if got is None:
+            quals = self.pooler.pooled_alns[pool_idx].base_qualities
+            got = (self.base_quality.quals_to_log_error(quals),
+                   self.base_quality.quals_to_log_correct(quals))
+            self._pool_logq_cache[pool_idx] = got
+        return got
+
     def _trace_for(self, read_index: int, best_hap: int) -> AlignmentTrace:
         key = (int(self.pool_index[read_index]), int(best_hap))
         trace = self.trace_cache.get(key)
         if trace is None:
             pooled = self.pooler.pooled_alns[key[0]]
-            blw = self.base_quality.quals_to_log_error(pooled.base_qualities)
-            blc = self.base_quality.quals_to_log_correct(pooled.base_qualities)
+            blw, blc = self._pool_logq(key[0])
             _, trace = trace_optimal_aln(
                 self.haplotype, best_hap, pooled,
                 int(self.seed_positions[read_index]), blw, blc, self.hap_info)
@@ -402,10 +541,7 @@ class SeqStutterGenotyper:
             jobs = []
             for i, key in missing:
                 pooled = self.pooler.pooled_alns[key[0]]
-                blw = self.base_quality.quals_to_log_error(
-                    pooled.base_qualities)
-                blc = self.base_quality.quals_to_log_correct(
-                    pooled.base_qualities)
+                blw, blc = self._pool_logq(key[0])
                 jobs.append((key[1], pooled, int(self.seed_positions[i]),
                              blw, blc))
             results = trace_batch(self.haplotype, jobs, self.hap_info)
@@ -478,6 +614,18 @@ class SeqStutterGenotyper:
             self.pool_LLs = self.pool_LLs[:, old_cols]
             self._expand_pool_lls()
             return False
+        if self._spec_hap is not None and self._spec_LL is not None:
+            # additions already aligned speculatively: gather the new
+            # haplotype's columns instead of dispatching a realignment
+            cols = self._spec_cols()
+            if cols is not None:
+                self.pool_LLs = self._spec_LL[:, cols]
+                self._expand_pool_lls()
+                return False
+            # an added allele (e.g. an assembled flank) is outside the
+            # speculative set — realign against the exact haplotype
+            self._spec_hap = None
+            self._spec_LL = None
         return True
 
     def remove_alleles(self, allele_indices: List[List[int]]) -> None:
@@ -699,6 +847,7 @@ class SeqStutterGenotyper:
 
         self.pooler.pool(self.base_quality)
         self._compute_seeds()
+        self._build_speculative_haplotype()
         return True
 
     def genotype_finish(self, max_total_haplotypes: int = 1000,

