@@ -306,30 +306,137 @@ class SeqStutterGenotyper:
                 continue
             period = block.repeat_info.period
             max_art = 6 * period
-            lens = {len(s) for s in block.seqs}
-            counts: List[Dict[str, int]] = [dict()
-                                            for _ in range(self.num_samples)]
+            ref_len = len(block.get_seq(0))
+
+            # observed artifact sizes: net CIGAR bp-diff near the repeat
+            # (the EM trains on the same signal, extract_cigar_bp_diff /
+            # reference ExtractCigar, src/extract_indels.cpp:18-101); raw
+            # block extraction misses indels that NW left-alignment slid
+            # into the flank, the bp-diff does not
+            from ..align.alignment_data import extract_cigar_bp_diff
+            lo = block.start - period - 8
+            hi = block.end + period + 8
+            # periodic extension template of the reference option, padded so
+            # insertions up to +max_art can be matched
+            ref_opt = block.get_seq(0)
+            tmpl = list(ref_opt)
+            for _ in range(max_art + period):
+                tmpl.append(tmpl[-period])
+            tmpl = "".join(tmpl)
+
+            def read_index_at(aln, ref_pos: int):
+                """Read index aligned to ref_pos (None if not covered by a
+                match/mismatch), walking the left-aligned CIGAR."""
+                pos = aln.start
+                ridx = 0
+                for el in aln.cigar:
+                    if el.type in "=XM":
+                        if pos <= ref_pos < pos + el.num:
+                            return ridx + (ref_pos - pos)
+                        pos += el.num
+                        ridx += el.num
+                    elif el.type == "I":
+                        ridx += el.num
+                    elif el.type == "D":
+                        if pos <= ref_pos < pos + el.num:
+                            return None
+                        pos += el.num
+                return None
+
+            diff_counts: List[Dict[int, int]] = [dict()
+                                                 for _ in range(self.num_samples)]
+            seq_counts: List[Dict[str, int]] = [dict()
+                                                for _ in range(self.num_samples)]
             span = np.zeros(self.num_samples, dtype=np.int64)
             for i, aln in enumerate(self.alns):
-                if aln.start < block.start and aln.stop > block.end:
-                    seq = HaplotypeGenerator.extract_sequence(
-                        aln, block.start, block.end)
-                    if seq:
-                        s = self.sample_label[i]
-                        counts[s][seq] = counts[s].get(seq, 0) + 1
-                        span[s] += 1
-            cands = set()
+                if not (aln.start < block.start and aln.stop > block.end):
+                    continue
+                s = self.sample_label[i]
+                span[s] += 1
+                diff = extract_cigar_bp_diff(aln.cigar, aln.start, lo, hi)
+                if diff is not None and diff != 0:
+                    diff_counts[s][diff] = diff_counts[s].get(diff, 0) + 1
+                # the read's maximal periodic run from the block anchor:
+                # stutter artifacts that NW realignment rendered as mismatch
+                # runs (not CIGAR indels) still shorten/lengthen this run,
+                # and its content is exactly the ML trace's STR sequence on
+                # a (mostly) pure repeat
+                anchor = read_index_at(aln, block.start)
+                if anchor is not None:
+                    seq_b = aln.sequence
+                    k = 0
+                    mism = 0
+                    limit = min(len(seq_b) - anchor, len(tmpl))
+                    while k < limit:
+                        if seq_b[anchor + k] == tmpl[k]:
+                            k += 1
+                            continue
+                        # tolerate an isolated in-repeat SNP when the
+                        # periodic phase resumes right after it (the ML
+                        # trace keeps such reads in the repeat block)
+                        la = min(period, limit - (k + 1))
+                        if mism < 2 and la >= 1 and all(
+                                seq_b[anchor + k + 1 + j] == tmpl[k + 1 + j]
+                                for j in range(la)):
+                            mism += 1
+                            k += 1
+                            continue
+                        break
+                    if k >= period and k < len(seq_b) - anchor:
+                        # the run may over-extend into flank bases that
+                        # accidentally continue the period; per option, the
+                        # candidate is the largest stutter-consistent
+                        # truncation (left-aligned artifacts make the ML
+                        # trace's STR sequence the maximal such run)
+                        for opt in block.seqs:
+                            Lo = len(opt)
+                            Lp = k - ((k - Lo) % period)
+                            if (Lp >= period and Lp != Lo
+                                    and abs(Lp - Lo) <= max_art):
+                                run = seq_b[anchor:anchor + Lp]
+                                seq_counts[s][run] = \
+                                    seq_counts[s].get(run, 0) + 1
+
+            def periodic_variants(opt: str, delta: int) -> List[str]:
+                """Stutter variants of one option: delta bp removed from
+                either end, or appended/prepended following the period
+                (the trace's left-aligned artifact on a perfect repeat)."""
+                if delta < 0:
+                    if len(opt) + delta <= 0:
+                        return []
+                    return [opt[-delta:], opt[:len(opt) + delta]]
+                ext = list(opt)
+                for _ in range(delta):
+                    ext.append(ext[-period])
+                front = list(opt)
+                for _ in range(delta):
+                    front.insert(0, front[period - 1])
+                return ["".join(ext), "".join(front)]
+
+            support: Dict[str, int] = {}
             for s in range(self.num_samples):
-                for seq, cnt in counts[s].items():
-                    # mirror the miner's >=2 reads & >=15% thresholds with
-                    # margin (0.10): a looser filter only costs device
-                    # padding, a tighter one only costs a fallback round
+                for diff, cnt in diff_counts[s].items():
+                    if diff == 0 or cnt < 2 or cnt < 0.10 * span[s]:
+                        continue
+                    target_len = ref_len + diff
+                    for opt in block.seqs:
+                        delta = target_len - len(opt)
+                        if (delta == 0 or delta % period != 0
+                                or abs(delta) > max_art):
+                            continue
+                        for cand in periodic_variants(opt, delta):
+                            if cand and not block.contains(cand):
+                                support[cand] = support.get(cand, 0) + cnt
+                for seq, cnt in seq_counts[s].items():
                     if cnt < 2 or cnt < 0.10 * span[s] or block.contains(seq):
                         continue
-                    if any(abs(len(seq) - L) <= max_art
-                           and (len(seq) - L) % period == 0 for L in lens):
-                        cands.add(seq)
-            cand_list = sorted(cands, key=order_key)[:MAX_SPEC_OPTIONS]
+                    if any(abs(len(seq) - len(o)) <= max_art
+                           and (len(seq) - len(o)) % period == 0
+                           and len(seq) != len(o) for o in block.seqs):
+                        support[seq] = support.get(seq, 0) + cnt
+            cand_list = sorted(support, key=lambda q: (-support[q],
+                                                       order_key(q)))
+            cand_list = sorted(cand_list[:MAX_SPEC_OPTIONS], key=order_key)
             if cand_list:
                 nb = block.remove_alleles([])
                 for seq in cand_list:
