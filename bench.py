@@ -122,15 +122,20 @@ def _bench_kernel(n_samples, reads_per_sample, batch):
     seqs, quals, seeds = g.pool_inputs()
     arrays, statics = prepare_locus(g.haplotype, seqs, quals, seeds,
                                     "float32", post_meta=g.posterior_meta())
+    from hipstr_tpu.parallel.executor import runtime_period
     stacked = jax.tree.map(lambda x: np.stack([x] * batch), arrays)
-    run = _jitted_batch(*statics[:5], "float32", statics[7])
-    res = run(*stacked)
+    period_arg = 0 if runtime_period() else statics[4]
+    run = _jitted_batch(*statics[:4], period_arg, "float32", statics[7])
+    h_real = np.full(batch, statics[6], np.int32)
+    periods = np.full(batch, statics[4], np.int32)
+    args = list(stacked[:7]) + [h_real, periods] + list(stacked[7:])
+    res = run(*args)
     first = res[0] if isinstance(res, tuple) else res
     np.asarray(first)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        res = run(*stacked)
+        res = run(*args)
         np.asarray(res[0] if isinstance(res, tuple) else res)
         best = min(best, time.perf_counter() - t0)
     leaves = jax.tree.leaves(arrays)

@@ -60,17 +60,20 @@ def _unrolled_loop(jaxlib, lo, hi, body, unroll):
 
 
 def _emission_kernel(codes_ref, blw_ref, blc_ref,
-                     brev_ref, blen_ref,
+                     brev_ref, blen_ref, per_ref,
                      E_ref,
                      e0_s, pref0_s, run6_s, tot6_s, mx6_s, sm6_s, cum6_s,
-                     star6_s,
-                     *, Bmax, period, max_units, P, L, dtype, unroll=1):
+                     star6_s, e0sh_s,
+                     *, Bmax, max_units, P, L, dtype, unroll=1):
     g = pl.program_id(0)
     o = pl.program_id(1)
     codes = codes_ref[0]
     blw = blw_ref[0]
     blc = blc_ref[0]
     blen = blen_ref[g, o]
+    # the repeat period is per-locus runtime data so ONE compiled kernel
+    # serves every period in a mixed dispatch (dispatch consolidation)
+    period = per_ref[g]
     nd = max_units
     j_ids = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
     zeros = jnp.zeros((P, L), dtype)
@@ -164,25 +167,31 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
 
     # ---- pass 3: insertions ----------------------------------------------
     # inserted-base scores with periodic extension; plain log-correct when
-    # the periodic index falls outside the block.  max_ins is small and
-    # static (6 * period); the captures at t + 1 == kps[k] use static rolls.
+    # the periodic index falls outside the block.  The capture shears of E0
+    # by each kps[k] are loop-invariant: hoist them into scratch (built by
+    # composing shears of `period`, since shear(shear(x,a),b)=shear(x,a+b)).
     pref0_s[:] = zeros                      # reused as the insertion cumsum
+    cur = dyn_shear(e0_s[:], period)
+    e0sh_s[0] = cur
+    for k in range(1, nd):
+        cur = dyn_shear(cur, period)
+        e0sh_s[k] = cur
 
     def body3(t):
-        cm = t % period
+        cm = jax.lax.rem(t, period)
         ch = brev_ref[g, o, cm]
         Sk = jnp.where(codes == ch, blc, blw)
         pair = jnp.where(cm < blen, Sk, blc)
+        # overrun steps of the unrolled loop (t >= max_ins) must be no-ops
+        pair = jnp.where(t < max_ins, pair, zeros)
         pref0_s[:] = pref0_s[:] + dyn_shear(pair, t)
         for k in range(nd):
-            start = pref0_s[:] + dyn_shear(e0_s[:], kps[k])
+            start = pref0_s[:] + e0sh_s[k]
             cum6_s[k] = jnp.where(t + 1 == kps[k], start, cum6_s[k])
 
     for k in range(nd):
         cum6_s[k] = zeros
-    # static trip count: max_ins = 6 * period
-    for t in range(0, max_ins):
-        body3(t)
+    _unrolled_loop(jax, 0, max_ins, body3, unroll)
 
     # position sweep: cum[k, p] evaluated online with the P*-clamp
     for k in range(nd):
@@ -204,14 +213,17 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
                         + jnp.exp(contrib - new_max))
             mx6_s[k] = new_max
         # accumulate deltas: cum[k] += sum_{m<=k} G[m, q=p] where G[m] is
-        # the (frozen-masked) score delta rolled by kps[m]
+        # the (frozen-masked) score delta rolled by kps[m]; the per-m shears
+        # compose incrementally from shears of `period`
         q = p
         diff = col_S(q + period) - col_S(q)
         diff = jnp.where(q + period >= blen, zeros, diff)
         base = dyn_shear(diff, q)
         run = zeros
+        cur = base
         for m in range(nd):
-            run = run + dyn_shear(base, kps[m])
+            cur = dyn_shear(cur, period)
+            run = run + cur
             cum6_s[m] = cum6_s[m] + run
 
     _unrolled_loop(jax, 0, blen + 1, body4, unroll)
@@ -233,17 +245,24 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
 
 def stutter_emissions_pallas(codes, blw, blc, brev, blen, period,
                              max_units=6, dtype=jnp.float32,
-                             interpret=False, unroll=None):
+                             interpret=False, unroll=None, periods=None):
     """E [G, O, nD, P, L] for a batch: codes [G,P,L] int32, blw/blc [G,P,L],
-    brev [G,O,Bmax] int32, blen [G,O] int32."""
+    brev [G,O,Bmax] int32, blen [G,O] int32.
+
+    The repeat period is runtime data: pass `periods` [G] int32 for a
+    mixed-period batch (one compiled kernel serves them all); the scalar
+    `period` fallback broadcasts."""
     G, P, L = codes.shape
     O, Bmax = brev.shape[1], brev.shape[2]
     nD = 2 * max_units + 1
+    if periods is None:
+        periods = jnp.full((G,), period, jnp.int32)
+    periods = periods.astype(jnp.int32)
 
     if unroll is None:
         import os
         unroll = int(os.environ.get("HIPSTR_TPU_E_UNROLL", "4"))
-    kernel = functools.partial(_emission_kernel, Bmax=Bmax, period=period,
+    kernel = functools.partial(_emission_kernel, Bmax=Bmax,
                                max_units=max_units, P=P, L=L, dtype=dtype,
                                unroll=unroll)
     pool_spec = pl.BlockSpec((1, P, L), lambda g, o: (g, 0, 0),
@@ -253,7 +272,8 @@ def stutter_emissions_pallas(codes, blw, blc, brev, blen, period,
     E = pl.pallas_call(
         kernel,
         grid=(G, O),
-        in_specs=[pool_spec, pool_spec, pool_spec, smem_full, smem_full],
+        in_specs=[pool_spec, pool_spec, pool_spec, smem_full, smem_full,
+                  smem_full],
         out_specs=pl.BlockSpec((1, 1, nD, P, L),
                                lambda g, o: (g, o, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -264,7 +284,8 @@ def stutter_emissions_pallas(codes, blw, blc, brev, blen, period,
                         pltpu.VMEM((6, P, L), dtype),
                         pltpu.VMEM((6, P, L), dtype),
                         pltpu.VMEM((6, P, L), dtype),
+                        pltpu.VMEM((6, P, L), dtype),
                         pltpu.VMEM((6, P, L), dtype)],
         interpret=interpret,
-    )(codes, blw, blc, brev, blen)
+    )(codes, blw, blc, brev, blen, periods)
     return E

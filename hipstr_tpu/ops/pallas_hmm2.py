@@ -73,135 +73,159 @@ def _seg_kernel(opt_ref, shift_ref, bounds_ref,       # scalar prefetch (SMEM)
                 E_ref,
                 Mcol_ref,
                 M_s, I_s, D_s, meta_ref, lpmf_ref, dma_sem,
-                *, R, sr, period, nD, dtype, H):
+                *, R, sr, nD, dtype, H):
     g = pl.program_id(0)
     h = pl.program_id(1)
-    # per-(locus, hap) scalar streams are DMAd into SMEM scratch per grid
-    # step — full-array scalar prefetch is O(G*H*R) and overflows the ~1MB
-    # SMEM budget at G=32, while blocked SMEM specs violate the (8,128)
-    # block-shape rule.  The streams are FLATTENED to 1-D with a
-    # 1024-element stride per (locus, hap): Mosaic rejects [1, 1, Rp]
-    # slices of a [G, H, Rp] tiled ref (size-1 slice of the 8-tiled middle
-    # dim), and 1-D VMEM refs are 1024-tiled, so both the slice offset and
-    # length must be 1024 multiples.
-    idx = g * H + h
-    cp = pltpu.make_async_copy(meta_hbm.at[pl.ds(idx * STRIDE, STRIDE)],
-                               meta_ref, dma_sem)
-    cp.start()
-    cp.wait()
-    cp = pltpu.make_async_copy(lpmf_hbm.at[pl.ds(idx * STRIDE, STRIDE)],
-                               lpmf_ref, dma_sem)
-    cp.start()
-    cp.wait()
-    codes = codes_ref[0]      # [P, L] int32
-    blw = blw_ref[0]
-    blc = blc_ref[0]
-    C = C_ref[0]
-    Csh = Csh_ref[0]
-    onehot = oh_ref[0]        # [P, L]; 1.0 at each pool's last column
-    P, L = codes.shape
-    jj = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1).astype(dtype)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
-
-    def emit_for(ch):
-        return jnp.where(codes == ch, blc, blw)
-
-    def write_col(r):
-        Mcol_ref[0, 0, r, :] = jnp.sum(M_s[:] * onehot, axis=-1)
 
     # rows skipped by the loop bounds keep NEG (they are bucket padding and
-    # never referenced by seed metadata)
-    Mcol_ref[0, 0] = jnp.full((R, P), NEG, dtype)
+    # never referenced by seed metadata); columns of bucket-padding
+    # haplotypes (h >= h_real) are NEG wholesale and skip all compute
+    Mcol_ref[0, 0] = jnp.full((R, codes_ref.shape[1]), NEG, dtype)
 
-    # row 0: leftmost haplotype char; earlier read bases soft-clip at blc
-    M_s[:] = emit_for(meta_ref[0] % 16) + Csh
-    I_s[:] = C
-    D_s[:] = jnp.full((P, L), IMPOSSIBLE, dtype)
-    write_col(0)
+    @pl.when(h < bounds_ref[g, 2])
+    def _compute():
+        # per-(locus, hap) scalar streams are DMAd into SMEM scratch per
+        # grid step — full-array scalar prefetch is O(G*H*R) and overflows
+        # the ~1MB SMEM budget at G=32, while blocked SMEM specs violate
+        # the (8,128) block-shape rule.  The streams are FLATTENED to 1-D
+        # with a 1024-element stride per (locus, hap): Mosaic rejects
+        # [1, 1, Rp] slices of a [G, H, Rp] tiled ref (size-1 slice of the
+        # 8-tiled middle dim), and 1-D VMEM refs are 1024-tiled, so both
+        # the slice offset and length must be 1024 multiples.
+        idx = g * H + h
+        cp = pltpu.make_async_copy(meta_hbm.at[pl.ds(idx * STRIDE, STRIDE)],
+                                   meta_ref, dma_sem)
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(lpmf_hbm.at[pl.ds(idx * STRIDE, STRIDE)],
+                                   lpmf_ref, dma_sem)
+        cp.start()
+        cp.wait()
+        codes = codes_ref[0]      # [P, L] int32
+        blw = blw_ref[0]
+        blc = blc_ref[0]
+        C = C_ref[0]
+        Csh = Csh_ref[0]
+        onehot = oh_ref[0]        # [P, L]; 1.0 at each pool's last column
+        P, L = codes.shape
+        jj = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1).astype(dtype)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
+        # the repeat period is per-locus runtime data (mixed-period
+        # dispatches share one compiled kernel)
+        period = bounds_ref[g, 3]
 
-    def flank_row(r, carry):
-        M = M_s[:]
-        I = I_s[:]
-        D = D_s[:]
-        v = meta_ref[r]
-        emit = emit_for(v % 16)
-        hp = v // 16
-        m2m = lutm_ref[hp]
-        m2i = luti_ref[hp]
-        m2d = lutd_ref[hp]
-        D_new = jnp.maximum(M + LOG_DEL_TO_MATCH, D + LOG_DEL_TO_DEL)
-        A = _shift_right_lanes(M + LOG_INS_TO_MATCH, 0.0)
-        F = A - Csh - jj * LOG_INS_TO_INS
-        I_new = C + jj * LOG_INS_TO_INS + _cummax_lanes(F)
-        Msh = _shift_right_lanes(M, NEG)
-        Dsh = _shift_right_lanes(D, NEG)
-        Ish = _shift_right_lanes(I_new, NEG)
-        T = jnp.maximum(Ish + m2i, jnp.maximum(Msh + m2m, Dsh + m2d))
+        def emit_for(ch):
+            return jnp.where(codes == ch, blc, blw)
+
+        def write_col(r):
+            Mcol_ref[0, 0, r, :] = jnp.sum(M_s[:] * onehot, axis=-1)
+
+        def circ_roll(x, t):
+            """Circular roll by a traced lane count (binary decomposition)."""
+            bs = t % L
+            y = x
+            k = 1
+            while k < L:
+                y = jnp.where((bs & k) != 0, jnp.roll(y, k, axis=1), y)
+                k *= 2
+            return y
+
+        # row 0: leftmost hap char; earlier read bases soft-clip at blc
+        M_s[:] = emit_for(meta_ref[0] % 16) + Csh
+        I_s[:] = C
+        D_s[:] = jnp.full((P, L), IMPOSSIBLE, dtype)
+        write_col(0)
+
+        def flank_row(r, carry):
+            M = M_s[:]
+            I = I_s[:]
+            D = D_s[:]
+            v = meta_ref[r]
+            emit = emit_for(v % 16)
+            hp = v // 16
+            m2m = lutm_ref[hp]
+            m2i = luti_ref[hp]
+            m2d = lutd_ref[hp]
+            D_new = jnp.maximum(M + LOG_DEL_TO_MATCH, D + LOG_DEL_TO_DEL)
+            A = _shift_right_lanes(M + LOG_INS_TO_MATCH, 0.0)
+            F = A - Csh - jj * LOG_INS_TO_INS
+            I_new = C + jj * LOG_INS_TO_INS + _cummax_lanes(F)
+            Msh = _shift_right_lanes(M, NEG)
+            Dsh = _shift_right_lanes(D, NEG)
+            Ish = _shift_right_lanes(I_new, NEG)
+            T = jnp.maximum(Ish + m2i, jnp.maximum(Msh + m2m, Dsh + m2d))
+            T = jnp.where(ids == 0, 0.0, T)
+            M_s[:] = emit + T
+            I_s[:] = I_new
+            D_s[:] = D_new
+            write_col(r)
+            return carry
+
+        # phase 1: flank rows start1..sr-1 (1..start1-1 are bucket padding)
+        start1 = bounds_ref[g, 0]
+        jax.lax.fori_loop(start1, sr, flank_row, 0)
+
+        # stutter row: online log-sum-exp over artifact sizes; the entry
+        # value for artifact d is Mprev shifted by rep_len + D_min +
+        # d*period lanes, realized as dynamic circular rolls (binary
+        # decomposition).  Wrapped lanes are zeroed by the validity mask;
+        # invalid artifacts have lpmf <= IMPOSSIBLE so their wrapped
+        # garbage underflows out of the LSE.
+        shift = shift_ref[g, h]           # rep_len[opt] + D_min (may be < 0)
+        base = circ_roll(M_s[:], shift)
+        mx = jnp.full((P, L), NEG, dtype)
+        sm = jnp.zeros((P, L), dtype)
+        cur = base
+        for d in range(nD):
+            if d:
+                cur = circ_roll(cur, period)
+            s_d = shift + d * period
+            ent = jnp.where(ids >= s_d, cur, 0.0)
+            val = lpmf_ref[d] + E_ref[0, 0, d] + ent
+            val = jnp.maximum(val, IMPOSSIBLE)
+            new_max = jnp.maximum(mx, val)
+            sm = sm * jnp.exp(mx - new_max) + jnp.exp(val - new_max)
+            mx = new_max
+        M_s[:] = mx + jnp.log(sm)
+        I_s[:] = jnp.full((P, L), IMPOSSIBLE, dtype)
+        D_s[:] = jnp.full((P, L), IMPOSSIBLE, dtype)
+        write_col(sr)
+
+        # forced-match row: the repeat block must be exited via a match
+        T = _shift_right_lanes(M_s[:], NEG)
         T = jnp.where(ids == 0, 0.0, T)
-        M_s[:] = emit + T
-        I_s[:] = I_new
-        D_s[:] = D_new
-        write_col(r)
-        return carry
+        M_s[:] = emit_for(meta_ref[sr + 1] % 16) + T
+        write_col(sr + 1)
 
-    # phase 1: flank rows start1..sr-1 (rows 1..start1-1 are bucket padding)
-    start1 = bounds_ref[g, 0]
-    jax.lax.fori_loop(start1, sr, flank_row, 0)
-
-    # stutter row: online log-sum-exp over artifact sizes; the entry value
-    # for artifact d is Mprev shifted by rep_len + D_min + d*period lanes,
-    # realized as one dynamic circular base roll (binary decomposition of
-    # the shift scalar) plus static per-artifact rolls.  Wrapped lanes are
-    # zeroed by the validity mask; invalid artifacts have lpmf <=
-    # IMPOSSIBLE so their wrapped garbage underflows out of the LSE.
-    shift = shift_ref[g, h]           # rep_len[opt] + D_min (may be < 0)
-    bs = shift % L
-    base = M_s[:]
-    k = 1
-    while k < L:
-        cand = jnp.roll(base, k, axis=1)
-        base = jnp.where((bs & k) != 0, cand, base)
-        k *= 2
-    mx = jnp.full((P, L), NEG, dtype)
-    sm = jnp.zeros((P, L), dtype)
-    for d in range(nD):
-        step = (d * period) % L
-        ent = jnp.roll(base, step, axis=1) if step else base
-        s_d = shift + d * period
-        ent = jnp.where(ids >= s_d, ent, 0.0)
-        val = lpmf_ref[d] + E_ref[0, 0, d] + ent
-        val = jnp.maximum(val, IMPOSSIBLE)
-        new_max = jnp.maximum(mx, val)
-        sm = sm * jnp.exp(mx - new_max) + jnp.exp(val - new_max)
-        mx = new_max
-    M_s[:] = mx + jnp.log(sm)
-    I_s[:] = jnp.full((P, L), IMPOSSIBLE, dtype)
-    D_s[:] = jnp.full((P, L), IMPOSSIBLE, dtype)
-    write_col(sr)
-
-    # forced-match row: the repeat block must be exited via a match
-    T = _shift_right_lanes(M_s[:], NEG)
-    T = jnp.where(ids == 0, 0.0, T)
-    M_s[:] = emit_for(meta_ref[sr + 1] % 16) + T
-    write_col(sr + 1)
-
-    # phase 3: remaining flank rows (tail bucket padding skipped)
-    end3 = bounds_ref[g, 1]
-    jax.lax.fori_loop(sr + 2, end3, flank_row, 0)
+        # phase 3: remaining flank rows (tail bucket padding skipped)
+        end3 = bounds_ref[g, 1]
+        jax.lax.fori_loop(sr + 2, end3, flank_row, 0)
 
 
 def segment_forward_v2(codes, quals, last_col, meta, E,
-                       R, sr, period, dtype=jnp.float32, interpret=False):
+                       R, sr, period, dtype=jnp.float32, interpret=False,
+                       h_real=None, periods=None):
     """Batched one-orientation forward pass.
 
     codes [G,P,L] int8, quals [G,P,L] uint8, last_col [G,P] int32; meta is a
     HapMeta pytree with a leading locus axis; E [G,O,nD,P,L] stutter
     emissions.  Returns (Mcol [G,R,P,H], seg_logsum [G,P]).
+
+    The repeat period is runtime data (`periods` [G] int32; the scalar
+    `period` broadcasts) so mixed-period batches share one compiled
+    kernel.  `h_real` [G] int32 marks the real haplotype count per locus:
+    bucket-padding columns h >= h_real[g] skip all compute and hold NEG.
     """
     G, P, L = codes.shape
     H = meta.row_char.shape[1]
     nD = meta.lpmf.shape[-1]
-    D_min = -((nD - 1) // 2) * period
+    if periods is None:
+        periods = jnp.full((G,), period, jnp.int32)
+    periods = periods.astype(jnp.int32)
+    if h_real is None:
+        h_real = jnp.full((G,), H, jnp.int32)
+    h_real = h_real.astype(jnp.int32)
+    D_min = -((nD - 1) // 2) * periods                          # [G]
 
     blw32, blc32 = expand_quals(quals, dtype)
     codes = codes.astype(jnp.int32)
@@ -225,7 +249,7 @@ def segment_forward_v2(codes, quals, last_col, meta, E,
         meta.hap_opt[:, :, None].astype(jnp.int32), axis=1)    # [G,H,nD]
     shift_h = (jnp.take_along_axis(
         meta.rep_len.astype(jnp.int32), meta.hap_opt.astype(jnp.int32),
-        axis=1) + D_min)                                       # [G,H]
+        axis=1) + D_min[:, None])                              # [G,H]
 
     # runtime loop bounds from the active-row mask: phase-1 padding sits at
     # rows 1..start1-1, phase-3 padding at rows end3..R-1
@@ -235,7 +259,8 @@ def segment_forward_v2(codes, quals, last_col, meta, E,
     start1 = jnp.minimum(jnp.min(jnp.where(mask1, idx, R), axis=1), sr)
     mask3 = act & (idx >= sr + 2)
     end3 = jnp.maximum(jnp.max(jnp.where(mask3, idx + 1, 0), axis=1), sr + 2)
-    bounds = jnp.stack([start1, end3], axis=1).astype(jnp.int32)  # [G,2]
+    bounds = jnp.stack([start1, end3, h_real, periods],
+                       axis=1).astype(jnp.int32)                 # [G,4]
 
     opt_tab = meta.hap_opt.astype(jnp.int32)                   # [G,H]
     shift_h = shift_h.astype(jnp.int32)
@@ -247,7 +272,7 @@ def segment_forward_v2(codes, quals, last_col, meta, E,
                           ((0, 0), (0, 0), (0, STRIDE - R))).reshape(-1)
     lpmf_h = jnp.pad(lpmf_h, ((0, 0), (0, 0), (0, STRIDE - nD))).reshape(-1)
 
-    kernel = functools.partial(_seg_kernel, R=R, sr=sr, period=period,
+    kernel = functools.partial(_seg_kernel, R=R, sr=sr,
                                nD=nD, dtype=dtype, H=H)
     pool_spec = pl.BlockSpec((1, P, L), lambda g, h, o, sh, b: (g, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -286,8 +311,13 @@ def segment_forward_v2(codes, quals, last_col, meta, E,
 
 
 def emissions_batched(codes, quals, rep_rev_codes, rep_len, period,
-                      dtype=jnp.float32, use_kernel=None, interpret=False):
-    """E [G, O, nD, P, L] stutter-block emissions for a batch of loci."""
+                      dtype=jnp.float32, use_kernel=None, interpret=False,
+                      periods=None):
+    """E [G, O, nD, P, L] stutter-block emissions for a batch of loci.
+
+    Pass `periods` [G] int32 for a mixed-period batch (Mosaic kernel path
+    only; the XLA fallback keeps a static period and is compiled per
+    period by its callers)."""
     import os
     blw, blc = expand_quals(quals, dtype)
     codes = codes.astype(jnp.int32)
@@ -296,9 +326,8 @@ def emissions_batched(codes, quals, rep_rev_codes, rep_len, period,
         flag = os.environ.get("HIPSTR_TPU_E_KERNEL", "auto")
         if flag == "auto":
             # v1 (column-sequential): measured faster AND hardware-exact;
-            # the slab-parallel v2 lowers poorly under Mosaic today
-            # (323 vs 141 ms/locus) and mis-lowers some axis-0 ops — kept
-            # for future Mosaic releases, opt-in via HIPSTR_TPU_E_KERNEL=2
+            # a slab-parallel rewrite (pallas_emission2) mis-lowered under
+            # Mosaic and was removed in round 3 (docs/DESIGN.md)
             use_kernel = "1" if jax.default_backend() != "cpu" else "0"
         else:
             use_kernel = flag
@@ -306,18 +335,12 @@ def emissions_batched(codes, quals, rep_rev_codes, rep_len, period,
         use_kernel = "1"
     elif use_kernel is False:
         use_kernel = "0"
-    if use_kernel == "2":
-        # slab-parallel kernel; prepare_locus provides the lane headroom
-        # its deletion terms need (pallas_emission2.py docstring)
-        from .pallas_emission2 import stutter_emissions_pallas2
-        return stutter_emissions_pallas2(codes, blw, blc, rep_rev_codes,
-                                         rep_len.astype(jnp.int32), period,
-                                         dtype=dtype, interpret=interpret)
     if use_kernel == "1":
         from .pallas_emission import stutter_emissions_pallas
         return stutter_emissions_pallas(codes, blw, blc, rep_rev_codes,
                                         rep_len.astype(jnp.int32), period,
-                                        dtype=dtype, interpret=interpret)
+                                        dtype=dtype, interpret=interpret,
+                                        periods=periods)
 
     def per_locus(codes_l, w_l, c_l, rev_l, len_l):
         def per_opt(rev_o, len_o):
@@ -366,24 +389,33 @@ def seed_combine(Mcol_fw, Mcol_rev, l_prob, r_prob, seed,
 def batched_forward_v2(l_seg, r_seg, fw_meta, rev_meta, seed,
                        seed_codes, seed_quals,
                        R_fw, R_rev, period, sr_fw, sr_rev,
-                       dtype=jnp.float32, interpret=False):
+                       dtype=jnp.float32, interpret=False,
+                       h_real=None, periods=None):
     """Batched full forward pass: [G, P, H] log-likelihoods.
 
     Drop-in batched replacement for vmap(hmm_forward): same stacked pytree
-    inputs the executor already builds, same output.
+    inputs the executor already builds, same output.  With `periods` [G]
+    the batch may mix repeat periods (one compiled kernel); with `h_real`
+    [G] bucket-padding haplotype columns skip compute and return NEG
+    garbage — callers slice to their real column count.
     """
+    # in interpret mode run the Mosaic emission kernel interpreted too, so
+    # CPU tests cover the runtime-period path end to end
+    ek = "1" if interpret else None
     E_fw = emissions_batched(l_seg.codes, l_seg.quals,
                              fw_meta.rep_rev_codes, fw_meta.rep_len,
-                             period, dtype)
+                             period, dtype, use_kernel=ek,
+                             interpret=interpret, periods=periods)
     E_rev = emissions_batched(r_seg.codes, r_seg.quals,
                               rev_meta.rep_rev_codes, rev_meta.rep_len,
-                              period, dtype)
+                              period, dtype, use_kernel=ek,
+                              interpret=interpret, periods=periods)
     Mcol_fw, l_prob = segment_forward_v2(
         l_seg.codes, l_seg.quals, l_seg.last_col, fw_meta, E_fw,
-        R_fw, sr_fw, period, dtype, interpret)
+        R_fw, sr_fw, period, dtype, interpret, h_real, periods)
     Mcol_rev, r_prob = segment_forward_v2(
         r_seg.codes, r_seg.quals, r_seg.last_col, rev_meta, E_rev,
-        R_rev, sr_rev, period, dtype, interpret)
+        R_rev, sr_rev, period, dtype, interpret, h_real, periods)
     seed_blw, seed_blc = expand_quals(seed_quals, dtype)
 
     def tail(mf, mr, lp, rp, sd, sc, sw, sb):

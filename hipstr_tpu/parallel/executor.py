@@ -72,25 +72,45 @@ def device_post_enabled() -> bool:
     return jax.default_backend() != "cpu"
 
 
-@functools.lru_cache(maxsize=64)
-def _jitted_batch(R_f: int, R_r: int, sr_f: int, sr_r: int, period: int,
-                  dtype_name: str, Sm=None):
-    import os
-    dtype = jnp.dtype(dtype_name)
-
+def _kernel_choice() -> str:
     kernel = os.environ.get("HIPSTR_TPU_KERNEL", "auto")
     if kernel == "auto":
         # the Mosaic kernel needs a real TPU; CPU runs use the XLA scan
         kernel = "v2" if jax.default_backend() != "cpu" else "xla"
+    return kernel
+
+
+def runtime_period() -> bool:
+    """The v2 Mosaic path takes the repeat period (and real haplotype
+    count) as per-locus runtime data, so dispatch groups merge across
+    periods; the XLA path compiles per period."""
+    return _kernel_choice() == "v2"
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_batch(R_f: int, R_r: int, sr_f: int, sr_r: int, period: int,
+                  dtype_name: str, Sm=None):
+    """Compiled batched forward (+ fused posteriors).
+
+    The returned callable takes (l_seg, r_seg, fw_meta, rev_meta, seed,
+    sc, sq, h_real, periods[, pm]); on the v2 path `period` is a dummy 0
+    (runtime `periods` array is used), on the XLA path it is static and
+    the runtime arrays are ignored.
+    """
+    dtype = jnp.dtype(dtype_name)
+    kernel = _kernel_choice()
     if kernel == "v2":
         from ..ops.pallas_hmm2 import batched_forward_v2
 
-        def hmm(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq):
+        def hmm(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq, h_real,
+                periods):
             return batched_forward_v2(
                 l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq,
-                R_f, R_r, period, sr_f, sr_r, dtype)
+                R_f, R_r, period, sr_f, sr_r, dtype,
+                h_real=h_real, periods=periods)
     else:
-        def hmm(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq):
+        def hmm(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq, h_real,
+                periods):
             def one(*a):
                 return hmm_forward(*a, R_f, R_r, period, sr_f, sr_r, dtype)
             return jax.vmap(one)(l_seg, r_seg, fw_meta, rev_meta, seed,
@@ -101,8 +121,10 @@ def _jitted_batch(R_f: int, R_r: int, sr_f: int, sr_r: int, period: int,
 
     from ..ops.posteriors import batched_pool_posteriors
 
-    def run(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq, pm):
-        LL = hmm(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq)
+    def run(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq, h_real, periods,
+            pm):
+        LL = hmm(l_seg, r_seg, fw_meta, rev_meta, seed, sc, sq, h_real,
+                 periods)
         log_post, totals = batched_pool_posteriors(jnp, LL, pm, Sm, dtype)
         return LL, log_post, totals
 
@@ -122,7 +144,11 @@ class LocusWorkItem:
 
     def shape_key(self):
         leaves = jax.tree.leaves(self.arrays)
-        return (self.statics[:5] + (self.statics[7],),
+        st = self.statics
+        # the v2 kernel takes period as runtime data: groups merge across
+        # periods (the single biggest dispatch consolidation)
+        key_st = st[:4] + (0,) if runtime_period() else st[:5]
+        return (key_st + (st[7],),
                 tuple(getattr(x, "shape", ()) for x in leaves))
 
 
@@ -184,18 +210,23 @@ class BatchedAligner:
         stacked = jax.tree.map(lambda *xs: np.stack(xs),
                                *[it.arrays for it in padded])
         R_f, R_r, sr_f, sr_r, period = chunk[0].statics[:5]
+        if runtime_period():
+            period = 0   # dummy static; real periods ride the array below
         run = _jitted_batch(R_f, R_r, sr_f, sr_r, period, self.dtype,
                             chunk[0].statics[7])
+        h_real = np.array([it.statics[6] for it in padded], np.int32)
+        periods = np.array([it.statics[4] for it in padded], np.int32)
+        args = list(stacked[:7]) + [h_real, periods] + list(stacked[7:])
         if n_dev > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
             mesh = Mesh(np.array(devs), ("loci",))
             sharding = NamedSharding(mesh, PartitionSpec("loci"))
-            stacked = jax.tree.map(
-                lambda x: jax.device_put(x, sharding), stacked)
-            if not self._logged_mesh and self.logger is not None:
-                self.logger.log(f"Sharding locus batches over {n_dev} devices")
-                self._logged_mesh = True
-        return run(*stacked)
+            args = jax.tree.map(
+                lambda x: jax.device_put(x, sharding), args)
+        if n_dev > 1 and not self._logged_mesh and self.logger is not None:
+            self.logger.log(f"Sharding locus batches over {n_dev} devices")
+            self._logged_mesh = True
+        return run(*args)
 
 
 def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],

@@ -246,8 +246,11 @@ class _ReadyItem:
 
     def shape_key(self):
         import jax
+        from .executor import runtime_period
         leaves = jax.tree.leaves(self.arrays)
-        return (self.statics[:5],
+        st = self.statics
+        key_st = st[:4] + (0,) if runtime_period() else st[:5]
+        return (key_st,
                 tuple(getattr(x, "shape", ()) for x in leaves))
 
 

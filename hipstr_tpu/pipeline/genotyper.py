@@ -45,8 +45,13 @@ TOLERANCE = 1e-10
 STRAND_TOLERANCE = 0.1
 MAX_FLANK_INDEL_FRAC = 0.15
 
-# speculative stutter-allele alignment (see _build_speculative_haplotype)
-MAX_SPEC_OPTIONS = 8
+# speculative stutter-allele alignment (see _build_speculative_haplotype):
+# the speculative repeat block is capped at MAX_SPEC_TOTAL options so the
+# dispatch stays inside the executor's first option/haplotype shape buckets
+# (a bigger superset would fragment dispatch groups and balloon the
+# emission tensor); candidates beyond the budget fall back to an exact
+# realignment round
+MAX_SPEC_TOTAL = 8
 MAX_SPEC_COMBS = 512
 
 
@@ -434,9 +439,12 @@ class SeqStutterGenotyper:
                            and (len(seq) - len(o)) % period == 0
                            and len(seq) != len(o) for o in block.seqs):
                         support[seq] = support.get(seq, 0) + cnt
+            budget = MAX_SPEC_TOTAL - block.num_options()
+            if budget <= 0:
+                continue
             cand_list = sorted(support, key=lambda q: (-support[q],
                                                        order_key(q)))
-            cand_list = sorted(cand_list[:MAX_SPEC_OPTIONS], key=order_key)
+            cand_list = sorted(cand_list[:budget], key=order_key)
             if cand_list:
                 nb = block.remove_alleles([])
                 for seq in cand_list:

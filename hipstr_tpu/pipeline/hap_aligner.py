@@ -33,13 +33,22 @@ from ..ops.hmm import HapMeta, IMPOSSIBLE, SeedMeta, SegmentInputs, hmm_forward
 # and padded lanes cost real host FLOPs and memory, so buckets hug the data.
 _TPU_BUCKETS = dict(
     L=[128, 256, 512],
-    ROWS=[32, 64, 128, 224],
-    H=[8, 32, 128, 512, 1024],
-    P=[32, 64, 128, 256, 512, 1024],
+    # rows: bucket-padding rows are skipped by the v2 kernel's runtime
+    # loop bounds, so a coarse single low bucket costs ~nothing and merges
+    # dispatch groups (with the runtime per-locus period, most loci share
+    # ONE compiled shape)
+    ROWS=[64, 128, 224],
+    # padded haplotype columns skip compute in the v2 kernel (h_real);
+    # their cost is fetch volume, so buckets stay moderately tight
+    H=[8, 16, 32, 128, 512, 1024],
+    # P floor 64: a half-empty [P, L] slab wastes some vector work on
+    # small loci but keeps them in the fat dispatch group
+    P=[64, 128, 256, 512, 1024],
     S=[128, 384],
-    # emission cost is linear in O; most loci carry 3-5 repeat options, so
-    # a tight first bucket halves the dominant kernel for them
-    O=[4, 8, 32, 64],
+    # padded repeat options carry blen=0 and fall straight through the
+    # emission kernel's runtime-bounded sweeps; floor 8 keeps speculative
+    # and plain loci in one dispatch group
+    O=[8, 32, 64],
     B=[64, 192],
     RD=[256, 1024, 4096],        # read-level posterior rows
     SAMP=[8, 64, 512],           # samples
@@ -144,10 +153,14 @@ def _pad_orientation(d: dict, sr_real: int, R_real: int, H_pad: int,
     active[rm] = True
     out["row_active"] = active
 
+    # padded repeat options are blen=0 sentinels: the emission kernel's
+    # runtime-bounded sweeps skip them entirely, and no haplotype's
+    # hap_opt ever points at them
     out["rep_rev_codes"] = _pad_axis(
-        _pad_axis(d["rep_rev_codes"], 1, B_pad, "constant"), 0, O_pad)
-    out["rep_len"] = _pad_axis(d["rep_len"], 0, O_pad)
-    out["lpmf"] = _pad_axis(d["lpmf"], 0, O_pad)
+        _pad_axis(d["rep_rev_codes"], 1, B_pad, "constant"), 0, O_pad,
+        "constant")
+    out["rep_len"] = _pad_axis(d["rep_len"], 0, O_pad, "constant")
+    out["lpmf"] = _pad_axis(d["lpmf"], 0, O_pad, "constant")
     out["hap_opt"] = _pad_axis(d["hap_opt"], 0, H_pad)
     out["stutter_row"] = B1
     return out, row_map, R_pad
@@ -206,9 +219,11 @@ def prepare_locus(haplotype: Haplotype, seqs, quals, seeds,
     """
     P_real = len(seqs)
     H_real = haplotype.num_combs
-    # lane headroom: the slab-parallel emission kernel reads lanes
-    # j + d*period for deletion artifacts (ops/pallas_emission2.py), so
-    # every real read offset needs 6*period lanes above it
+    # lane headroom: the stutter row's entry gather reads lane j - shift
+    # with shift = rep_len + D as low as rep_len - 6*period (negative for
+    # short alleles), i.e. up to 6*period lanes ABOVE j — every real read
+    # offset needs that many in-bounds lanes above it so the kernel's
+    # circular rolls never wrap into a consumed lane
     period_hr = next(b.repeat_info.period for b in haplotype.blocks
                      if b.is_repeat)
     L_need = max(2, max(len(s) for s in seqs) - 1 + 6 * period_hr)
