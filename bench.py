@@ -76,9 +76,11 @@ def _run_e2e(tmp, batch_size, workers=None):
             def_stutter_model=StutterModel(0.95, 0.05, 0.05, 0.95, 0.01,
                                            0.01, 2))
     if workers is None:
+        # mirror cli.py's auto heuristic: the pool only pays off on hosts
+        # with enough cores to amortize its IPC/idle overhead
         n_cores = os.cpu_count() or 1
-        workers = (min(3, n_cores - 1)
-                   if jax.default_backend() != "cpu" and n_cores >= 3 else 1)
+        workers = (min(4, n_cores - 2)
+                   if jax.default_backend() != "cpu" and n_cores >= 6 else 1)
     p = GenotyperPipeline([f"{tmp}/sim.bam"], f"{tmp}/sim.fa", mk_opts(),
                           Logger(quiet=True))
     t0 = time.perf_counter()

@@ -98,29 +98,46 @@ def _pack_orientation(src: Haplotype, digit_rows: List[List[int]],
     row_m2i = np.zeros((H, R), dtype=np.float64)
     row_m2d = np.zeros((H, R), dtype=np.float64)
 
-    # cache homopolymer lengths per (digit-tuple, block) to avoid recompute
-    homop_cache = {}
+    # contiguous row span per non-repeat block (build_row_structure emits
+    # blocks in order; the repeat block is the single stutter row)
+    spans = {}
+    for r, (b, c) in enumerate(struct.rows):
+        if c < 0:
+            continue
+        lo, c0, _ = spans.get(b, (r, c, r))
+        spans[b] = (lo, c0, r)
+
+    m2m_lut = np.asarray(LOG_MATCH_TO_MATCH)
+    m2i_lut = np.asarray(LOG_MATCH_TO_INS)
+    m2d_lut = np.asarray(LOG_MATCH_TO_DEL)
+    codes_cache = {}
+    hp_cache = {}
     for h, digits in enumerate(digit_rows):
         key_all = tuple(digits)
-        for r, (b, c) in enumerate(struct.rows):
-            if c < 0:  # stutter row: char/transitions unused
-                continue
-            seq = src.blocks[b].get_seq(digits[b])
-            row_char[h, r] = BASE_CODES.get(seq[c], 4)
-            if r == 0 or r == struct.stutter_row + 1:
-                continue  # init / forced-match rows don't use transitions
-            ck = (key_all, b)
-            raw = homop_cache.get(ck)
-            if raw is None:
-                # one vectorized pass per (digit-tuple, block): each
-                # position's run length is shared by its own row AND the
-                # next row's max(h[c], h[c-1]) lookup
+        for b, (lo, c0, hi) in spans.items():
+            d = digits[b]
+            ck = (b, d)
+            codes = codes_cache.get(ck)
+            if codes is None:
+                codes = codes_cache[ck] = seq_to_codes(src.blocks[b].get_seq(d))
+            row_char[h, lo:hi + 1] = codes[c0:c0 + (hi - lo) + 1]
+            hk = (key_all, b)
+            got = hp_cache.get(hk)
+            if got is None:
                 raw = src.homopolymer_array(digits, b)
-                homop_cache[ck] = raw
-            hp = min(MAX_HOMOP_LEN, int(max(raw[c], raw[c - 1 if c else 0])))
-            row_m2m[h, r] = LOG_MATCH_TO_MATCH[hp]
-            row_m2i[h, r] = LOG_MATCH_TO_INS[hp]
-            row_m2d[h, r] = LOG_MATCH_TO_DEL[hp]
+                prev = np.concatenate([raw[:1], raw[:-1]]) if raw.size else raw
+                hp = np.minimum(MAX_HOMOP_LEN, np.maximum(raw, prev))
+                got = hp_cache[hk] = (m2m_lut[hp], m2i_lut[hp], m2d_lut[hp])
+            t_m2m, t_m2i, t_m2d = got
+            row_m2m[h, lo:hi + 1] = t_m2m[c0:c0 + (hi - lo) + 1]
+            row_m2i[h, lo:hi + 1] = t_m2i[c0:c0 + (hi - lo) + 1]
+            row_m2d[h, lo:hi + 1] = t_m2d[c0:c0 + (hi - lo) + 1]
+    # init / forced-match rows carry no transitions
+    for r0 in (0, struct.stutter_row + 1):
+        if 0 <= r0 < R:
+            row_m2m[:, r0] = 0.0
+            row_m2i[:, r0] = 0.0
+            row_m2d[:, r0] = 0.0
 
     # repeat-row entry offsets (j - rep_len - D) are computed on device from
     # rep_len + hap_opt; nothing per-[H, nD, L] is shipped from host

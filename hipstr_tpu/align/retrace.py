@@ -363,14 +363,35 @@ class HapAlignInfo:
 
 def _instances_for(haplotype: Haplotype, h: int):
     """(fw, rev) realized instances, cached on the haplotype — immutable
-    w.r.t. (h, reverse), so repeated traces reuse the native row metadata."""
+    w.r.t. (h, reverse), so repeated traces reuse the native row metadata.
+
+    A second, content-keyed cache (attached by the genotyper as
+    `_inst_content_cache`, shared across a locus's haplotype rebuilds)
+    lets the adaptive rounds reuse instances whose realized sequences are
+    unchanged — the per-instance native metadata is the expensive part."""
     cache = getattr(haplotype, "_inst_cache", None)
     if cache is None:
         cache = haplotype._inst_cache = {}
     fw = cache.get((h, False))
+    rev = cache.get((h, True))
+    if fw is not None and rev is not None:
+        return fw, rev
+    content = getattr(haplotype, "_inst_content_cache", None)
+    if content is not None:
+        digits = haplotype.digits(h)
+        key = tuple(
+            (b.get_seq(d), b.start,
+             id(b.repeat_info.stutter_model) if b.repeat_info else None)
+            for b, d in zip(haplotype.blocks, digits))
+        pair = content.get(key)
+        if pair is None:
+            pair = (HaplotypeInstance(haplotype, h, reverse=False),
+                    HaplotypeInstance(haplotype, h, reverse=True))
+            content[key] = pair
+        cache[(h, False)], cache[(h, True)] = pair
+        return pair
     if fw is None:
         fw = cache[(h, False)] = HaplotypeInstance(haplotype, h, reverse=False)
-    rev = cache.get((h, True))
     if rev is None:
         rev = cache[(h, True)] = HaplotypeInstance(haplotype, h, reverse=True)
     return fw, rev
@@ -457,8 +478,12 @@ def trace_batch(haplotype: Haplotype, jobs, hap_info: HapAlignInfo,
     for h, aln, seed_base, blw, blc in jobs:
         fw, rev = _instances_for(haplotype, h)
         mid_rows, mid_chars, slp, first_code, last_code = _seed_meta(fw)
-        codes = np.frombuffer(aln.sequence.encode("latin1"), dtype=np.uint8)
-        njobs.append((np.ascontiguousarray(codes),
+        codes = getattr(aln, "_codes_np", None)
+        if codes is None:
+            codes = np.frombuffer(aln.sequence.encode("latin1"),
+                                  dtype=np.uint8)
+            aln._codes_np = codes
+        njobs.append((codes,
                       np.ascontiguousarray(blw, dtype=np.float64),
                       np.ascontiguousarray(blc, dtype=np.float64),
                       seed_base, fw, rev, mid_rows, mid_chars, slp,

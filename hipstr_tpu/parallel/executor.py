@@ -298,10 +298,13 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
     def maybe_post_meta(g):
         return g.posterior_meta() if use_device_post else None
 
-    def advance(item, LL, post=None, totals=None) -> bool:
-        """Feed fresh LLs (and fused device posteriors when available) to
-        one locus; True when it needs another batched realignment
-        (item.arrays updated for the new haplotype)."""
+    import concurrent.futures as _cf
+    trace_pool = _cf.ThreadPoolExecutor(max_workers=2)
+
+    def install(item, LL, post=None, totals=None) -> None:
+        """Install fresh LLs (and fused device posteriors when available)
+        for one locus, then prefetch its ML-trace batch on the thread pool
+        so the native DP overlaps other loci's Python."""
         g = item.genotyper
         g.set_pool_lls(LL)
         with pipeline.timer.time("Genotyping (adaptive)"):
@@ -309,6 +312,13 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                 g.install_posteriors(post, totals)
             else:
                 g.calc_log_sample_posteriors()
+        g.prefetch_traces(trace_pool)
+
+    def advance(item) -> bool:
+        """Step one locus's adaptive loop; True when it needs another
+        batched realignment (item.arrays updated for the new haplotype)."""
+        g = item.genotyper
+        with pipeline.timer.time("Genotyping (adaptive)"):
             if item.gen is None:
                 item.gen = g.adaptive_steps(opts.max_haps,
                                             opts.max_hap_flanks,
@@ -330,19 +340,40 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                 read_cache=g.__dict__.setdefault("_read_pack_cache", {}))
         return True
 
+    def _fetch_one(res):
+        if isinstance(res, tuple):
+            return tuple(np.asarray(r) for r in res)
+        return np.asarray(res)
+
+    def fetch_results(handles):
+        """Fetch all dispatched results concurrently: each np.asarray blocks
+        until its dispatch finishes and then rides the (slow) device->host
+        link; a few threads overlap those round trips (jax releases the GIL
+        during transfers)."""
+        if len(handles) <= 1:
+            return [(chunk, _fetch_one(res)) for chunk, res in handles]
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(max_workers=min(4, len(handles))) as ex:
+            fetched = list(ex.map(_fetch_one, [r for _, r in handles]))
+        return [(chunk, res) for (chunk, _), res in zip(handles, fetched)]
+
     def finish_handles(handles) -> None:
         """Fetch dispatched results and drive every adaptive round of the
         wave to completion, regrouping realignments per round."""
         while handles:
             realign: List[LocusWorkItem] = []
+            with pipeline.timer.time("Device fetch"):
+                handles = fetch_results(handles)
+            # phase 1: install every locus's LLs/posteriors and launch the
+            # trace prefetches; phase 2 then steps the adaptive loops, so
+            # each locus's native trace DP overlaps earlier loci's Python
+            ready_items: List[LocusWorkItem] = []
             for chunk, res in handles:
-                with pipeline.timer.time("Device fetch"):
-                    if isinstance(res, tuple):
-                        LL_all, post_all, tot_all = (np.asarray(r)
-                                                     for r in res)
-                    else:
-                        LL_all = np.asarray(res)
-                        post_all = tot_all = None
+                if isinstance(res, tuple):
+                    LL_all, post_all, tot_all = res
+                else:
+                    LL_all = res
+                    post_all = tot_all = None
                 for gi, item in enumerate(chunk):
                     P_real, H_real = item.statics[5], item.statics[6]
                     LL = LL_all[gi, :P_real, :H_real]
@@ -355,13 +386,21 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                         post = post_all[gi, :S, :A, :A]
                         tot = tot_all[gi, :S]
                     try:
-                        if advance(item, LL, post, tot):
-                            realign.append(item)
+                        install(item, LL, post, tot)
+                        ready_items.append(item)
                     except Exception as exc:
                         pipeline.counters.genotype_fail += 1
                         settle(item.order)
                         pipeline.logger.log(
                             f"ERROR at {item.region}: {exc!r}")
+            for item in ready_items:
+                try:
+                    if advance(item):
+                        realign.append(item)
+                except Exception as exc:
+                    pipeline.counters.genotype_fail += 1
+                    settle(item.order)
+                    pipeline.logger.log(f"ERROR at {item.region}: {exc!r}")
             for item in realign:
                 aligner.add(item)
             handles = aligner.dispatch_all()
@@ -488,6 +527,7 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
     in_flight = []
     drain_pending()
     aligner.log_stats()
+    trace_pool.shutdown(wait=False)
 
     if writer is not None:
         writer.close()

@@ -494,6 +494,10 @@ def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
                             and not any(outstanding))):
             solve_em_jobs()
             continue
+        # window-sized waves measured faster than eager per-chunk
+        # dispatching on the tunneled chip (eager dispatch multiplies
+        # fetch round trips, which contend on the tunnel and starve the
+        # parent loop); see BASELINE.md round-3 worker-scaling table
         if ready and (len(ready) >= window or starved
                       or (not n_inflight[0] and not any(outstanding))):
             dispatch_ready()

@@ -249,6 +249,10 @@ class SeqStutterGenotyper:
     def _set_haplotype(self, haplotype: Haplotype) -> None:
         self.haplotype = haplotype
         self.hap_info = HapAlignInfo(haplotype)
+        # realized-instance reuse across the locus's haplotype rebuilds
+        # (align/retrace._instances_for): keyed by realized content
+        haplotype._inst_content_cache = self.__dict__.setdefault(
+            "_inst_content", {})
         self.trace_cache.clear()
 
     @property
@@ -626,10 +630,10 @@ class SeqStutterGenotyper:
             self.trace_cache[key] = trace
         return trace
 
-    def retrace_alignments(self) -> List[Optional[AlignmentTrace]]:
-        """ML trace per read (reference retrace_alignments,
-        seq_stutter_genotyper.cpp:805-841).  Cache misses are computed in
-        ONE batched native call (align/retrace.trace_batch)."""
+    def _trace_plan(self):
+        """(best_haps per read, missing (read, cache-key) list) for the
+        current posteriors (reference retrace_alignments,
+        seq_stutter_genotyper.cpp:805-841)."""
         haps_a, haps_b = self.get_optimal_haplotypes()
         best_haps: List[Optional[int]] = []
         for i in range(self.num_reads):
@@ -651,15 +655,56 @@ class SeqStutterGenotyper:
             if key not in self.trace_cache and key not in seen:
                 seen.add(key)
                 missing.append((i, key))
+        return best_haps, missing
+
+    def _run_trace_batch(self, missing, n_threads: int = 0):
+        from ..align.retrace import trace_batch
+        jobs = []
+        for i, key in missing:
+            pooled = self.pooler.pooled_alns[key[0]]
+            blw, blc = self._pool_logq(key[0])
+            jobs.append((key[1], pooled, int(self.seed_positions[i]),
+                         blw, blc))
+        return trace_batch(self.haplotype, jobs, self.hap_info,
+                           n_threads=n_threads)
+
+    def prefetch_traces(self, pool) -> None:
+        """Submit the current posteriors' missing ML-trace jobs to a
+        thread pool; the native batch releases the GIL, so it overlaps
+        other loci's Python while this locus waits its turn.  Identical
+        results to the synchronous path (retrace_alignments collects)."""
+        if getattr(self, "_trace_future", None) is not None:
+            return
+        if self.log_aln_probs is None or self.log_post is None:
+            return
+        _, missing = self._trace_plan()
+        if len(missing) <= 1:
+            return
+        self._trace_future = (
+            self.haplotype, missing,
+            pool.submit(self._run_trace_batch, missing, 2))
+
+    def _collect_trace_future(self) -> None:
+        tf = getattr(self, "_trace_future", None)
+        if tf is None:
+            return
+        self._trace_future = None
+        hap, missing, fut = tf
+        results = fut.result()
+        if hap is not self.haplotype or results is None:
+            return   # haplotype changed under the prefetch: discard
+        for (i, key), (_, trace) in zip(missing, results):
+            self.trace_cache[key] = trace
+
+    def retrace_alignments(self) -> List[Optional[AlignmentTrace]]:
+        """ML trace per read (reference retrace_alignments,
+        seq_stutter_genotyper.cpp:805-841).  Cache misses are computed in
+        ONE batched native call (align/retrace.trace_batch), possibly
+        prefetched on a thread pool (prefetch_traces)."""
+        self._collect_trace_future()
+        best_haps, missing = self._trace_plan()
         if len(missing) > 1:
-            from ..align.retrace import trace_batch
-            jobs = []
-            for i, key in missing:
-                pooled = self.pooler.pooled_alns[key[0]]
-                blw, blc = self._pool_logq(key[0])
-                jobs.append((key[1], pooled, int(self.seed_positions[i]),
-                             blw, blc))
-            results = trace_batch(self.haplotype, jobs, self.hap_info)
+            results = self._run_trace_batch(missing)
             if results is not None:
                 for (i, key), (_, trace) in zip(missing, results):
                     self.trace_cache[key] = trace
@@ -752,7 +797,10 @@ class SeqStutterGenotyper:
         """Reference: seq_stutter_genotyper.cpp:229-315."""
         num_aff_blocks = num_aff_alleles = 0
         haps_a, haps_b = self.get_optimal_haplotypes()
-        traces = self.retrace_alignments()
+        # the called-only pass never touches the traces (the reference
+        # reads them only under check_spanned, seq_stutter_genotyper.cpp
+        # :252-276), so skip the retrace entirely
+        traces = self.retrace_alignments() if check_spanned else None
 
         aligned_read = np.zeros(self.num_samples, dtype=bool)
         for i in range(self.num_reads):

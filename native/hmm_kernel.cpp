@@ -252,32 +252,35 @@ extern "C" int hmm_fill_dp(
       int64_t* bas = best_art_size + (size_t)bi * L;
       int64_t* bap = best_art_pos + (size_t)bi * L;
       static thread_local std::vector<double> all;
+      static thread_local std::vector<int64_t> allpos;
       all.assign((size_t)B.nD * L, kImpossible);
+      allpos.assign((size_t)B.nD * L, -1);
       for (int ai = 0; ai < B.nD; ++ai) {
         int D = B.art[ai];
         if (B.blen + D < 0) continue;
         int shift = B.blen + D;
         for (int j = 0; j < L; ++j) {
           double pre = (j - shift >= 0) ? Mp[j - shift] : 0.0;
+          int64_t pos = -1;   // tracked in the same pass: ~free vs a recall
           all[(size_t)ai * L + j] =
-              B.lpmf[ai] + B.emission(seq, L, blw, blc, j, D, nullptr) + pre;
+              B.lpmf[ai] + B.emission(seq, L, blw, blc, j, D, &pos) + pre;
+          allpos[(size_t)ai * L + j] = pos;
         }
       }
       for (int j = 0; j < L; ++j) {
         double best = kImpossible;
         int64_t best_D = -10000;
+        int best_ai = -1;
         for (int ai = 0; ai < B.nD; ++ai) {
           double v = all[(size_t)ai * L + j];
           if (B.blen + B.art[ai] < 0) continue;
-          if (v > best) { best = v; best_D = B.art[ai]; }
+          if (v > best) { best = v; best_D = B.art[ai]; best_ai = ai; }
         }
         bas[j] = best_D;
         if (best_D == -10000 || best_D == 0) {
           bap[j] = -1;
         } else {
-          int64_t pos = -1;
-          B.emission(seq, L, blw, blc, j, (int)best_D, &pos);
-          bap[j] = pos;
+          bap[j] = allpos[(size_t)best_ai * L + j];
         }
         // exact logsumexp over the artifact axis
         double m = best, s = 0.0;
