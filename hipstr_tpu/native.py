@@ -113,6 +113,25 @@ def _load():
                 + [ctypes.c_void_p, ctypes.c_void_p])         # flanks
         except AttributeError:
             pass  # stale library without the batched entry
+        try:
+            lib.hmm_trace_summary_batch.restype = ctypes.c_int32
+            lib.hmm_trace_summary_batch.argtypes = (
+                [ctypes.c_int32]
+                + [ctypes.c_void_p] * 5                       # seq,L,blw,blc,seed
+                + [ctypes.c_void_p] * 4                       # fill/walk ptr arrays
+                + [ctypes.c_void_p] * 3                       # mids
+                + [ctypes.c_void_p] * 3                       # slp, first, last
+                + [ctypes.c_void_p] * 3                       # hap aln/len/start
+                + [ctypes.c_double, ctypes.c_double, ctypes.c_int32]
+                + [ctypes.c_void_p] * 3                       # rc, LL, max
+                + [ctypes.c_void_p] * 2                       # start/stop
+                + [ctypes.c_void_p] * 2                       # flank ins/del
+                + [ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]  # stutter
+                + [ctypes.c_int32] + [ctypes.c_void_p] * 3    # str pool/off/len
+                + [ctypes.c_int32] + [ctypes.c_void_p] * 3    # flank pool/off/len
+                + [ctypes.c_int32] + [ctypes.c_void_p] * 5)   # cigar + aligned
+        except AttributeError:
+            pass  # stale library without the summary entry
         lib.stitch_ops.restype = ctypes.c_int32
         lib.stitch_ops.argtypes = [
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
@@ -717,3 +736,118 @@ def hmm_trace_full_native(seq_codes, blw, blc, seed_base: int,
     return (float(out_ll.value), int(out_max.value),
             left.result() if lv.value else None,
             right.result() if rv.value else None)
+
+
+def hmm_trace_summary_batch_native(jobs, hap_aln_infos, hap_start: int,
+                                   min_snp_lpc: float, tol: float,
+                                   n_threads: int = 1):
+    """N trace SUMMARIES in one FFI call (native hmm_trace_summary_batch).
+
+    Each job is the hmm_trace_batch_native tuple; `hap_aln_infos[i]` is the
+    job's haplotype->reference op bytes (HapAlignInfo.aln_info_bytes).
+    Returns a dict of columnar numpy arrays (one row per job) or None when
+    the library lacks the entry:
+      rc, LL, max_index, start, stop, flank_ins, flank_del,
+      stut_size/stut_valid [n, NB], str_pool/str_off/str_len,
+      flank_pool/flank_off/flank_len, cigar_ops/cigar_num/n_cigar,
+      aln_pool/aln_len (+ the strides) — jobs with rc != 0 must be re-run
+    through the object fallback.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "hmm_trace_summary_batch"):
+        return None
+    import numpy as np
+    n = len(jobs)
+    if n == 0:
+        return None
+
+    VP = ctypes.c_void_p * n
+    seq_p, blw_p, blc_p = VP(), VP(), VP()
+    ffp, fwp, rfp, rwp = VP(), VP(), VP(), VP()
+    mrp, mcp, hap_p = VP(), VP(), VP()
+    Ls = np.empty(n, dtype=np.int32)
+    seeds = np.empty(n, dtype=np.int32)
+    nmids = np.empty(n, dtype=np.int32)
+    slps = np.empty(n, dtype=np.float64)
+    firsts = np.empty(n, dtype=np.int32)
+    lasts = np.empty(n, dtype=np.int32)
+    hap_lens = np.empty(n, dtype=np.int32)
+    hap_starts = np.full(n, hap_start, dtype=np.int64)
+    keep = []
+    max_L = max_nb = max_hap = 0
+    for i, (seq, blw, blc, seed_base, fw, rev, mid_rows, mid_chars,
+            slp, first, last) in enumerate(jobs):
+        fw_fill, fw_walk = trace_structs_for(fw)
+        rev_fill, rev_walk = trace_structs_for(rev)
+        seq_p[i] = seq.ctypes.data
+        blw_p[i] = blw.ctypes.data
+        blc_p[i] = blc.ctypes.data
+        ffp[i] = ctypes.addressof(fw_fill)
+        fwp[i] = ctypes.addressof(fw_walk)
+        rfp[i] = ctypes.addressof(rev_fill)
+        rwp[i] = ctypes.addressof(rev_walk)
+        mrp[i] = mid_rows.ctypes.data
+        mcp[i] = mid_chars.ctypes.data
+        hb = hap_aln_infos[i]
+        hap_p[i] = ctypes.cast(ctypes.c_char_p(hb), ctypes.c_void_p)
+        Ls[i] = len(seq)
+        seeds[i] = seed_base
+        nmids[i] = len(mid_rows)
+        slps[i] = slp
+        firsts[i] = first
+        lasts[i] = last
+        hap_lens[i] = len(hb)
+        keep.append((seq, blw, blc, mid_rows, mid_chars, hb))
+        max_L = max(max_L, len(seq))
+        max_nb = max(max_nb, fw_walk.n_blocks)
+        max_hap = max(max_hap, len(hb))
+
+    nb_stride = max_nb
+    str_stride = max_L + 2
+    flank_stride = max_L + 2
+    cig_stride = max_hap + max_L + 4
+    out = dict(
+        rc=np.empty(n, dtype=np.int32),
+        LL=np.empty(n, dtype=np.float64),
+        max_index=np.empty(n, dtype=np.int32),
+        start=np.empty(n, dtype=np.int64),
+        stop=np.empty(n, dtype=np.int64),
+        flank_ins=np.zeros(n, dtype=np.int32),
+        flank_del=np.zeros(n, dtype=np.int32),
+        stut_size=np.empty((n, nb_stride), dtype=np.int32),
+        stut_valid=np.empty((n, nb_stride), dtype=np.uint8),
+        str_pool=np.empty((n, str_stride), dtype=np.uint8),
+        str_off=np.empty((n, nb_stride), dtype=np.int32),
+        str_len=np.empty((n, nb_stride), dtype=np.int32),
+        flank_pool=np.empty((n, flank_stride), dtype=np.uint8),
+        flank_off=np.empty((n, nb_stride), dtype=np.int32),
+        flank_len=np.empty((n, nb_stride), dtype=np.int32),
+        cigar_ops=np.empty((n, cig_stride), dtype=np.uint8),
+        cigar_num=np.empty((n, cig_stride), dtype=np.int32),
+        n_cigar=np.zeros(n, dtype=np.int32),
+        aln_pool=np.empty((n, cig_stride), dtype=np.uint8),
+        aln_len=np.zeros(n, dtype=np.int32),
+    )
+    rc = lib.hmm_trace_summary_batch(
+        n, seq_p, Ls.ctypes.data, blw_p, blc_p, seeds.ctypes.data,
+        ffp, fwp, rfp, rwp, mrp, mcp, nmids.ctypes.data,
+        slps.ctypes.data, firsts.ctypes.data, lasts.ctypes.data,
+        hap_p, hap_lens.ctypes.data, hap_starts.ctypes.data,
+        min_snp_lpc, tol, n_threads,
+        out["rc"].ctypes.data, out["LL"].ctypes.data,
+        out["max_index"].ctypes.data,
+        out["start"].ctypes.data, out["stop"].ctypes.data,
+        out["flank_ins"].ctypes.data, out["flank_del"].ctypes.data,
+        nb_stride, out["stut_size"].ctypes.data,
+        out["stut_valid"].ctypes.data,
+        str_stride, out["str_pool"].ctypes.data,
+        out["str_off"].ctypes.data, out["str_len"].ctypes.data,
+        flank_stride, out["flank_pool"].ctypes.data,
+        out["flank_off"].ctypes.data, out["flank_len"].ctypes.data,
+        cig_stride, out["cigar_ops"].ctypes.data,
+        out["cigar_num"].ctypes.data, out["n_cigar"].ctypes.data,
+        out["aln_pool"].ctypes.data, out["aln_len"].ctypes.data)
+    del keep
+    if rc != 0:
+        return None
+    return out

@@ -1134,3 +1134,242 @@ extern "C" int32_t stitch_trace_batch(
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Columnar trace summaries: for N (read pool, haplotype) jobs, run the full
+// trace (fill + seed combine + walks), assemble the read->haplotype op
+// string, stitch it through the haplotype->reference alignment, and emit
+// ONLY flat arrays -- no per-job object assembly on the caller's side.
+// Semantics: align/retrace.py _assemble_native + _apply_walk_events +
+// align/traceback.py stitch_alignment_trace (reference:
+// src/SeqAlignment/HapAligner.cpp:573-709 retrace branch and
+// src/SeqAlignment/AlignmentTraceback.cpp:55-144), reduced to the fields the
+// genotyping pipeline consumes: LL, traced start/stop, per-block stutter
+// size + STR sequence, per-block flank sequence, flank ins/del totals, and
+// (for visualization) the stitched CIGAR + aligned string.
+//
+// Outputs land in caller-allocated pools with fixed strides:
+//   per-block arrays use stride nb_stride (>= max n_blocks),
+//   str/flank byte pools use str_stride/flank_stride (>= max L + 2),
+//   cigar/aligned pools use cig_stride (>= max hap_len + L + 4).
+// out_rc[i] != 0 marks a failed job the caller re-runs via its fallback.
+
+extern "C" int32_t hmm_trace_summary_batch(
+    int32_t n,
+    const void* const* seq_ptrs, const int32_t* Ls,
+    const void* const* blw_ptrs, const void* const* blc_ptrs,
+    const int32_t* seed_bases,
+    const void* const* fw_fill_ptrs, const void* const* fw_walk_ptrs,
+    const void* const* rev_fill_ptrs, const void* const* rev_walk_ptrs,
+    const void* const* mid_rows_ptrs, const void* const* mid_chars_ptrs,
+    const int32_t* n_mids, const double* seed_log_priors,
+    const int32_t* first_codes, const int32_t* last_codes,
+    const void* const* hap_aln_ptrs, const int32_t* hap_lens,
+    const int64_t* hap_starts,
+    double min_snp_lpc, double tol, int32_t n_threads,
+    // columnar outputs
+    int32_t* out_rc, double* out_LL, int32_t* out_max_index,
+    int64_t* out_start, int64_t* out_stop,
+    int32_t* out_flank_ins, int32_t* out_flank_del,
+    int32_t nb_stride, int32_t* stut_size, uint8_t* stut_valid,
+    int32_t str_stride, uint8_t* str_pool, int32_t* str_off,
+    int32_t* str_len,
+    int32_t flank_stride, uint8_t* flank_pool, int32_t* flank_off,
+    int32_t* flank_len,
+    int32_t cig_stride, char* cigar_ops_pool, int32_t* cigar_num_pool,
+    int32_t* n_cigar, char* aln_pool, int32_t* aln_len) {
+  auto run_range = [&](int32_t lo, int32_t hi) {
+    // per-thread scratch: walk outputs + assembly buffers, grow-only
+    std::vector<uint8_t> w_aln[2], w_fragp[2], w_strp[2];
+    std::vector<int32_t> w_fb[2], w_fe[2], w_sb[2], w_ss[2], w_se[2];
+    std::vector<int32_t> w_snpp[2];
+    std::vector<uint8_t> w_snpb[2];
+    std::vector<int64_t> w_ip[2], w_is[2];
+    int32_t w_aln_len[2], w_nf[2], w_ns[2], w_nq[2], w_ni[2];
+    int32_t w_fi[2], w_fd[2];
+    std::vector<uint8_t> read_aln;          // assembled read->hap ops
+    std::vector<uint8_t> blk_flank, blk_str;  // per-block assembly
+    for (int32_t i = lo; i < hi; ++i) {
+      const TraceFillArgs* fw_fill = (const TraceFillArgs*)fw_fill_ptrs[i];
+      const TraceWalkArgs* fw_walk = (const TraceWalkArgs*)fw_walk_ptrs[i];
+      const TraceWalkArgs* rev_walk = (const TraceWalkArgs*)rev_walk_ptrs[i];
+      const int32_t L = Ls[i];
+      const int32_t nb = fw_walk->n_blocks;
+      const int32_t H = fw_fill->H;
+      const int32_t cap = H + L + 8;
+      TraceWalkOut outs[2];
+      for (int d = 0; d < 2; ++d) {
+        w_aln[d].resize(cap);
+        w_fragp[d].resize(L + 2);
+        w_strp[d].resize(L + 2);
+        w_fb[d].resize(nb + 2); w_fe[d].resize(nb + 2);
+        w_sb[d].resize(nb + 1); w_ss[d].resize(nb + 1); w_se[d].resize(nb + 1);
+        w_snpp[d].resize(L + 2); w_snpb[d].resize(L + 2);
+        w_ip[d].resize(cap); w_is[d].resize(cap);
+        w_aln_len[d] = w_nf[d] = w_ns[d] = w_nq[d] = w_ni[d] = 0;
+        w_fi[d] = w_fd[d] = 0;
+        outs[d].aln_out = w_aln[d].data(); outs[d].aln_len = &w_aln_len[d];
+        outs[d].frag_block = w_fb[d].data(); outs[d].frag_end = w_fe[d].data();
+        outs[d].n_frags = &w_nf[d]; outs[d].frag_pool = w_fragp[d].data();
+        outs[d].str_block = w_sb[d].data(); outs[d].str_size = w_ss[d].data();
+        outs[d].str_end = w_se[d].data(); outs[d].n_str = &w_ns[d];
+        outs[d].str_pool = w_strp[d].data();
+        outs[d].snp_pos = w_snpp[d].data(); outs[d].snp_base = w_snpb[d].data();
+        outs[d].n_snps = &w_nq[d];
+        outs[d].indel_pos = w_ip[d].data(); outs[d].indel_size = w_is[d].data();
+        outs[d].n_indels = &w_ni[d];
+        outs[d].flank_ins = &w_fi[d]; outs[d].flank_del = &w_fd[d];
+      }
+      int32_t lv = 0, rv = 0;
+      int32_t rc = hmm_trace_full(
+          (const uint8_t*)seq_ptrs[i], L, (const double*)blw_ptrs[i],
+          (const double*)blc_ptrs[i], seed_bases[i],
+          fw_fill, fw_walk, (const TraceFillArgs*)rev_fill_ptrs[i], rev_walk,
+          (const int64_t*)mid_rows_ptrs[i], (const int64_t*)mid_chars_ptrs[i],
+          n_mids[i], seed_log_priors[i], first_codes[i], last_codes[i],
+          min_snp_lpc, tol, out_max_index + i, out_LL + i, &lv, &outs[0],
+          &rv, &outs[1]);
+      if (rc != 0) { out_rc[i] = rc; continue; }
+      const uint8_t* seq = (const uint8_t*)seq_ptrs[i];
+      const int32_t seed_base = seed_bases[i];
+      const int32_t rlen = L - 1 - seed_base;
+      const int32_t max_index = out_max_index[i];
+
+      // seed's block in the forward haplotype
+      int32_t seed_blk, seed_coord;
+      hap_coords(fw_walk, max_index, &seed_blk, &seed_coord);
+      if (seed_blk < 0) { out_rc[i] = -20; continue; }
+
+      // ---- per-block stutter data ----------------------------------------
+      int32_t* ss_out = stut_size + (size_t)i * nb_stride;
+      uint8_t* sv_out = stut_valid + (size_t)i * nb_stride;
+      int32_t* so_out = str_off + (size_t)i * nb_stride;
+      int32_t* sl_out = str_len + (size_t)i * nb_stride;
+      uint8_t* sp_out = str_pool + (size_t)i * str_stride;
+      for (int b = 0; b < nb_stride; ++b) {
+        ss_out[b] = 0; sv_out[b] = 0; so_out[b] = 0; sl_out[b] = 0;
+      }
+      int sp_used = 0;
+      bool bad = false;
+      for (int d = 0; d < 2 && !bad; ++d) {
+        if ((d == 0 && !lv) || (d == 1 && !rv)) continue;
+        int prev = 0;
+        for (int k = 0; k < w_ns[d]; ++k) {
+          int bi = w_sb[d][k];
+          int fwd_bi = (d == 0) ? bi : (nb - 1 - bi);
+          if (fwd_bi < 0 || fwd_bi >= nb || sv_out[fwd_bi]) { bad = true; break; }
+          sv_out[fwd_bi] = 1;
+          ss_out[fwd_bi] = w_ss[d][k];
+          int len = w_se[d][k] - prev;
+          so_out[fwd_bi] = sp_used;
+          sl_out[fwd_bi] = len;
+          if (d == 0) {       // left walk collects back-to-front: reverse
+            for (int t = 0; t < len; ++t)
+              sp_out[sp_used + t] = w_strp[d][prev + len - 1 - t];
+          } else {
+            for (int t = 0; t < len; ++t)
+              sp_out[sp_used + t] = w_strp[d][prev + t];
+          }
+          sp_used += len;
+          prev = w_se[d][k];
+        }
+      }
+      if (bad) { out_rc[i] = -21; continue; }
+
+      // ---- per-block flank sequences (left piece, seed char, right) ------
+      uint8_t* fp_out = flank_pool + (size_t)i * flank_stride;
+      int32_t* fo_out = flank_off + (size_t)i * nb_stride;
+      int32_t* fl_out = flank_len + (size_t)i * nb_stride;
+      int fp_used = 0;
+      // gather pieces: left walk fragment per block (reversed), seed char,
+      // right walk fragment per block (as-is)
+      for (int b = 0; b < nb; ++b) {
+        fo_out[b] = fp_used;
+        // left piece for block b
+        if (lv) {
+          int prev = 0;
+          for (int k = 0; k < w_nf[0]; ++k) {
+            if (w_fb[0][k] == b) {
+              int len = w_fe[0][k] - prev;
+              for (int t = 0; t < len; ++t)
+                fp_out[fp_used + t] = w_fragp[0][prev + len - 1 - t];
+              fp_used += len;
+            }
+            prev = w_fe[0][k];
+          }
+        }
+        const uint8_t stut = fw_walk->blk_is_stutter[b];
+        if (b == seed_blk && !stut) fp_out[fp_used++] = seq[seed_base];
+        if (rv) {
+          int prev = 0;
+          for (int k = 0; k < w_nf[1]; ++k) {
+            if (nb - 1 - w_fb[1][k] == b) {
+              int len = w_fe[1][k] - prev;
+              for (int t = 0; t < len; ++t)
+                fp_out[fp_used + t] = w_fragp[1][prev + t];
+              fp_used += len;
+            }
+            prev = w_fe[1][k];
+          }
+        }
+        fl_out[b] = fp_used - fo_out[b];
+      }
+      for (int b = nb; b < nb_stride; ++b) { fo_out[b] = 0; fl_out[b] = 0; }
+
+      out_flank_ins[i] = w_fi[0] + w_fi[1];
+      out_flank_del[i] = w_fd[0] + w_fd[1];
+
+      // ---- read->haplotype op string: reverse(left) + 'M' + right --------
+      read_aln.resize((size_t)(lv ? w_aln_len[0] : seed_base) + 1
+                      + (rv ? w_aln_len[1] : rlen));
+      int ra = 0;
+      if (lv) {
+        int ndel = 0;
+        for (int t = w_aln_len[0] - 1; t >= 0; --t) {
+          uint8_t c = w_aln[0][t];
+          read_aln[ra++] = c;
+          if (c == 'D') ++ndel;
+        }
+        if (ra - ndel != seed_base) { out_rc[i] = -22; continue; }
+      } else {
+        for (int t = 0; t < seed_base; ++t) read_aln[ra++] = 'S';
+      }
+      read_aln[ra++] = 'M';
+      if (rv) {
+        int ndel = 0;
+        for (int t = 0; t < w_aln_len[1]; ++t) {
+          uint8_t c = w_aln[1][t];
+          read_aln[ra++] = c;
+          if (c == 'D') ++ndel;
+        }
+        if (w_aln_len[1] - ndel != rlen) { out_rc[i] = -23; continue; }
+      } else {
+        for (int t = 0; t < rlen; ++t) read_aln[ra++] = 'S';
+      }
+
+      // ---- stitch through the haplotype->reference alignment -------------
+      const int64_t off = (int64_t)i * cig_stride;
+      out_rc[i] = stitch_trace(
+          (const char*)hap_aln_ptrs[i], hap_lens[i],
+          (const char*)read_aln.data(), ra,
+          hap_starts[i], max_index, seed_base,
+          (const char*)seq, L,
+          out_start + i, out_stop + i,
+          cigar_ops_pool + off, cigar_num_pool + off, n_cigar + i,
+          aln_pool + off, aln_len + i);
+    }
+  };
+  if (n_threads <= 1 || n < 2 * n_threads) {
+    run_range(0, n);
+  } else {
+    std::vector<std::thread> threads;
+    const int32_t chunk = (n + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      const int32_t lo = t * chunk, hi2 = std::min(n, lo + chunk);
+      if (lo >= hi2) break;
+      threads.emplace_back(run_range, lo, hi2);
+    }
+    for (auto& th : threads) th.join();
+  }
+  return 0;
+}
