@@ -29,8 +29,8 @@ from ..align.alignment_data import Alignment, extract_cigar_bp_diff
 from ..align.debruijn import MAX_KMER, MIN_KMER, MIN_PATH_WEIGHT, DebruijnGraph
 from ..align.hap_generator import HaplotypeGenerator
 from ..align.haplotype import HapBlock, Haplotype
-from ..align.retrace import HapAlignInfo, trace_optimal_aln
-from ..align.traceback import AlignmentTrace
+from ..align.retrace import HapAlignInfo
+from ..align.trace_summary import TraceSummary, trace_summaries
 from ..io.regions import Region
 from ..models.base_quality import BaseQuality
 from ..models.stutter import StutterModel
@@ -210,7 +210,7 @@ class SeqStutterGenotyper:
         self._spec_LL: Optional[np.ndarray] = None
         self.haplotype: Optional[Haplotype] = None
         self.hap_info: Optional[HapAlignInfo] = None
-        self.trace_cache: Dict[Tuple[int, int], AlignmentTrace] = {}
+        self.trace_cache: Dict[Tuple[int, int], TraceSummary] = {}
         self.pool_seeds: Optional[np.ndarray] = None
         self.seed_positions: Optional[np.ndarray] = None
         self.pool_LLs: Optional[np.ndarray] = None  # [P, A] raw pool LLs
@@ -254,6 +254,7 @@ class SeqStutterGenotyper:
         haplotype._inst_content_cache = self.__dict__.setdefault(
             "_inst_content", {})
         self.trace_cache.clear()
+        self._invalidate_trace_view()
 
     @property
     def num_alleles(self) -> int:
@@ -548,6 +549,7 @@ class SeqStutterGenotyper:
         self.log_post, self.sample_total_LLs, total = post_ops.sample_posteriors(
             np, self.log_aln_probs, self.log_p1, self.log_p2,
             self.read_weights, self.sample_label, self.num_samples, priors)
+        self._invalidate_trace_view()
         return float(total)
 
     def posterior_meta(self) -> dict:
@@ -599,6 +601,7 @@ class SeqStutterGenotyper:
         self.log_post = np.asarray(log_post, dtype=np.float64)
         self.sample_total_LLs = np.asarray(sample_total_LLs,
                                            dtype=np.float64)
+        self._invalidate_trace_view()
 
     def get_optimal_haplotypes(self) -> Tuple[np.ndarray, np.ndarray]:
         A = self.num_alleles
@@ -618,61 +621,63 @@ class SeqStutterGenotyper:
             self._pool_logq_cache[pool_idx] = got
         return got
 
-    def _trace_for(self, read_index: int, best_hap: int) -> AlignmentTrace:
+    def _trace_for(self, read_index: int, best_hap: int) -> "TraceSummary":
         key = (int(self.pool_index[read_index]), int(best_hap))
-        trace = self.trace_cache.get(key)
-        if trace is None:
+        summ = self.trace_cache.get(key)
+        if summ is None:
             pooled = self.pooler.pooled_alns[key[0]]
             blw, blc = self._pool_logq(key[0])
-            _, trace = trace_optimal_aln(
-                self.haplotype, best_hap, pooled,
-                int(self.seed_positions[read_index]), blw, blc, self.hap_info)
-            self.trace_cache[key] = trace
-        return trace
+            job = (key[1], pooled, int(self.seed_positions[read_index]),
+                   blw, blc)
+            summ = trace_summaries(self.haplotype, [job], self.hap_info,
+                                   n_threads=1)[0]
+            self.trace_cache[key] = summ
+        return summ
 
     def _trace_plan(self):
-        """(best_haps per read, missing (read, cache-key) list) for the
-        current posteriors (reference retrace_alignments,
+        """(best_haps per read [-1 = no seed], missing (read, cache-key)
+        list) for the current posteriors (reference retrace_alignments,
         seq_stutter_genotyper.cpp:805-841)."""
         haps_a, haps_b = self.get_optimal_haplotypes()
-        best_haps: List[Optional[int]] = []
-        for i in range(self.num_reads):
-            if self.seed_positions[i] < 0:
-                best_haps.append(None)
-                continue
-            s = self.sample_label[i]
-            ha, hb = int(haps_a[s]), int(haps_b[s])
-            v1 = LOG_ONE_HALF + self.log_p1[i] + self.log_aln_probs[i, ha]
-            v2 = LOG_ONE_HALF + self.log_p2[i] + self.log_aln_probs[i, hb]
-            best_haps.append(ha if v1 > v2 else hb)
+        R = self.num_reads
+        ha = haps_a[self.sample_label]
+        hb = haps_b[self.sample_label]
+        ridx = np.arange(R)
+        v1 = LOG_ONE_HALF + self.log_p1 + self.log_aln_probs[ridx, ha]
+        v2 = LOG_ONE_HALF + self.log_p2 + self.log_aln_probs[ridx, hb]
+        best = np.where(v1 > v2, ha, hb).astype(np.int64)
+        valid = self.seed_positions >= 0
+        best[~valid] = -1
 
+        # unique (pool, hap) pairs among valid reads not yet cached
+        H = self.num_alleles
+        vi = np.nonzero(valid)[0]
+        combos = self.pool_index[vi] * H + best[vi]
+        uniq, first = np.unique(combos, return_index=True)
         missing: List[Tuple[int, Tuple[int, int]]] = []
-        seen = set()
-        for i, best in enumerate(best_haps):
-            if best is None:
-                continue
-            key = (int(self.pool_index[i]), int(best))
-            if key not in self.trace_cache and key not in seen:
-                seen.add(key)
-                missing.append((i, key))
-        return best_haps, missing
+        cache = self.trace_cache
+        for u, f in zip(uniq.tolist(), first.tolist()):
+            key = (u // H, u % H)
+            if key not in cache:
+                missing.append((int(vi[f]), key))
+        return best, missing
 
     def _run_trace_batch(self, missing, n_threads: int = 0):
-        from ..align.retrace import trace_batch
+        """TraceSummaries for the given missing (read, key) jobs."""
         jobs = []
         for i, key in missing:
             pooled = self.pooler.pooled_alns[key[0]]
             blw, blc = self._pool_logq(key[0])
             jobs.append((key[1], pooled, int(self.seed_positions[i]),
                          blw, blc))
-        return trace_batch(self.haplotype, jobs, self.hap_info,
-                           n_threads=n_threads)
+        return trace_summaries(self.haplotype, jobs, self.hap_info,
+                               n_threads=n_threads)
 
     def prefetch_traces(self, pool) -> None:
         """Submit the current posteriors' missing ML-trace jobs to a
         thread pool; the native batch releases the GIL, so it overlaps
         other loci's Python while this locus waits its turn.  Identical
-        results to the synchronous path (retrace_alignments collects)."""
+        results to the synchronous path (retrace_summaries collects)."""
         if getattr(self, "_trace_future", None) is not None:
             return
         if self.log_aln_probs is None or self.log_post is None:
@@ -693,24 +698,104 @@ class SeqStutterGenotyper:
         results = fut.result()
         if hap is not self.haplotype or results is None:
             return   # haplotype changed under the prefetch: discard
-        for (i, key), (_, trace) in zip(missing, results):
-            self.trace_cache[key] = trace
+        for (i, key), summ in zip(missing, results):
+            self.trace_cache[key] = summ
 
-    def retrace_alignments(self) -> List[Optional[AlignmentTrace]]:
-        """ML trace per read (reference retrace_alignments,
+    def retrace_summaries(self) -> List[Optional["TraceSummary"]]:
+        """ML trace summary per read (reference retrace_alignments,
         seq_stutter_genotyper.cpp:805-841).  Cache misses are computed in
-        ONE batched native call (align/retrace.trace_batch), possibly
-        prefetched on a thread pool (prefetch_traces)."""
+        ONE batched native call, possibly prefetched on a thread pool."""
         self._collect_trace_future()
         best_haps, missing = self._trace_plan()
-        if len(missing) > 1:
+        if missing:
             results = self._run_trace_batch(missing)
-            if results is not None:
-                for (i, key), (_, trace) in zip(missing, results):
-                    self.trace_cache[key] = trace
+            cache = self.trace_cache
+            for (i, key), summ in zip(missing, results):
+                cache[key] = summ
+        cache = self.trace_cache
+        pool_index = self.pool_index
+        return [cache[(int(pool_index[i]), int(b))] if b >= 0 else None
+                for i, b in enumerate(best_haps)]
 
-        return [None if best is None else self._trace_for(i, best)
-                for i, best in enumerate(best_haps)]
+    def _trace_view(self):
+        """Cached per-read summary arrays for the CURRENT posteriors:
+        (summs list, starts, stops, stut_size [R, NB], flank_indel bool,
+        valid bool).  Invalidated whenever posteriors or the haplotype
+        change (the consumers re-derive everything from it)."""
+        view = getattr(self, "_view_cache", None)
+        if view is not None:
+            return view
+        summs = self.retrace_summaries()
+        R = self.num_reads
+        NB = self.haplotype.num_blocks()
+        starts = np.full(R, np.iinfo(np.int64).max, dtype=np.int64)
+        stops = np.full(R, np.iinfo(np.int64).min, dtype=np.int64)
+        stut = np.zeros((R, NB), dtype=np.int64)
+        valid = np.zeros(R, dtype=bool)
+        for i, s in enumerate(summs):
+            if s is None:
+                continue
+            valid[i] = True
+            starts[i] = s.start
+            stops[i] = s.stop
+            sz = s.stut_size
+            va = s.stut_valid
+            for b in range(NB):
+                if va[b]:
+                    stut[i, b] = sz[b]
+        view = (summs, starts, stops, stut, valid)
+        self._view_cache = view
+        return view
+
+    def _invalidate_trace_view(self) -> None:
+        self._view_cache = None
+
+    def rev_strand_flags(self) -> np.ndarray:
+        """Per-read reverse-strand flags (immutable after init; cached)."""
+        flags = getattr(self, "_rev_flags", None)
+        if flags is None:
+            flags = np.fromiter((a.rev_strand for a in self.alns),
+                                dtype=bool, count=self.num_reads)
+            self._rev_flags = flags
+        return flags
+
+    def summary_stats_for(self, ridx: np.ndarray, best_hap: np.ndarray):
+        """Per-read trace-summary stats for reads `ridx` aligned to their
+        `best_hap` (VCF stats loop; reference
+        seq_stutter_genotyper.cpp:1102-1166): (has_stutter, has_flank_indel,
+        start, stop, total_stutter, summaries) arrays over len(ridx)."""
+        n = len(ridx)
+        H = self.num_alleles
+        pools = self.pool_index[ridx]
+        combos = pools * H + best_hap
+        uniq, inv = np.unique(combos, return_inverse=True)
+        cache = self.trace_cache
+        missing = []
+        for pos, u in enumerate(uniq.tolist()):
+            key = (u // H, u % H)
+            if key not in cache:
+                # representative read for the pool's seed position
+                rep = int(ridx[np.nonzero(inv == pos)[0][0]])
+                missing.append((rep, key))
+        if missing:
+            results = self._run_trace_batch(missing)
+            for (i, key), summ in zip(missing, results):
+                cache[key] = summ
+        u_summ = [cache[(u // H, u % H)] for u in uniq.tolist()]
+        u_has_stut = np.fromiter((s.has_stutter() for s in u_summ),
+                                 dtype=bool, count=len(u_summ))
+        u_flank = np.fromiter(
+            (s.flank_ins != 0 or s.flank_del != 0 for s in u_summ),
+            dtype=bool, count=len(u_summ))
+        u_start = np.fromiter((s.start for s in u_summ), dtype=np.int64,
+                              count=len(u_summ))
+        u_stop = np.fromiter((s.stop for s in u_summ), dtype=np.int64,
+                             count=len(u_summ))
+        u_tot = np.fromiter((s.total_stutter_size() for s in u_summ),
+                            dtype=np.int64, count=len(u_summ))
+        summs = [u_summ[k] for k in inv.tolist()] if n else []
+        return (u_has_stut[inv], u_flank[inv], u_start[inv], u_stop[inv],
+                u_tot[inv], summs)
 
     # ----------------------------------------------------- allele management
     def add_and_remove_alleles(self, alleles_to_remove: List[List[int]],
@@ -800,12 +885,21 @@ class SeqStutterGenotyper:
         # the called-only pass never touches the traces (the reference
         # reads them only under check_spanned, seq_stutter_genotyper.cpp
         # :252-276), so skip the retrace entirely
-        traces = self.retrace_alignments() if check_spanned else None
+        seed_ok = self.seed_positions >= 0
+        if check_spanned:
+            _, starts, stops, stut, valid = self._trace_view()
+            # per-read best hap under the spanned-check tie rule
+            ha_r = haps_a[self.sample_label]
+            hb_r = haps_b[self.sample_label]
+            ridx = np.arange(self.num_reads)
+            v1 = self.log_p1 + self.log_aln_probs[ridx, ha_r]
+            v2 = self.log_p2 + self.log_aln_probs[ridx, hb_r]
+            decided = ((not self.haploid) & (ha_r != hb_r)
+                       & (np.abs(v1 - v2) > TOLERANCE))
+            best_r = np.where(decided & (v2 > v1), hb_r, ha_r)
 
         aligned_read = np.zeros(self.num_samples, dtype=bool)
-        for i in range(self.num_reads):
-            if self.seed_positions[i] >= 0:
-                aligned_read[self.sample_label[i]] = True
+        aligned_read[self.sample_label[seed_ok]] = True
 
         allele_indices: List[List[int]] = []
         for bi, block in enumerate(self.haplotype.blocks):
@@ -813,26 +907,14 @@ class SeqStutterGenotyper:
             if block.num_options() == 1:
                 continue
             hap_to_allele = self.haps_to_alleles(bi)
-            spanned = [False] * block.num_options()
-            called = [False] * block.num_options()
+            spanned = np.zeros(block.num_options(), dtype=bool)
+            called = np.zeros(block.num_options(), dtype=bool)
 
             if check_spanned:
-                for i in range(self.num_reads):
-                    if self.seed_positions[i] < 0:
-                        continue
-                    trace = traces[i]
-                    ta = trace.traced_aln
-                    if ta.start < block.start and ta.stop > block.end:
-                        if trace.stutter_size(bi) == 0:
-                            s = self.sample_label[i]
-                            ha, hb = int(haps_a[s]), int(haps_b[s])
-                            best = ha
-                            if not self.haploid and ha != hb:
-                                v1 = self.log_p1[i] + self.log_aln_probs[i, ha]
-                                v2 = self.log_p2[i] + self.log_aln_probs[i, hb]
-                                if abs(v1 - v2) > TOLERANCE:
-                                    best = ha if v1 > v2 else hb
-                            spanned[hap_to_allele[best]] = True
+                mask = (valid & (starts < block.start)
+                        & (stops > block.end) & (stut[:, bi] == 0))
+                if mask.any():
+                    spanned[hap_to_allele[np.unique(best_r[mask])]] = True
 
             if check_called:
                 for s in range(self.num_samples):
@@ -854,20 +936,15 @@ class SeqStutterGenotyper:
     def get_stutter_candidate_alleles(self, block_index: int) -> List[str]:
         """Reference: seq_stutter_genotyper.cpp:843-879."""
         block = self.haplotype.blocks[block_index]
-        traces = self.retrace_alignments()
-        sample_counts = np.zeros(self.num_samples, dtype=np.int64)
+        summs, starts, stops, stut, valid = self._trace_view()
+        span = valid & (starts < block.start) & (stops > block.end)
+        sample_counts = np.bincount(self.sample_label[span],
+                                    minlength=self.num_samples)
         stutter_counts: List[Dict[str, int]] = [dict() for _ in range(self.num_samples)]
-        for i in range(self.num_reads):
-            trace = traces[i]
-            if trace is None:
-                continue
-            ta = trace.traced_aln
-            if ta.start < block.start and ta.stop > block.end:
-                s = self.sample_label[i]
-                if trace.stutter_size(block_index) != 0:
-                    seq = trace.str_seq(block_index)
-                    stutter_counts[s][seq] = stutter_counts[s].get(seq, 0) + 1
-                sample_counts[s] += 1
+        for i in np.nonzero(span & (stut[:, block_index] != 0))[0].tolist():
+            s = self.sample_label[i]
+            seq = summs[i].str_seq(block_index)
+            stutter_counts[s][seq] = stutter_counts[s].get(seq, 0) + 1
 
         candidates = set()
         for s in range(self.num_samples):
@@ -902,7 +979,7 @@ class SeqStutterGenotyper:
         """Per-sample de Bruijn reassembly of flanking sequences
         (reference: seq_stutter_genotyper.cpp:40-217).  Returns the per-block
         alternate flank sequences to add, or None to abort the locus."""
-        traces = self.retrace_alignments()
+        traces, _, _, _, _ = self._trace_view()
         nblocks = self.haplotype.num_blocks()
         alleles_to_add: List[List[str]] = [[] for _ in range(nblocks)]
         realign_sample = [False] * self.num_samples
@@ -1132,24 +1209,21 @@ class SeqStutterGenotyper:
                                  frac_ll_converge=0.001) -> bool:
         """Retrain EM from ML-alignment stutter calls, then regenotype
         (reference: seq_stutter_genotyper.cpp:1542-1581)."""
-        traces = self.retrace_alignments()
+        summs, starts, stops, stut, valid = self._trace_view()
         for bi, block in enumerate(self.haplotype.blocks):
             if not block.is_repeat:
                 continue
             num_bps = [[] for _ in range(self.num_samples)]
             p1s = [[] for _ in range(self.num_samples)]
             p2s = [[] for _ in range(self.num_samples)]
-            for i in range(self.num_reads):
-                trace = traces[i]
-                if trace is None:
-                    continue
-                ta = trace.traced_aln
-                if ta.start < block.start and ta.stop > block.end:
-                    s = self.sample_label[i]
-                    num_bps[s].append(len(trace.str_seq(bi))
-                                      + trace.stutter_size(bi))
-                    p1s[s].append(float(self.log_p1[i]))
-                    p2s[s].append(float(self.log_p2[i]))
+            span = valid & (starts < block.start) & (stops > block.end)
+            for i in np.nonzero(span)[0].tolist():
+                s = self.sample_label[i]
+                summ = summs[i]
+                num_bps[s].append(len(summ.str_seq_bytes(bi))
+                                  + summ.stutter_size(bi))
+                p1s[s].append(float(self.log_p1[i]))
+                p2s[s].append(float(self.log_p2[i]))
             em = EMStutterGenotyper(self.haploid,
                                     block.repeat_info.period,
                                     num_bps, p1s, p2s, ref_allele=0)

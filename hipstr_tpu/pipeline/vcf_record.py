@@ -171,82 +171,75 @@ def build_vcf_record(g, sample_names: List[str],
         calc_phased_gls=cfg.output_phased_gls)
 
     S = g.num_samples
-    num_aligned = np.zeros(S, dtype=int)
-    num_with_snps = np.zeros(S, dtype=int)
-    num_with_stutter = np.zeros(S, dtype=int)
-    num_with_flank_indels = np.zeros(S, dtype=int)
-    num_strand_one = np.zeros(S, dtype=int)
-    num_strand_two = np.zeros(S, dtype=int)
-    uniq_hap_one = np.zeros(S, dtype=int)
-    uniq_hap_two = np.zeros(S, dtype=int)
-    rv_uniq_hap_one = np.zeros(S, dtype=int)
-    rv_uniq_hap_two = np.zeros(S, dtype=int)
+    # per-read stats over reads with a valid alignment seed, vectorized
+    # (reference per-read loop: seq_stutter_genotyper.cpp:1102-1166)
+    seed_ok = np.asarray(g.seed_positions) >= 0
+    ridx = np.nonzero(seed_ok)[0]
+    samp = g.sample_label[ridx]
+    LAP = g.log_aln_probs
+    ha = ext.best_hap_a[samp].astype(np.int64)
+    hb = ext.best_hap_b[samp].astype(np.int64)
+    p1 = g.log_p1[ridx]
+    p2 = g.log_p2[ridx]
+    a1 = LAP[ridx, ha]
+    a2 = LAP[ridx, hb]
+    v1 = LOG_ONE_HALF + p1 + a1
+    v2 = LOG_ONE_HALF + p2 + a2
+    total = np.logaddexp(v1, v2)
+    phase_vals = v1 - total
+
+    num_aligned = np.bincount(samp, minlength=S)
+    w_gap = (p1 + a1) - (p2 + a2)
+    considered = ((not g.haploid)
+                  & ((ha != hb) | (np.abs(p1 - p2) > TOLERANCE))
+                  & (np.abs(w_gap) > STRAND_TOLERANCE))
+    uniq1 = considered & (w_gap > 0)
+    uniq2 = considered & ~(w_gap > 0)
+    rev = g.rev_strand_flags()[ridx]
+    uniq_hap_one = np.bincount(samp[uniq1], minlength=S)
+    uniq_hap_two = np.bincount(samp[uniq2], minlength=S)
+    rv_uniq_hap_one = np.bincount(samp[uniq1 & rev], minlength=S)
+    rv_uniq_hap_two = np.bincount(samp[uniq2 & rev], minlength=S)
+    read_strand = uniq2.astype(np.int8)
+    best_hap = np.where(uniq2, hb, ha)
+
+    snp_mask = np.abs(p1 - p2) > TOLERANCE
+    num_with_snps = np.bincount(samp[snp_mask], minlength=S)
+    num_strand_one = np.bincount(samp[snp_mask & (p1 > p2)], minlength=S)
+    num_strand_two = np.bincount(samp[snp_mask & ~(p1 > p2)], minlength=S)
+
+    # trace summaries per unique (pool, best_hap) pair
+    (t_has_stut, t_flank, t_start, t_stop,
+     t_totstut, t_summ) = g.summary_stats_for(ridx, best_hap)
+    num_with_stutter = np.bincount(samp[t_has_stut], minlength=S)
+    num_with_flank_indels = np.bincount(samp[t_flank], minlength=S)
+
     bps_per_sample: List[List[int]] = [[] for _ in range(S)]
     ml_bps_per_sample: List[List[int]] = [[] for _ in range(S)]
-    log_read_phases: List[List[float]] = [[] for _ in range(S)]
-    viz_alns: List[list] = [[] for _ in range(S)] if cfg.viz_out else None
-
-    for i in range(g.num_reads):
-        if g.seed_positions[i] < 0:
-            continue
-        s = int(g.sample_label[i])
-        ha = int(ext.best_hap_a[s])
-        hb = int(ext.best_hap_b[s])
-        v1 = LOG_ONE_HALF + g.log_p1[i] + g.log_aln_probs[i, ha]
-        v2 = LOG_ONE_HALF + g.log_p2[i] + g.log_aln_probs[i, hb]
-        total = np.logaddexp(v1, v2)
-        log_read_phases[s].append(float(v1 - total))
-
-        read_strand = 0
-        if not g.haploid and (ha != hb or abs(g.log_p1[i] - g.log_p2[i]) > TOLERANCE):
-            w1 = g.log_p1[i] + g.log_aln_probs[i, ha]
-            w2 = g.log_p2[i] + g.log_aln_probs[i, hb]
-            if abs(w1 - w2) > STRAND_TOLERANCE:
-                read_strand = 0 if w1 > w2 else 1
-                if read_strand == 0:
-                    uniq_hap_one[s] += 1
-                    if g.alns[i].rev_strand:
-                        rv_uniq_hap_one[s] += 1
-                else:
-                    uniq_hap_two[s] += 1
-                    if g.alns[i].rev_strand:
-                        rv_uniq_hap_two[s] += 1
-
-        best_hap = ha if read_strand == 0 else hb
-        trace = g._trace_for(i, best_hap)
-
-        if trace.has_stutter():
-            num_with_stutter[s] += 1
-        if trace.flank_ins_size != 0 or trace.flank_del_size != 0:
-            num_with_flank_indels[s] += 1
-        num_aligned[s] += 1
-        if viz_alns is not None:
-            # --viz-left-alns renders the left-aligned input alignments
-            # instead of the ML-traced ones (reference:
-            # seq_stutter_genotyper.cpp:1129-1130, 1521-1527)
-            viz_alns[s].append((read_strand,
-                                g.alns[i] if cfg.viz_left_alns
-                                else trace.traced_aln))
-
-        if abs(g.log_p1[i] - g.log_p2[i]) > TOLERANCE:
-            num_with_snps[s] += 1
-            if g.log_p1[i] > g.log_p2[i]:
-                num_strand_one[s] += 1
-            else:
-                num_strand_two[s] += 1
-
+    lo_bound = region.start - 4 if region.start > 4 else 0
+    span_ml = (t_start < lo_bound) & (t_stop > region.stop + 4)
+    ml_vals = (np.asarray(allele_bp_diffs)[hap_to_allele[best_hap]]
+               + t_totstut)
+    for k in np.nonzero(span_ml)[0].tolist():
+        ml_bps_per_sample[samp[k]].append(int(ml_vals[k]))
+    for k, i in enumerate(ridx.tolist()):
+        aln = g.alns[i]
         bp_diff = extract_cigar_bp_diff(
-            g.alns[i].cigar, g.alns[i].start,
+            aln.cigar, aln.start,
             region.start - region.period, region.stop + region.period)
         if bp_diff is not None:
-            bps_per_sample[s].append(bp_diff)
+            bps_per_sample[samp[k]].append(bp_diff)
 
-        ta = trace.traced_aln
-        if ta.start < (region.start - 4 if region.start > 4 else 0) and \
-                ta.stop > region.stop + 4:
-            ml_bps_per_sample[s].append(
-                allele_bp_diffs[hap_to_allele[best_hap]]
-                + trace.total_stutter_size())
+    viz_alns: List[list] = None
+    if cfg.viz_out:
+        # --viz-left-alns renders the left-aligned input alignments
+        # instead of the ML-traced ones (reference:
+        # seq_stutter_genotyper.cpp:1129-1130, 1521-1527)
+        viz_alns = [[] for _ in range(S)]
+        for k, i in enumerate(ridx.tolist()):
+            viz_alns[samp[k]].append(
+                (int(read_strand[k]),
+                 g.alns[i] if cfg.viz_left_alns else t_summ[k].traced_aln))
 
     # allele counts
     interest = set(sample_names)
@@ -401,7 +394,7 @@ def build_vcf_record(g, sample_names: List[str],
             continue
 
         phase1_reads = (0.0 if num_aligned[s] == 0 else
-                        float(np.exp(_lse(log_read_phases[s]))))
+                        float(np.exp(_lse(phase_vals[samp == s]))))
         phase2_reads = num_aligned[s] - phase1_reads
 
         ga, gb = int(ext.best_gt_a[s]), int(ext.best_gt_b[s])
@@ -510,9 +503,9 @@ def build_vcf_record(g, sample_names: List[str],
     return region.chrom, pos, "".join(out), stats
 
 
-def _lse(vals: List[float]) -> float:
-    if not vals:
+def _lse(vals) -> float:
+    arr = np.asarray(vals)
+    if arr.size == 0:
         return -np.inf
-    arr = np.array(vals)
     m = arr.max()
     return float(m + np.log(np.sum(np.exp(arr - m))))

@@ -52,20 +52,40 @@ def main():
             print(res.stderr[-2000:], file=sys.stderr)
             return 1
         loci_per_sec = args.loci / dt
+        # shallow (20 reads/sample) keeps the legacy key names; the deep
+        # 30x-coverage config (the headline workload, README.md:87 of the
+        # reference: a deeply-sequenced trio) lands under *_deep keys so
+        # bench.py reports vs_baseline for both
+        deep = args.reads >= 100
+        prefix = "ref_deep" if deep else "ref"
         out = {
-            "ref_loci_per_sec": round(loci_per_sec, 3),
-            "wall_seconds": round(dt, 3),
-            "loci": args.loci,
-            "samples": args.samples,
-            "reads_per_sample": args.reads,
+            f"{prefix}_loci_per_sec": round(loci_per_sec, 3),
+            f"{prefix}_wall_seconds": round(dt, 3),
+            f"{prefix}_loci": args.loci,
+            f"{prefix}_samples": args.samples,
+            f"{prefix}_reads_per_sample": args.reads,
             "binary": args.binary,
             "note": "single-core reference binary, simulated trio-scale loci "
                     "(python tools/measure_reference.py)",
         }
+        if not deep:
+            out["ref_loci_per_sec"] = round(loci_per_sec, 3)
+            out["wall_seconds"] = round(dt, 3)
+            out["loci"] = args.loci
+            out["samples"] = args.samples
+            out["reads_per_sample"] = args.reads
         path = os.path.join(os.path.dirname(__file__),
                             "reference_baseline.json")
+        merged = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as fh:
+                    merged = json.load(fh)
+            except Exception:
+                merged = {}
+        merged.update(out)
         with open(path, "w") as fh:
-            json.dump(out, fh, indent=2)
+            json.dump(merged, fh, indent=2)
         print(json.dumps(out))
     return 0
 
