@@ -401,6 +401,61 @@ class BamReader:
                         rec.end_position() > start:
                     yield rec
 
+    def fetch_raw(self, chrom: str, start: int, end: int):
+        """Raw record bodies for the [start, end) fetch window:
+        (blob bytes, body offsets, body lengths, ref_id), or None when no
+        index / unknown chrom.  Position screening is left to the consumer
+        (native bam_filter_batch applies the same yield condition as
+        fetch); trailing records of a BAI chunk may extend past the window
+        and are screened there too."""
+        try:
+            rid = self.ref_names.index(chrom)
+        except ValueError:
+            return b"", [], [], -1
+        if self._bai is None:
+            return None
+        bins, linear = self._bai[rid]
+        chunks = []
+        min_lin = linear[start >> 14] if (start >> 14) < len(linear) else None
+        for b in reg2bins(start, end):
+            for cb, ce in bins.get(b, []):
+                if min_lin is not None and ce <= min_lin:
+                    continue
+                chunks.append((cb, ce))
+        chunks.sort()
+        merged = []
+        for cb, ce in chunks:
+            if merged and cb <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+            else:
+                merged.append((cb, ce))
+        blob = bytearray()
+        offs: List[int] = []
+        lens: List[int] = []
+        r = self._r
+        for cb, ce in merged:
+            r.seek_virtual(cb)
+            # bulk-read the chunk's inflated bytes, then split records by
+            # their length prefixes; the final record may extend past ce
+            # (BAI chunk ends bound record STARTS) — read its tail directly
+            data = bytearray(r.read_upto(ce))
+            base = len(blob)
+            off = 0
+            while off < len(data):
+                if off + 4 > len(data):
+                    data.extend(r.read(off + 4 - len(data)))
+                sz = int.from_bytes(data[off:off + 4], "little")
+                end = off + 4 + sz
+                if end > len(data):
+                    data.extend(r.read(end - len(data)))
+                    if len(data) < end:
+                        break  # truncated file
+                offs.append(base + off + 4)
+                lens.append(sz)
+                off = end
+            blob.extend(data)
+        return bytes(blob), offs, lens, rid
+
     def read_groups(self) -> List[Dict[str, str]]:
         """Parsed @RG lines from the header."""
         out = []

@@ -141,6 +141,28 @@ class BgzfReader:
             n -= take
         return bytes(out)
 
+    def read_upto(self, voffset_end: int) -> bytes:
+        """All bytes from the current virtual offset up to exactly
+        `voffset_end`, sliced block-at-a-time (no per-record read calls)."""
+        target_coffset = voffset_end >> 16
+        target_within = voffset_end & 0xffff
+        out = bytearray()
+        while True:
+            if not self._block_data and not self._read_block_at(
+                    self._next_coffset):
+                break
+            if self._block_coffset == target_coffset:
+                out.extend(self._block_data[self._within:target_within])
+                self._within = target_within
+                break
+            if self._block_coffset > target_coffset:
+                break
+            out.extend(self._block_data[self._within:])
+            self._within = len(self._block_data)
+            if not self._read_block_at(self._next_coffset):
+                break
+        return bytes(out)
+
     def read_all(self) -> bytes:
         # fast path: scan block headers for the decompressed size, then let
         # the native kernel inflate everything in one pass

@@ -132,6 +132,23 @@ def _load():
                 + [ctypes.c_int32] + [ctypes.c_void_p] * 5)   # cigar + aligned
         except AttributeError:
             pass  # stale library without the summary entry
+        try:
+            lib.bam_filter_batch.restype = ctypes.c_int32
+            lib.bam_filter_batch.argtypes = (
+                [ctypes.c_char_p, ctypes.c_int64,          # blob
+                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,  # offs
+                 ctypes.c_int64, ctypes.c_int64,           # fetch window
+                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,    # region
+                 ctypes.c_int32,                           # qual trim
+                 ctypes.c_int64, ctypes.c_int64,           # trim2 window
+                 ctypes.c_char_p, ctypes.c_int64]          # chrom seq
+                + [ctypes.c_int32] * 5                     # filter consts
+                + [ctypes.c_char_p] * 8                    # adapters
+                + [ctypes.c_int32, ctypes.c_int32, ctypes.c_double]
+                + [ctypes.c_int32, ctypes.c_int32]         # strides
+                + [ctypes.c_void_p] * 45)                  # outputs
+        except AttributeError:
+            pass  # stale library without the filter entry
         lib.stitch_ops.restype = ctypes.c_int32
         lib.stitch_ops.argtypes = [
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
@@ -851,3 +868,118 @@ def hmm_trace_summary_batch_native(jobs, hap_aln_infos, hap_start: int,
     if rc != 0:
         return None
     return out
+
+
+def bam_filter_batch_native(blob: bytes, rec_off, rec_len,
+                            f_start: int, f_end: int,
+                            g_start: int, g_stop: int, target_rid: int,
+                            qual_trim_ch: int,
+                            trim2_min_start: int, trim2_max_stop: int,
+                            chrom_seq_b: bytes,
+                            min_flank: int, match_window: int,
+                            min_end_match: int, min_bp_before_indel: int,
+                            do_adapter_trim: bool,
+                            adapters, min_overlap: int, max_err: float,
+                            max_seq: int = 512, max_cig: int = 64):
+    """Decode + filter-cascade one locus's BAM records in one call
+    (native bam_filter_batch).  Returns a dict of columnar arrays or None
+    when the entry is unavailable.  `adapters` is the 8-tuple
+    (r1_fw0, r1_fw1, r2_fw0, r2_fw1, r1_rc0, r1_rc1, r2_rc0, r2_rc1) of
+    equal-length adapter byte strings."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bam_filter_batch"):
+        return None
+    import numpy as np
+    n = len(rec_off)
+    if n == 0:
+        return {}
+    rec_off = np.ascontiguousarray(rec_off, dtype=np.int64)
+    rec_len = np.ascontiguousarray(rec_len, dtype=np.int32)
+    # grow-only per-thread output buffers: every field is written (or
+    # defaulted) by the C side per record, and callers copy what they keep,
+    # so reuse across calls is safe and saves multi-MB allocations
+    _SPEC = (("status", np.uint8, 1), ("overlaps", np.uint8, 1),
+             ("has_n", np.uint8, 1), ("p2_flank_ok", np.uint8, 1),
+             ("p2_largest_ok", np.uint8, 1), ("p2_endmatch_ok", np.uint8, 1),
+             ("p2_indel_ok", np.uint8, 1), ("rec_err", np.uint8, 1),
+             ("flag", np.int32, 1), ("ref_id", np.int32, 1),
+             ("mate_rid", np.int32, 1), ("pos", np.int64, 1),
+             ("end_pos", np.int64, 1), ("orig_pos", np.int64, 1),
+             ("mate_pos", np.int64, 1), ("name_off", np.int64, 1),
+             ("name_len", np.int32, 1),
+             ("seq_pool", np.uint8, "seq"), ("qual_pool", np.uint8, "seq"),
+             ("seq_len", np.int32, 1),
+             ("cig_op", np.uint8, "cig"), ("cig_n", np.int32, "cig"),
+             ("n_cig", np.int32, 1), ("pos2", np.int64, 1),
+             ("end2", np.int64, 1), ("l2", np.int32, 1), ("r2", np.int32, 1),
+             ("cig2_op", np.uint8, "cig"), ("cig2_n", np.int32, "cig"),
+             ("n_cig2", np.int32, 1), ("matches_ref", np.uint8, 1),
+             ("rg_off", np.int32, 1), ("rg_len", np.int32, 1),
+             ("xa_off", np.int32, 1), ("xa_len", np.int32, 1),
+             ("sa_off", np.int32, 1), ("sa_len", np.int32, 1),
+             ("as_val", np.int32, 1), ("as_has", np.uint8, 1),
+             ("xs_val", np.int32, 1), ("xs_has", np.uint8, 1),
+             ("hp_val", np.int32, 1), ("hp_has", np.uint8, 1),
+             ("adapter_trim_bases", np.int32, 1),
+             ("adapter_class", np.uint8, 1))
+    tls = _filter_buf_tls
+    cached = getattr(tls, "buf", None)
+    dims = getattr(tls, "dims", None)
+    if cached is None or dims[0] < n or dims[1] != max_seq \
+            or dims[2] != max_cig:
+        cap = max(n, dims[0] if cached else 0, 256)
+        cached = {}
+        for name, dt, kind in _SPEC:
+            if kind == 1:
+                cached[name] = np.empty(cap, dtype=dt)
+            elif kind == "seq":
+                cached[name] = np.empty((cap, max_seq), dtype=dt)
+            else:
+                cached[name] = np.empty((cap, max_cig), dtype=dt)
+        tls.buf = cached
+        tls.dims = (cap, max_seq, max_cig)
+    out = {name: cached[name][:n] for name, _, _ in _SPEC}
+    o = out
+    rc = lib.bam_filter_batch(
+        blob, len(blob), rec_off.ctypes.data, rec_len.ctypes.data, n,
+        f_start, f_end,
+        g_start, g_stop, target_rid, qual_trim_ch,
+        trim2_min_start, trim2_max_stop,
+        chrom_seq_b, len(chrom_seq_b),
+        min_flank, match_window, min_end_match, min_bp_before_indel,
+        1 if do_adapter_trim else 0,
+        *adapters,
+        len(adapters[0]), min_overlap, max_err,
+        max_seq, max_cig,
+        o["status"].ctypes.data, o["overlaps"].ctypes.data,
+        o["has_n"].ctypes.data,
+        o["p2_flank_ok"].ctypes.data, o["p2_largest_ok"].ctypes.data,
+        o["p2_endmatch_ok"].ctypes.data, o["p2_indel_ok"].ctypes.data,
+        o["rec_err"].ctypes.data,
+        o["flag"].ctypes.data, o["ref_id"].ctypes.data,
+        o["mate_rid"].ctypes.data,
+        o["pos"].ctypes.data, o["end_pos"].ctypes.data,
+        o["orig_pos"].ctypes.data, o["mate_pos"].ctypes.data,
+        o["name_off"].ctypes.data, o["name_len"].ctypes.data,
+        o["seq_pool"].ctypes.data, o["qual_pool"].ctypes.data,
+        o["seq_len"].ctypes.data,
+        o["cig_op"].ctypes.data, o["cig_n"].ctypes.data,
+        o["n_cig"].ctypes.data,
+        o["pos2"].ctypes.data, o["end2"].ctypes.data,
+        o["l2"].ctypes.data, o["r2"].ctypes.data,
+        o["cig2_op"].ctypes.data, o["cig2_n"].ctypes.data,
+        o["n_cig2"].ctypes.data, o["matches_ref"].ctypes.data,
+        o["rg_off"].ctypes.data, o["rg_len"].ctypes.data,
+        o["xa_off"].ctypes.data, o["xa_len"].ctypes.data,
+        o["sa_off"].ctypes.data, o["sa_len"].ctypes.data,
+        o["as_val"].ctypes.data, o["as_has"].ctypes.data,
+        o["xs_val"].ctypes.data, o["xs_has"].ctypes.data,
+        o["hp_val"].ctypes.data, o["hp_has"].ctypes.data,
+        o["adapter_trim_bases"].ctypes.data,
+        o["adapter_class"].ctypes.data)
+    if rc != 0:
+        return None
+    return out
+
+
+_filter_buf_tls = threading.local()

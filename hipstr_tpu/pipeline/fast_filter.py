@@ -1,0 +1,375 @@
+"""Columnar read filtering: native decode + cascade, Python state machine.
+
+The per-record work of BamProcessor::read_and_filter_reads — BAM record
+decode, quality-end trimming, adapter trimming, N/quality screens and the
+haplotype-generation eligibility predicates (reference:
+src/bam_processor.cpp:173-474, src/bam_io.cpp trims,
+src/alignment_filters.cpp) — runs in ONE native call per (locus, BAM) via
+native/bam_filter.cpp, which also precomputes the region±40 trim used by
+left alignment.  This module replays the stateful mate-pairing machine over
+the columnar verdicts and materializes lightweight FilterRead objects
+(BamAlign-compatible surface) only for surviving records.
+
+Falls back to the object path (processor.read_and_filter_reads) when the
+native entry is unavailable, a record overflows the columnar strides, or
+the --pass-bam/--filt-bam writers need full records.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..models.base_quality import _LOG_CORRECT_BY_BYTE
+from .adapter_trimmer import (MAX_ERROR_RATE, MIN_OVERLAP, NEXTERA_R1,
+                              NEXTERA_R2, TRUSEQ_R1, TRUSEQ_R2,
+                              reverse_complement)
+
+_ADAPTERS = tuple(
+    a.encode() for a in
+    (TRUSEQ_R1, NEXTERA_R1, TRUSEQ_R2, NEXTERA_R2,
+     reverse_complement(TRUSEQ_R1), reverse_complement(NEXTERA_R1),
+     reverse_complement(TRUSEQ_R2), reverse_complement(NEXTERA_R2)))
+
+
+class _RecLite:
+    """The .rec surface downstream consumers touch (original coords)."""
+
+    __slots__ = ("pos", "mate_pos", "flag")
+
+    def __init__(self, pos: int, mate_pos: int, flag: int):
+        self.pos = pos
+        self.mate_pos = mate_pos
+        self.flag = flag
+
+    @property
+    def is_paired(self) -> bool:
+        return bool(self.flag & 0x1)
+
+    @property
+    def is_reverse(self) -> bool:
+        return bool(self.flag & 0x10)
+
+    @property
+    def is_first_mate(self) -> bool:
+        return bool(self.flag & 0x40)
+
+    @property
+    def is_second_mate(self) -> bool:
+        return bool(self.flag & 0x80)
+
+
+class FilterRead:
+    """BamAlign-compatible read built from the columnar filter output."""
+
+    __slots__ = ("pos", "end_pos", "bases", "quals", "cigar", "name",
+                 "filename", "ref_name", "pass_two", "rec", "_tags",
+                 "_trim2", "_matches_ref")
+
+    def __init__(self, pos, end_pos, bases, quals, cigar, name, filename,
+                 ref_name, rec, tags, trim2, matches_ref):
+        self.pos = pos
+        self.end_pos = end_pos
+        self.bases = bases
+        self.quals = quals
+        self.cigar = cigar
+        self.name = name
+        self.filename = filename
+        self.ref_name = ref_name
+        self.rec = rec
+        self._tags = tags
+        self._trim2 = trim2          # (pos2, end2, l2, r2, cigar2) or None
+        self._matches_ref = matches_ref
+        self.pass_two = "0"
+
+    @property
+    def length(self) -> int:
+        return len(self.bases)
+
+    def get_tag(self, tag: str):
+        return self._tags.get(tag)
+
+    def matches_reference(self) -> bool:
+        return self._matches_ref
+
+    def trim_alignment(self, min_read_start: int, max_read_stop: int,
+                       min_base_qual: str = "~") -> None:
+        """Swap in the precomputed region±40 trim (left_align_reads is the
+        only caller on this class; the window is fixed per locus)."""
+        t = self._trim2
+        assert t is not None, "no precomputed trim for this read"
+        pos2, end2, l2, r2, cigar2 = t
+        self.pos = pos2
+        self.end_pos = end2
+        if l2 or r2:
+            self.bases = self.bases[l2:len(self.bases) - r2]
+            self.quals = self.quals[l2:len(self.quals) - r2]
+        self.cigar = cigar2
+
+
+def read_and_filter_reads_fast(pipeline, region, chrom_seq: str):
+    """Columnar-native replacement for read_and_filter_reads; returns the
+    same (rg_names, paired_by_rg, mates_by_rg, unpaired_by_rg, too_many)
+    tuple, or None to signal the caller to use the object path."""
+    from .. import native as _native
+    opts = pipeline.opts
+    if pipeline.pass_writer is not None or pipeline.filt_writer is not None:
+        return None   # full-record writers need the object path
+    lib = _native._load()
+    if lib is None or not hasattr(lib, "bam_filter_batch"):
+        return None
+
+    chrom_b = getattr(pipeline, "_chrom_seq_bytes", None)
+    if chrom_b is None or pipeline.__dict__.get("_chrom_seq_for") \
+            is not chrom_seq:
+        chrom_b = chrom_seq.encode("latin1")
+        pipeline._chrom_seq_bytes = chrom_b
+        pipeline._chrom_seq_for = chrom_seq
+
+    g_start, g_stop = region.start, region.stop
+    mate_dist = opts.max_mate_dist
+    qual_trim = opts.base_qual_trim
+    trim2_min = region.start - 40 if region.start > 40 else 1
+    trim2_max = region.stop + 40
+
+    paired_strs: List[FilterRead] = []
+    mate_alns: List[FilterRead] = []
+    unpaired_strs: List[FilterRead] = []
+    potential_strs: Dict[str, FilterRead] = {}
+    potential_mates: Dict[str, FilterRead] = {}
+    too_many_reads = False
+    trimmer = pipeline.adapter_trimmer
+
+    for file_index, rdr in enumerate(pipeline.readers):
+        raw = getattr(rdr, "fetch_raw", lambda *a: None)(
+            region.chrom, max(0, g_start - mate_dist), g_stop + mate_dist)
+        if raw is None:
+            return None
+        blob, offs, lens, rid = raw
+        potential_mates.clear()
+        label = f"{file_index + 1}_"
+        if not offs:
+            continue
+        o = _native.bam_filter_batch_native(
+            blob, offs, lens,
+            max(0, g_start - mate_dist), g_stop + mate_dist,
+            g_start, g_stop, rid,
+            ord(qual_trim[0]) if qual_trim else 0,
+            trim2_min, trim2_max, chrom_b,
+            5, 15, 10, 7,                       # MIN_FLANK/WINDOW/END/INDEL
+            trimmer.trim, _ADAPTERS, MIN_OVERLAP, MAX_ERROR_RATE)
+        if o is None:
+            return None
+        if (o["rec_err"] == 1).any():
+            return None                          # stride overflow: fallback
+        status = o["status"]
+        n = len(status)
+        # adapter-trimming statistics (cosmetic summary parity)
+        acls = o["adapter_class"]
+        abases = o["adapter_trim_bases"]
+        for cls, attr in ((1, "r1"), (2, "r2")):
+            m = acls == cls
+            setattr(trimmer, attr + "_total_reads",
+                    getattr(trimmer, attr + "_total_reads") + int(m.sum()))
+            setattr(trimmer, attr + "_trimmed_reads",
+                    getattr(trimmer, attr + "_trimmed_reads")
+                    + int((m & (abases > 0)).sum()))
+            setattr(trimmer, attr + "_trimmed_bases",
+                    getattr(trimmer, attr + "_trimmed_bases")
+                    + int(abases[m].sum()))
+
+        overlaps_a = o["overlaps"]
+        has_n_a = o["has_n"]
+        seq_pool = o["seq_pool"]
+        qual_pool = o["qual_pool"]
+        seq_len = o["seq_len"]
+        # qual-sum screen, vectorized with the exact per-read numpy-sum
+        # semantics of BaseQuality.sum_log_prob_correct: one masked padded
+        # matrix would change summation order, so sum per row slice
+        pass_one = np.zeros(n, dtype=bool)
+        cand = np.nonzero((status == 4) & (overlaps_a == 1)
+                          & (has_n_a == 0))[0]
+        for i in cand.tolist():
+            qsum = float(np.sum(
+                _LOG_CORRECT_BY_BYTE[qual_pool[i, :seq_len[i]]]))
+            pass_one[i] = qsum >= -10.0
+        if ((o["rec_err"] == 2) & pass_one).any():
+            raise AssertionError("improper CIGAR in end-match scan")
+        pass_two_a = ((o["p2_flank_ok"] == 1) & (o["p2_largest_ok"] == 1)
+                      & (o["p2_endmatch_ok"] == 1) & (o["p2_indel_ok"] == 1))
+
+        # convert the per-record scalar columns to python lists once (a
+        # numpy scalar extraction per field per read costs more than the
+        # whole bulk conversion)
+        names = o["name_off"].tolist()
+        name_lens = o["name_len"].tolist()
+        flags = o["flag"].tolist()
+        pos_l = o["pos"].tolist()
+        end_l = o["end_pos"].tolist()
+        opos_l = o["orig_pos"].tolist()
+        mpos_l = o["mate_pos"].tolist()
+        cig_op = o["cig_op"]
+        cig_n = o["cig_n"]
+        n_cig = o["n_cig"].tolist()
+        pos2_l = o["pos2"].tolist()
+        end2_l = o["end2"].tolist()
+        l2_l = o["l2"].tolist()
+        r2_l = o["r2"].tolist()
+        cig2_op = o["cig2_op"]
+        cig2_n = o["cig2_n"]
+        n_cig2 = o["n_cig2"].tolist()
+        mref_l = o["matches_ref"].tolist()
+        rg_off = o["rg_off"].tolist()
+        rg_len = o["rg_len"].tolist()
+        xa_off = o["xa_off"].tolist()
+        xa_len = o["xa_len"].tolist()
+        sa_off = o["sa_off"].tolist()
+        sa_len = o["sa_len"].tolist()
+        as_val = o["as_val"].tolist()
+        as_has = o["as_has"].tolist()
+        xs_val = o["xs_val"].tolist()
+        xs_has = o["xs_has"].tolist()
+        hp_val = o["hp_val"].tolist()
+        hp_has = o["hp_has"].tolist()
+        seq_len_l = seq_len.tolist()
+        filename = rdr.path
+        ref_name = region.chrom
+
+        def build(i: int) -> FilterRead:
+            no = names[i]
+            nm = blob[no:no + name_lens[i]].decode("latin1")
+            L = seq_len_l[i]
+            bases = seq_pool[i, :L].tobytes().decode("latin1")
+            quals = qual_pool[i, :L].tobytes().decode("latin1")
+            nc = n_cig[i]
+            cigar = list(zip(cig_n[i, :nc].tolist(),
+                             cig_op[i, :nc].tobytes().decode("latin1")))
+            tags = {}
+            if rg_len[i] or rg_off[i]:
+                tags["RG"] = blob[rg_off[i]:rg_off[i] + rg_len[i]].decode(
+                    "latin1")
+            if xa_off[i]:
+                tags["XA"] = blob[xa_off[i]:xa_off[i] + xa_len[i]].decode(
+                    "latin1")
+            if sa_off[i]:
+                tags["SA"] = blob[sa_off[i]:sa_off[i] + sa_len[i]].decode(
+                    "latin1")
+            if as_has[i]:
+                tags["AS"] = as_val[i]
+            if xs_has[i]:
+                tags["XS"] = xs_val[i]
+            if hp_has[i]:
+                tags["HP"] = hp_val[i]
+            trim2 = None
+            nc2 = n_cig2[i]
+            if nc2 >= 0:
+                cigar2 = list(zip(cig2_n[i, :nc2].tolist(),
+                                  cig2_op[i, :nc2].tobytes().decode(
+                                      "latin1")))
+                trim2 = (pos2_l[i], end2_l[i], l2_l[i], r2_l[i], cigar2)
+            rec = _RecLite(opos_l[i], mpos_l[i], flags[i])
+            return FilterRead(pos_l[i], end_l[i], bases, quals,
+                              cigar, nm, filename, ref_name, rec, tags,
+                              trim2, bool(mref_l[i]))
+
+        trim_name = pipeline._trim_name
+        valid_pairing = pipeline._valid_pairing
+        status_l = status.tolist()
+        overlaps_l = overlaps_a.tolist()
+        pass_one_l = pass_one.tolist()
+        pass_two_l = pass_two_a.tolist()
+        for i in range(n):
+            st = status_l[i]
+            if st == 0:
+                continue
+            if len(paired_strs) > opts.max_reads:
+                too_many_reads = True
+                break
+            if st != 4:
+                continue   # silent skips and HARD_CLIPPED
+            aln = build(i)
+            aln_key = label + trim_name(aln.name)
+            if overlaps_l[i]:
+                p1 = pass_one_l[i]
+                if p1:
+                    aln.pass_two = "1" if pass_two_l[i] else "0"
+                    mate = potential_mates.pop(aln_key, None)
+                    if mate is not None:
+                        if mate.rec.is_first_mate == aln.rec.is_first_mate:
+                            potential_strs[aln_key] = aln
+                            continue
+                        if valid_pairing(aln, mate):
+                            paired_strs.append(aln)
+                            mate_alns.append(mate)
+                    else:
+                        other = potential_strs.get(aln_key)
+                        if other is not None:
+                            if other.rec.is_first_mate == aln.rec.is_first_mate:
+                                continue
+                            del potential_strs[aln_key]
+                            if valid_pairing(aln, other):
+                                paired_strs.append(aln)
+                                mate_alns.append(other)
+                                paired_strs.append(other)
+                                mate_alns.append(aln)
+                        else:
+                            potential_strs[aln_key] = aln
+                else:
+                    potential_mates[aln_key] = aln
+            else:
+                other = potential_strs.get(aln_key)
+                if other is not None:
+                    if other.rec.is_first_mate == aln.rec.is_first_mate:
+                        continue
+                    del potential_strs[aln_key]
+                    if valid_pairing(other, aln):
+                        paired_strs.append(other)
+                        mate_alns.append(aln)
+                else:
+                    prev = potential_mates.get(aln_key)
+                    if prev is not None:
+                        if prev.rec.is_first_mate != aln.rec.is_first_mate:
+                            del potential_mates[aln_key]
+                    else:
+                        potential_mates[aln_key] = aln
+        if too_many_reads:
+            break
+
+    # leftover unpaired reads in key-sorted order (reference std::map
+    # semantics, bam_processor.cpp:183,408-425)
+    for aln_key in sorted(potential_strs):
+        aln = potential_strs[aln_key]
+        if aln.get_tag("XA") is not None:
+            continue
+        if not opts.use_unpaired:
+            continue
+        unpaired_strs.append(aln)
+
+    # group by read group / sample in reversed accumulation order
+    # (reference pops off the back, bam_processor.cpp:440-470)
+    rg_indices: Dict[str, int] = {}
+    rg_names: List[str] = []
+    paired_by_rg: List[List[FilterRead]] = []
+    mates_by_rg: List[List[FilterRead]] = []
+    unpaired_by_rg: List[List[FilterRead]] = []
+    for kind, src, mates in ((0, paired_strs, mate_alns),
+                             (1, unpaired_strs, None)):
+        for i in range(len(src) - 1, -1, -1):
+            aln = src[i]
+            rg = pipeline._get_rg(aln)
+            if rg not in rg_indices:
+                rg_indices[rg] = len(rg_names)
+                rg_names.append(rg)
+                paired_by_rg.append([])
+                mates_by_rg.append([])
+                unpaired_by_rg.append([])
+            k = rg_indices[rg]
+            if kind == 0:
+                paired_by_rg[k].append(aln)
+                mates_by_rg[k].append(mates[i])
+            else:
+                unpaired_by_rg[k].append(aln)
+
+    return (rg_names, paired_by_rg, mates_by_rg, unpaired_by_rg,
+            too_many_reads)

@@ -13,6 +13,7 @@ sorted VCF emission, with per-locus skip-and-continue error discipline.
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from dataclasses import dataclass, field
@@ -545,8 +546,14 @@ class GenotyperPipeline:
                       ) -> Optional["PreparedReads"]:
         """Stage 1: filters, dedup, phasing LLs, read-count guards."""
         with self.timer.time("Read filtering"):
+            res = None
+            if os.environ.get("HIPSTR_TPU_FAST_FILTER", "1") != "0":
+                from .fast_filter import read_and_filter_reads_fast
+                res = read_and_filter_reads_fast(self, region, chrom_seq)
+            if res is None:
+                res = self.read_and_filter_reads(region, chrom_seq)
             (rg_names, paired_by_rg, mates_by_rg, unpaired_by_rg,
-             too_many) = self.read_and_filter_reads(region, chrom_seq)
+             too_many) = res
             if self.opts.sample_set is not None:
                 # --sample-list restriction (reference:
                 # bam_processor.cpp:589-609)
