@@ -279,11 +279,16 @@ class HapAlignInfo:
     (src/SeqAlignment/Haplotype.cpp:8-86).
     """
 
-    def __init__(self, haplotype: Haplotype):
+    def __init__(self, haplotype: Haplotype, content_cache=None):
         self.haplotype = haplotype
         self._cache: Dict[int, str] = {}
         self._bytes_cache: Dict[int, bytes] = {}
         self._ref_seq = haplotype.seq(0)
+        # optional alt-seq-keyed cache shared across a locus's haplotype
+        # rebuilds: the NW align depends only on (ref seq, alt seq, block
+        # coordinates), all invariant per locus, so surviving alleles skip
+        # the realign after mining/pruning changes the combination indexing
+        self._content_cache = content_cache
 
     def aln_info_bytes(self, h: int) -> bytes:
         """aln_info(h) pre-encoded for the native batched stitch (cached)."""
@@ -294,24 +299,32 @@ class HapAlignInfo:
         return b
 
     def aln_info(self, h: int) -> str:
-        if h not in self._cache:
+        info = self._cache.get(h)
+        if info is None:
             alt_seq = self.haplotype.seq(h)
-            ok, ref_al, alt_al, score, _ = nw_align(self._ref_seq, alt_seq,
-                                                    use_ref_end_penalty=True)
-            if not ok:
-                raise RuntimeError("failed to align haplotype to reference")
-            if self.haplotype.num_blocks() == 3:
-                ref_al, alt_al = self._adjust_indels(ref_al, alt_al)
-            info = []
-            for rc, ac in zip(ref_al, alt_al):
-                if rc == "-":
-                    info.append("I")
-                elif ac == "-":
-                    info.append("D")
-                else:
-                    info.append("M")
-            self._cache[h] = "".join(info)
-        return self._cache[h]
+            shared = self._content_cache
+            info = shared.get(alt_seq) if shared is not None else None
+            if info is None:
+                ok, ref_al, alt_al, score, _ = nw_align(
+                    self._ref_seq, alt_seq, use_ref_end_penalty=True)
+                if not ok:
+                    raise RuntimeError(
+                        "failed to align haplotype to reference")
+                if self.haplotype.num_blocks() == 3:
+                    ref_al, alt_al = self._adjust_indels(ref_al, alt_al)
+                parts = []
+                for rc, ac in zip(ref_al, alt_al):
+                    if rc == "-":
+                        parts.append("I")
+                    elif ac == "-":
+                        parts.append("D")
+                    else:
+                        parts.append("M")
+                info = "".join(parts)
+                if shared is not None:
+                    shared[alt_seq] = info
+            self._cache[h] = info
+        return info
 
     def _adjust_indels(self, ref_al: str, alt_al: str) -> Tuple[str, str]:
         """Slide flank indels rightward into/before the repeat block

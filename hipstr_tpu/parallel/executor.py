@@ -141,6 +141,7 @@ class LocusWorkItem:
         self.chrom_seq = chrom_seq
         self.order = order
         self.gen = None   # resumable adaptive loop, created after initial LLs
+        self.rounds = 0   # device dispatches this locus has ridden
 
     def shape_key(self):
         leaves = jax.tree.leaves(self.arrays)
@@ -166,6 +167,20 @@ class BatchedAligner:
         self._logged_mesh = False
         # per-shape dispatch accounting: key -> [dispatches, real, padded]
         self.stats: Dict[tuple, list] = {}
+        # per-run speculation + round accounting (VCF-invariant telemetry):
+        # rounds/locus histogram and allele-addition events served by the
+        # speculative column gather (hit) vs a realignment dispatch (miss)
+        self.round_hist: Dict[int, int] = {}
+        self.spec_hits = 0
+        self.spec_misses = 0
+
+    def finalize(self, item) -> None:
+        """Record a settled locus's dispatch-round count and speculation
+        hit/miss totals (called once per locus, success or fail)."""
+        self.round_hist[item.rounds] = self.round_hist.get(item.rounds, 0) + 1
+        g = item.genotyper
+        self.spec_hits += getattr(g, "spec_hits", 0)
+        self.spec_misses += getattr(g, "spec_misses", 0)
 
     def log_stats(self) -> None:
         if self.logger is None or not self.stats:
@@ -175,6 +190,16 @@ class BatchedAligner:
             self.logger.log(
                 f"Dispatch shape period={period} R={R_f}+{R_r}: "
                 f"{n} dispatches, {real} loci ({padded} padded)")
+        if self.round_hist:
+            hist = ", ".join(f"{r}: {c}" for r, c in
+                             sorted(self.round_hist.items()))
+            self.logger.log(f"Device rounds per locus: {{{hist}}}")
+        if self.spec_hits or self.spec_misses:
+            total = self.spec_hits + self.spec_misses
+            self.logger.log(
+                f"Speculation: {self.spec_hits}/{total} allele-addition "
+                f"rounds served by column gather "
+                f"({self.spec_misses} realignment dispatches)")
 
     def add(self, item: LocusWorkItem) -> None:
         self.groups.setdefault(item.shape_key(), []).append(item)
@@ -206,6 +231,8 @@ class BatchedAligner:
         st[0] += 1
         st[1] += G
         st[2] += Gp - G
+        for it in chunk:
+            it.rounds += 1
         padded = chunk + [chunk[-1]] * (Gp - G)
         stacked = jax.tree.map(lambda *xs: np.stack(xs),
                                *[it.arrays for it in padded])
@@ -326,6 +353,7 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
             try:
                 next(item.gen)
             except StopIteration as stop:
+                aligner.finalize(item)
                 if stop.value:
                     emit_record(item)
                 else:
@@ -389,6 +417,7 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                         install(item, LL, post, tot)
                         ready_items.append(item)
                     except Exception as exc:
+                        aligner.finalize(item)
                         pipeline.counters.genotype_fail += 1
                         settle(item.order)
                         pipeline.logger.log(
@@ -398,6 +427,7 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                     if advance(item):
                         realign.append(item)
                 except Exception as exc:
+                    aligner.finalize(item)
                     pipeline.counters.genotype_fail += 1
                     settle(item.order)
                     pipeline.logger.log(f"ERROR at {item.region}: {exc!r}")

@@ -400,6 +400,7 @@ def run_pooled(pipeline, regions_bed: str, out_vcf: Optional[str],
             work.statics = item.statics
             work.chrom_seq = None
             work.gen = None
+            work.rounds = 0
             work._pool_item = item
             aligner.add(work)
         ready = []

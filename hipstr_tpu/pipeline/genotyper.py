@@ -208,6 +208,11 @@ class SeqStutterGenotyper:
         self._pool_logq_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         self._spec_hap: Optional[Haplotype] = None
         self._spec_LL: Optional[np.ndarray] = None
+        # per-locus speculation accounting (aggregated by the executor):
+        # allele-addition events served from the speculative LL matrix (hit)
+        # vs needing a realignment dispatch (miss)
+        self.spec_hits = 0
+        self.spec_misses = 0
         self.haplotype: Optional[Haplotype] = None
         self.hap_info: Optional[HapAlignInfo] = None
         self.trace_cache: Dict[Tuple[int, int], TraceSummary] = {}
@@ -248,7 +253,9 @@ class SeqStutterGenotyper:
 
     def _set_haplotype(self, haplotype: Haplotype) -> None:
         self.haplotype = haplotype
-        self.hap_info = HapAlignInfo(haplotype)
+        self.hap_info = HapAlignInfo(
+            haplotype,
+            content_cache=self.__dict__.setdefault("_aln_info_content", {}))
         # realized-instance reuse across the locus's haplotype rebuilds
         # (align/retrace._instances_for): keyed by realized content
         haplotype._inst_content_cache = self.__dict__.setdefault(
@@ -864,6 +871,7 @@ class SeqStutterGenotyper:
             # haplotype's columns instead of dispatching a realignment
             cols = self._spec_cols()
             if cols is not None:
+                self.spec_hits += 1
                 self.pool_LLs = self._spec_LL[:, cols]
                 self._expand_pool_lls()
                 return False
@@ -871,6 +879,7 @@ class SeqStutterGenotyper:
             # speculative set — realign against the exact haplotype
             self._spec_hap = None
             self._spec_LL = None
+        self.spec_misses += 1
         return True
 
     def remove_alleles(self, allele_indices: List[List[int]]) -> None:

@@ -15,3 +15,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache: the suite's cost is dominated by XLA:CPU
+# compiles of ~8 kernel shapes; caching them makes re-runs (and the smoke
+# tier) fast.
+_cache = os.path.expanduser("~/.cache/hipstr_tpu_xla_tests")
+try:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass

@@ -92,6 +92,40 @@ def test_speculation_skips_realignment_rounds():
         os.environ.pop("HIPSTR_TPU_SPECULATE", None)
 
 
+def test_spec_metrics_logged():
+    """Per-run dispatch telemetry: rounds-per-locus histogram and the
+    speculation hit/miss counts must appear in the run log so silent
+    regressions of the round-elision win are visible."""
+    import io
+
+    tmp = tempfile.mkdtemp()
+    locs = [simulate_locus(seed=9400 + i, n_samples=3, reads_per_sample=24,
+                           period=2, ref_units=9, chrom=f"chrV{i}")
+            for i in range(3)]
+    _write_sim(tmp, locs)
+    os.environ["HIPSTR_TPU_SPECULATE"] = "1"
+    try:
+        from hipstr_tpu.pipeline.processor import Logger
+        sink = io.StringIO()
+        p = GenotyperPipeline([f"{tmp}/sim.bam"], f"{tmp}/sim.fa", _opts(),
+                              Logger(stream=sink))
+        counters = run_batched(p, f"{tmp}/regions.bed", f"{tmp}/out.vcf",
+                               batch_size=4)
+    finally:
+        os.environ.pop("HIPSTR_TPU_SPECULATE", None)
+    text = sink.getvalue()
+    assert counters.genotype_success > 0
+    assert "Device rounds per locus:" in text, text[-2000:]
+    # the rounds histogram counts every settled locus exactly once
+    import re
+    hist = re.search(r"Device rounds per locus: \{([^}]*)\}", text).group(1)
+    total = sum(int(kv.split(":")[1]) for kv in hist.split(","))
+    assert total == 3
+    # these loci carry PCR stutter reads, so the miner adds alleles and the
+    # speculation line must report how those rounds were served
+    assert "Speculation:" in text, text[-2000:]
+
+
 def test_spec_column_mapping_matches_realignment():
     """LL columns gathered from the speculative matrix must equal a direct
     alignment against the post-mining haplotype."""
