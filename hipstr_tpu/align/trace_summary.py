@@ -136,21 +136,8 @@ def summary_from_trace(LL: float, trace: AlignmentTrace,
     return s
 
 
-def compute_summaries(haplotype: Haplotype, jobs,
-                      hap_info: HapAlignInfo,
-                      n_threads: int = 0) -> Optional[List[TraceSummary]]:
-    """Compute TraceSummaries for many (h, pooled_aln, seed_base, blw, blc)
-    jobs of one locus in one native call; job order preserved.  Jobs the
-    native side rejects fall back to the object path; returns None when the
-    native entry is unavailable (caller uses the object path wholesale).
-    """
-    from .. import native as _native
-    if not jobs:
-        return []
-    lib_ok = _native.available() and hasattr(_native._load(),
-                                             "hmm_trace_summary_batch")
-    if not lib_ok:
-        return None
+def _prep_native_jobs(haplotype: Haplotype, jobs, hap_info: HapAlignInfo):
+    """(native job tuples, per-job hap aln-info bytes) for the batch entry."""
     from .hmm_reference import seed_meta as _seed_meta
     njobs = []
     hap_infos = []
@@ -168,11 +155,67 @@ def compute_summaries(haplotype: Haplotype, jobs,
                       seed_base, fw, rev, mid_rows, mid_chars, slp,
                       first_code, last_code))
         hap_infos.append(hap_info.aln_info_bytes(h))
-    out = _native.hmm_trace_summary_batch_native(
+    return njobs, hap_infos
+
+
+def compute_batch_columnar(haplotype: Haplotype, jobs,
+                           hap_info: HapAlignInfo, n_threads: int = 0):
+    """The native columnar batch output for many (h, pooled_aln, seed_base,
+    blw, blc) jobs, WITHOUT materializing TraceSummary objects — the
+    TraceStore keeps the columns and builds objects lazily.  Returns the
+    native `out` dict (rows with rc != 0 must be re-run through the object
+    path) or None when the native entry is unavailable."""
+    from .. import native as _native
+    if not jobs:
+        return None
+    lib_ok = _native.available() and hasattr(_native._load(),
+                                             "hmm_trace_summary_batch")
+    if not lib_ok:
+        return None
+    njobs, hap_infos = _prep_native_jobs(haplotype, jobs, hap_info)
+    return _native.hmm_trace_summary_batch_native(
         njobs, hap_infos, haplotype.blocks[0].start,
         MIN_SNP_LOG_PROB_CORRECT, TRACE_LL_TOL,
         n_threads or trace_threads())
+
+
+def summary_from_batch_row(out, i: int, nb: int, aln) -> TraceSummary:
+    """Materialize row `i` of a native columnar batch as a TraceSummary."""
+    so = out["str_off"][i]
+    sl = out["str_len"][i]
+    fo = out["flank_off"][i]
+    fl = out["flank_len"][i]
+    srow = out["str_pool"][i]
+    frow = out["flank_pool"][i]
+    str_bytes = tuple(srow[so[b]:so[b] + sl[b]].tobytes() for b in range(nb))
+    flank_bytes = tuple(frow[fo[b]:fo[b] + fl[b]].tobytes()
+                        for b in range(nb))
+    nc = int(out["n_cigar"][i])
+    alen = int(out["aln_len"][i])
+    return TraceSummary(
+        float(out["LL"][i]), int(out["start"][i]), int(out["stop"][i]),
+        int(out["flank_ins"][i]), int(out["flank_del"][i]),
+        tuple(out["stut_size"][i, :nb].tolist()),
+        tuple(bool(v) for v in out["stut_valid"][i, :nb].tolist()),
+        str_bytes, flank_bytes,
+        out["cigar_ops"][i, :nc], out["cigar_num"][i, :nc],
+        out["aln_pool"][i, :alen].tobytes(),
+        aln.sequence, aln.base_qualities)
+
+
+def compute_summaries(haplotype: Haplotype, jobs,
+                      hap_info: HapAlignInfo,
+                      n_threads: int = 0) -> Optional[List[TraceSummary]]:
+    """Compute TraceSummaries for many (h, pooled_aln, seed_base, blw, blc)
+    jobs of one locus in one native call; job order preserved.  Jobs the
+    native side rejects fall back to the object path; returns None when the
+    native entry is unavailable (caller uses the object path wholesale).
+    """
+    out = compute_batch_columnar(haplotype, jobs, hap_info,
+                                 n_threads=n_threads)
     if out is None:
+        if not jobs:
+            return []
         return None
 
     nb = haplotype.num_blocks()
@@ -264,3 +307,167 @@ def trace_summaries(haplotype: Haplotype, jobs, hap_info: HapAlignInfo,
         res = summaries_via_objects(haplotype, jobs, hap_info,
                                     n_threads=n_threads)
     return res
+
+
+class TraceStore:
+    """Columnar store of one locus's (pool, haplotype) ML-trace summaries.
+
+    The adaptive loop's trace consumers (unused-allele pruning, stutter
+    mining, flank assembly, VCF stats — reference
+    src/seq_stutter_genotyper.cpp:229-315, :843-879, :40-217, :1102-1166)
+    read per-trace SCALARS: span, per-block stutter size/validity, flank
+    indel totals.  Boxing every native batch row into a TraceSummary and
+    unboxing it per read cost ~5 ms/locus of host Python; the store instead
+    keeps the batch columns as grow-in-place numpy arrays so consumers
+    gather whole per-read vectors, and materializes a TraceSummary only on
+    demand (string sequences for mining/assembly, traced alignments for
+    viz).
+
+    Rows are immutable and survive haplotype changes — the (pool, hap) key
+    map `rows` is remapped by the caller exactly as the reference remaps
+    its caches across allele additions/removals
+    (seq_stutter_genotyper.cpp:324-415).
+    """
+
+    __slots__ = ("nb", "n", "_cap", "LL", "start", "stop", "fins", "fdel",
+                 "stut", "svalid", "_batches", "_src", "_summ", "rows")
+
+    def __init__(self, nb: int):
+        self.nb = nb
+        self.n = 0
+        self._cap = 0
+        self.LL = None       # float64 [cap]
+        self.start = None    # int64 [cap]
+        self.stop = None     # int64 [cap]
+        self.fins = None     # int32 [cap]
+        self.fdel = None     # int32 [cap]
+        self.stut = None     # int64 [cap, nb]
+        self.svalid = None   # bool [cap, nb]
+        self._batches: list = []   # (native out dict, [aln per row])
+        self._src: list = []       # per row: (batch_idx, i) | TraceSummary
+        self._summ: dict = {}      # row -> lazy TraceSummary
+        self.rows: Dict[Tuple[int, int], int] = {}
+
+    def clear_all(self) -> None:
+        """Drop every row (stutter model changed: all traces stale)."""
+        self.n = 0
+        self._cap = 0
+        self.LL = self.start = self.stop = None
+        self.fins = self.fdel = self.stut = self.svalid = None
+        self._batches.clear()
+        self._src.clear()
+        self._summ.clear()
+        self.rows.clear()
+
+    def _grow(self, add: int) -> None:
+        need = self.n + add
+        if need <= self._cap:
+            return
+        cap = max(need, 2 * self._cap, 256)
+
+        def g(a, dtype, cols=None):
+            new = np.zeros((cap, cols) if cols else cap, dtype=dtype)
+            if a is not None:
+                new[:self.n] = a[:self.n]
+            return new
+
+        self.LL = g(self.LL, np.float64)
+        self.start = g(self.start, np.int64)
+        self.stop = g(self.stop, np.int64)
+        self.fins = g(self.fins, np.int32)
+        self.fdel = g(self.fdel, np.int32)
+        self.stut = g(self.stut, np.int64, self.nb)
+        self.svalid = g(self.svalid, bool, self.nb)
+        self._cap = cap
+
+    def add_batch(self, keys, out, jobs, haplotype, hap_info) -> None:
+        """Install one native columnar batch; rows the native side rejected
+        (rc != 0) are recomputed through the object path."""
+        m = len(keys)
+        self._grow(m)
+        n0 = self.n
+        sl = slice(n0, n0 + m)
+        nb = self.nb
+        self.LL[sl] = out["LL"][:m]
+        self.start[sl] = out["start"][:m]
+        self.stop[sl] = out["stop"][:m]
+        self.fins[sl] = out["flank_ins"][:m]
+        self.fdel[sl] = out["flank_del"][:m]
+        self.stut[sl] = out["stut_size"][:m, :nb]
+        self.svalid[sl] = out["stut_valid"][:m, :nb].astype(bool)
+        bidx = len(self._batches)
+        self._batches.append((out, [j[1] for j in jobs]))
+        src = self._src
+        for i in range(m):
+            src.append((bidx, i))
+        bad = np.nonzero(out["rc"][:m] != 0)[0]
+        for i in bad.tolist():
+            h, aln, seed_base, blw, blc = jobs[i]
+            LL, trace = trace_optimal_aln(haplotype, h, aln, seed_base,
+                                          blw, blc, hap_info)
+            self._install_object(n0 + i, summary_from_trace(LL, trace, nb))
+        for i, key in enumerate(keys):
+            self.rows[key] = n0 + i
+        self.n = n0 + m
+
+    def add_objects(self, keys, summaries) -> None:
+        """Install object-path summaries (native library unavailable)."""
+        m = len(keys)
+        self._grow(m)
+        n0 = self.n
+        self.n = n0 + m
+        for i, (key, s) in enumerate(zip(keys, summaries)):
+            self._src.append(None)
+            self._install_object(n0 + i, s)
+            self.rows[key] = n0 + i
+
+    def _install_object(self, row: int, s: TraceSummary) -> None:
+        self.LL[row] = s.LL
+        self.start[row] = s.start
+        self.stop[row] = s.stop
+        self.fins[row] = s.flank_ins
+        self.fdel[row] = s.flank_del
+        self.stut[row] = s.stut_size
+        self.svalid[row] = s.stut_valid
+        self._src[row] = s
+
+    def summary(self, row: int) -> TraceSummary:
+        """The boxed TraceSummary for a row (lazy; cached)."""
+        s = self._summ.get(row)
+        if s is None:
+            src = self._src[row]
+            if isinstance(src, TraceSummary):
+                s = src
+            else:
+                bidx, i = src
+                out, alns = self._batches[bidx]
+                s = summary_from_batch_row(out, i, self.nb, alns[i])
+            self._summ[row] = s
+        return s
+
+    def str_seq_bytes(self, row: int, block_index: int) -> bytes:
+        assert self.svalid[row, block_index]
+        src = self._src[row]
+        if isinstance(src, TraceSummary):
+            return src.str_bytes[block_index]
+        bidx, i = src
+        out, _ = self._batches[bidx]
+        o = out["str_off"][i, block_index]
+        ln = out["str_len"][i, block_index]
+        return out["str_pool"][i, o:o + ln].tobytes()
+
+    def str_seq(self, row: int, block_index: int) -> str:
+        return self.str_seq_bytes(row, block_index).decode("latin1")
+
+    def flank_seq_bytes(self, row: int, block_index: int) -> bytes:
+        src = self._src[row]
+        if isinstance(src, TraceSummary):
+            return src.flank_bytes[block_index]
+        bidx, i = src
+        out, _ = self._batches[bidx]
+        o = out["flank_off"][i, block_index]
+        ln = out["flank_len"][i, block_index]
+        return out["flank_pool"][i, o:o + ln].tobytes()
+
+    def flank_seq(self, row: int, block_index: int) -> str:
+        return self.flank_seq_bytes(row, block_index).decode("latin1")

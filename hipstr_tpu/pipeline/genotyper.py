@@ -30,7 +30,8 @@ from ..align.debruijn import MAX_KMER, MIN_KMER, MIN_PATH_WEIGHT, DebruijnGraph
 from ..align.hap_generator import HaplotypeGenerator
 from ..align.haplotype import HapBlock, Haplotype
 from ..align.retrace import HapAlignInfo
-from ..align.trace_summary import TraceSummary, trace_summaries
+from ..align.trace_summary import (TraceStore, compute_batch_columnar,
+                                   summaries_via_objects)
 from ..io.regions import Region
 from ..models.base_quality import BaseQuality
 from ..models.stutter import StutterModel
@@ -215,7 +216,9 @@ class SeqStutterGenotyper:
         self.spec_misses = 0
         self.haplotype: Optional[Haplotype] = None
         self.hap_info: Optional[HapAlignInfo] = None
-        self.trace_cache: Dict[Tuple[int, int], TraceSummary] = {}
+        # columnar trace rows (TraceStore) + its (pool, hap) -> row key map;
+        # created at the first _set_haplotype (block count is then known)
+        self.trace_store: Optional[TraceStore] = None
         self.pool_seeds: Optional[np.ndarray] = None
         self.seed_positions: Optional[np.ndarray] = None
         self.pool_LLs: Optional[np.ndarray] = None  # [P, A] raw pool LLs
@@ -260,7 +263,14 @@ class SeqStutterGenotyper:
         # (align/retrace._instances_for): keyed by realized content
         haplotype._inst_content_cache = self.__dict__.setdefault(
             "_inst_content", {})
-        self.trace_cache.clear()
+        if self.trace_store is None:
+            self.trace_store = TraceStore(haplotype.num_blocks())
+        else:
+            # rows persist across haplotype rebuilds (they describe traces
+            # against realized sequences); only the key map resets — the
+            # caller remaps surviving keys (reference remaps its caches,
+            # seq_stutter_genotyper.cpp:324-415)
+            self.trace_store.rows.clear()
         self._invalidate_trace_view()
 
     @property
@@ -628,19 +638,6 @@ class SeqStutterGenotyper:
             self._pool_logq_cache[pool_idx] = got
         return got
 
-    def _trace_for(self, read_index: int, best_hap: int) -> "TraceSummary":
-        key = (int(self.pool_index[read_index]), int(best_hap))
-        summ = self.trace_cache.get(key)
-        if summ is None:
-            pooled = self.pooler.pooled_alns[key[0]]
-            blw, blc = self._pool_logq(key[0])
-            job = (key[1], pooled, int(self.seed_positions[read_index]),
-                   blw, blc)
-            summ = trace_summaries(self.haplotype, [job], self.hap_info,
-                                   n_threads=1)[0]
-            self.trace_cache[key] = summ
-        return summ
-
     def _trace_plan(self):
         """(best_haps per read [-1 = no seed], missing (read, cache-key)
         list) for the current posteriors (reference retrace_alignments,
@@ -656,35 +653,51 @@ class SeqStutterGenotyper:
         valid = self.seed_positions >= 0
         best[~valid] = -1
 
-        # unique (pool, hap) pairs among valid reads not yet cached
+        # unique (pool, hap) pairs among valid reads not yet in the store
         H = self.num_alleles
         vi = np.nonzero(valid)[0]
         combos = self.pool_index[vi] * H + best[vi]
         uniq, first = np.unique(combos, return_index=True)
         missing: List[Tuple[int, Tuple[int, int]]] = []
-        cache = self.trace_cache
+        rows = self.trace_store.rows
         for u, f in zip(uniq.tolist(), first.tolist()):
             key = (u // H, u % H)
-            if key not in cache:
+            if key not in rows:
                 missing.append((int(vi[f]), key))
         return best, missing
 
     def _run_trace_batch(self, missing, n_threads: int = 0):
-        """TraceSummaries for the given missing (read, key) jobs."""
+        """Trace the missing (read, key) jobs; returns an uninstalled batch
+        payload for _install_trace_batch (columnar when the native library
+        is present, boxed objects otherwise)."""
         jobs = []
         for i, key in missing:
             pooled = self.pooler.pooled_alns[key[0]]
             blw, blc = self._pool_logq(key[0])
             jobs.append((key[1], pooled, int(self.seed_positions[i]),
                          blw, blc))
-        return trace_summaries(self.haplotype, jobs, self.hap_info,
-                               n_threads=n_threads)
+        out = compute_batch_columnar(self.haplotype, jobs, self.hap_info,
+                                     n_threads=n_threads)
+        if out is not None:
+            return ("cols", out, jobs)
+        return ("objs", summaries_via_objects(self.haplotype, jobs,
+                                              self.hap_info,
+                                              n_threads=n_threads), jobs)
+
+    def _install_trace_batch(self, missing, res) -> None:
+        keys = [key for _, key in missing]
+        kind, payload, jobs = res
+        if kind == "cols":
+            self.trace_store.add_batch(keys, payload, jobs, self.haplotype,
+                                       self.hap_info)
+        else:
+            self.trace_store.add_objects(keys, payload)
 
     def prefetch_traces(self, pool) -> None:
         """Submit the current posteriors' missing ML-trace jobs to a
         thread pool; the native batch releases the GIL, so it overlaps
         other loci's Python while this locus waits its turn.  Identical
-        results to the synchronous path (retrace_summaries collects)."""
+        results to the synchronous path (retrace_rows collects)."""
         if getattr(self, "_trace_future", None) is not None:
             return
         if self.log_aln_probs is None or self.log_post is None:
@@ -705,52 +718,53 @@ class SeqStutterGenotyper:
         results = fut.result()
         if hap is not self.haplotype or results is None:
             return   # haplotype changed under the prefetch: discard
-        for (i, key), summ in zip(missing, results):
-            self.trace_cache[key] = summ
+        self._install_trace_batch(missing, results)
 
-    def retrace_summaries(self) -> List[Optional["TraceSummary"]]:
-        """ML trace summary per read (reference retrace_alignments,
-        seq_stutter_genotyper.cpp:805-841).  Cache misses are computed in
+    def retrace_rows(self) -> np.ndarray:
+        """Per-read row index into the TraceStore for the ML trace of each
+        read (-1 = no seed; reference retrace_alignments,
+        seq_stutter_genotyper.cpp:805-841).  Store misses are computed in
         ONE batched native call, possibly prefetched on a thread pool."""
         self._collect_trace_future()
         best_haps, missing = self._trace_plan()
         if missing:
-            results = self._run_trace_batch(missing)
-            cache = self.trace_cache
-            for (i, key), summ in zip(missing, results):
-                cache[key] = summ
-        cache = self.trace_cache
-        pool_index = self.pool_index
-        return [cache[(int(pool_index[i]), int(b))] if b >= 0 else None
-                for i, b in enumerate(best_haps)]
+            self._install_trace_batch(missing, self._run_trace_batch(missing))
+        rows_map = self.trace_store.rows
+        H = self.num_alleles
+        R = self.num_reads
+        rows = np.full(R, -1, dtype=np.int64)
+        valid = best_haps >= 0
+        vi = np.nonzero(valid)[0]
+        if len(vi):
+            combos = self.pool_index[vi] * H + best_haps[vi]
+            uniq, inv = np.unique(combos, return_inverse=True)
+            u_rows = np.fromiter(
+                (rows_map[(u // H, u % H)] for u in uniq.tolist()),
+                dtype=np.int64, count=len(uniq))
+            rows[vi] = u_rows[inv]
+        return rows
 
     def _trace_view(self):
         """Cached per-read summary arrays for the CURRENT posteriors:
-        (summs list, starts, stops, stut_size [R, NB], flank_indel bool,
+        (store rows [-1 invalid], starts, stops, stut_size [R, NB],
         valid bool).  Invalidated whenever posteriors or the haplotype
         change (the consumers re-derive everything from it)."""
         view = getattr(self, "_view_cache", None)
         if view is not None:
             return view
-        summs = self.retrace_summaries()
+        rows = self.retrace_rows()
         R = self.num_reads
         NB = self.haplotype.num_blocks()
+        store = self.trace_store
         starts = np.full(R, np.iinfo(np.int64).max, dtype=np.int64)
         stops = np.full(R, np.iinfo(np.int64).min, dtype=np.int64)
         stut = np.zeros((R, NB), dtype=np.int64)
-        valid = np.zeros(R, dtype=bool)
-        for i, s in enumerate(summs):
-            if s is None:
-                continue
-            valid[i] = True
-            starts[i] = s.start
-            stops[i] = s.stop
-            sz = s.stut_size
-            va = s.stut_valid
-            for b in range(NB):
-                if va[b]:
-                    stut[i, b] = sz[b]
-        view = (summs, starts, stops, stut, valid)
+        valid = rows >= 0
+        r = rows[valid]
+        starts[valid] = store.start[r]
+        stops[valid] = store.stop[r]
+        stut[valid] = np.where(store.svalid[r], store.stut[r], 0)
+        view = (rows, starts, stops, stut, valid)
         self._view_cache = view
         return view
 
@@ -771,38 +785,33 @@ class SeqStutterGenotyper:
         `best_hap` (VCF stats loop; reference
         seq_stutter_genotyper.cpp:1102-1166): (has_stutter, has_flank_indel,
         start, stop, total_stutter, summaries) arrays over len(ridx)."""
-        n = len(ridx)
         H = self.num_alleles
         pools = self.pool_index[ridx]
         combos = pools * H + best_hap
         uniq, inv = np.unique(combos, return_inverse=True)
-        cache = self.trace_cache
+        store = self.trace_store
+        rows_map = store.rows
         missing = []
         for pos, u in enumerate(uniq.tolist()):
             key = (u // H, u % H)
-            if key not in cache:
+            if key not in rows_map:
                 # representative read for the pool's seed position
                 rep = int(ridx[np.nonzero(inv == pos)[0][0]])
                 missing.append((rep, key))
         if missing:
-            results = self._run_trace_batch(missing)
-            for (i, key), summ in zip(missing, results):
-                cache[key] = summ
-        u_summ = [cache[(u // H, u % H)] for u in uniq.tolist()]
-        u_has_stut = np.fromiter((s.has_stutter() for s in u_summ),
-                                 dtype=bool, count=len(u_summ))
-        u_flank = np.fromiter(
-            (s.flank_ins != 0 or s.flank_del != 0 for s in u_summ),
-            dtype=bool, count=len(u_summ))
-        u_start = np.fromiter((s.start for s in u_summ), dtype=np.int64,
-                              count=len(u_summ))
-        u_stop = np.fromiter((s.stop for s in u_summ), dtype=np.int64,
-                             count=len(u_summ))
-        u_tot = np.fromiter((s.total_stutter_size() for s in u_summ),
-                            dtype=np.int64, count=len(u_summ))
-        summs = [u_summ[k] for k in inv.tolist()] if n else []
+            self._install_trace_batch(missing, self._run_trace_batch(missing))
+        u_rows = np.fromiter(
+            (rows_map[(u // H, u % H)] for u in uniq.tolist()),
+            dtype=np.int64, count=len(uniq))
+        u_has_stut = (store.svalid[u_rows] & (store.stut[u_rows] != 0)
+                      ).any(axis=1)
+        u_flank = (store.fins[u_rows] != 0) | (store.fdel[u_rows] != 0)
+        u_start = store.start[u_rows]
+        u_stop = store.stop[u_rows]
+        u_tot = np.where(store.svalid[u_rows],
+                         store.stut[u_rows], 0).sum(axis=1)
         return (u_has_stut[inv], u_flank[inv], u_start[inv], u_stop[inv],
-                u_tot[inv], summs)
+                u_tot[inv], u_rows[inv])
 
     # ----------------------------------------------------- allele management
     def add_and_remove_alleles(self, alleles_to_remove: List[List[int]],
@@ -834,7 +843,7 @@ class SeqStutterGenotyper:
         # seq_stutter_genotyper.cpp:324-415): removals compress each block's
         # option indices, additions append after the kept options
         old_hap = self.haplotype
-        old_cache = dict(self.trace_cache)  # _set_haplotype clears the dict
+        old_rows = dict(self.trace_store.rows)  # _set_haplotype resets map
         digit_maps = []
         for b, rm in zip(blocks, alleles_to_remove):
             removed = set(rm)
@@ -842,14 +851,15 @@ class SeqStutterGenotyper:
             digit_maps.append({d: i for i, d in enumerate(kept)})
 
         self._set_haplotype(Haplotype(new_blocks))
-        for (pool, h_old), trace in old_cache.items():
+        new_rows = self.trace_store.rows
+        for (pool, h_old), row in old_rows.items():
             try:
                 new_digits = [digit_maps[bi][d]
                               for bi, d in enumerate(old_hap.digits(h_old))]
             except KeyError:
                 continue  # trace's haplotype used a removed allele
             h_new = self.haplotype.hap_index_for_options(new_digits)
-            self.trace_cache[(pool, h_new)] = trace
+            new_rows[(pool, h_new)] = row
 
         if not any(alleles_to_add) and getattr(self, "pool_LLs", None) is not None:
             # pruning only: every kept haplotype's sequence is unchanged, so
@@ -945,14 +955,15 @@ class SeqStutterGenotyper:
     def get_stutter_candidate_alleles(self, block_index: int) -> List[str]:
         """Reference: seq_stutter_genotyper.cpp:843-879."""
         block = self.haplotype.blocks[block_index]
-        summs, starts, stops, stut, valid = self._trace_view()
+        rows, starts, stops, stut, valid = self._trace_view()
         span = valid & (starts < block.start) & (stops > block.end)
         sample_counts = np.bincount(self.sample_label[span],
                                     minlength=self.num_samples)
+        store = self.trace_store
         stutter_counts: List[Dict[str, int]] = [dict() for _ in range(self.num_samples)]
         for i in np.nonzero(span & (stut[:, block_index] != 0))[0].tolist():
             s = self.sample_label[i]
-            seq = summs[i].str_seq(block_index)
+            seq = store.str_seq(int(rows[i]), block_index)
             stutter_counts[s][seq] = stutter_counts[s].get(seq, 0) + 1
 
         candidates = set()
@@ -988,7 +999,8 @@ class SeqStutterGenotyper:
         """Per-sample de Bruijn reassembly of flanking sequences
         (reference: seq_stutter_genotyper.cpp:40-217).  Returns the per-block
         alternate flank sequences to add, or None to abort the locus."""
-        traces, _, _, _, _ = self._trace_view()
+        t_rows, _, _, _, _ = self._trace_view()
+        store = self.trace_store
         nblocks = self.haplotype.num_blocks()
         alleles_to_add: List[List[str]] = [[] for _ in range(nblocks)]
         realign_sample = [False] * self.num_samples
@@ -1019,9 +1031,9 @@ class SeqStutterGenotyper:
                 for k in range(kmer_length, max_k + 1):
                     assembler = DebruijnGraph(k, ref_seq)
                     for i in reads_by_sample[s]:
-                        if traces[i] is None:
+                        if t_rows[i] < 0:
                             continue
-                        seq = traces[i].flank_seq(block_index)
+                        seq = store.flank_seq(int(t_rows[i]), block_index)
                         if seq:
                             assembler.add_string(seq)
                     assembler.prune_edges(0.02, 2)
@@ -1218,7 +1230,8 @@ class SeqStutterGenotyper:
                                  frac_ll_converge=0.001) -> bool:
         """Retrain EM from ML-alignment stutter calls, then regenotype
         (reference: seq_stutter_genotyper.cpp:1542-1581)."""
-        summs, starts, stops, stut, valid = self._trace_view()
+        rows, starts, stops, stut, valid = self._trace_view()
+        store = self.trace_store
         for bi, block in enumerate(self.haplotype.blocks):
             if not block.is_repeat:
                 continue
@@ -1228,9 +1241,9 @@ class SeqStutterGenotyper:
             span = valid & (starts < block.start) & (stops > block.end)
             for i in np.nonzero(span)[0].tolist():
                 s = self.sample_label[i]
-                summ = summs[i]
-                num_bps[s].append(len(summ.str_seq_bytes(bi))
-                                  + summ.stutter_size(bi))
+                row = int(rows[i])
+                num_bps[s].append(len(store.str_seq_bytes(row, bi))
+                                  + int(stut[i, bi]))
                 p1s[s].append(float(self.log_p1[i]))
                 p2s[s].append(float(self.log_p2[i]))
             em = EMStutterGenotyper(self.haploid,
@@ -1242,7 +1255,8 @@ class SeqStutterGenotyper:
                 return False
             self.stutter_model = res.stutter_model
             block.repeat_info.stutter_model = res.stutter_model
-        self.trace_cache.clear()
+        self.trace_store.clear_all()
+        self._invalidate_trace_view()
         return self.genotype(max_total_haplotypes, max_flank_haplotypes,
                              min_flank_freq)
 

@@ -210,7 +210,7 @@ def build_vcf_record(g, sample_names: List[str],
 
     # trace summaries per unique (pool, best_hap) pair
     (t_has_stut, t_flank, t_start, t_stop,
-     t_totstut, t_summ) = g.summary_stats_for(ridx, best_hap)
+     t_totstut, t_rows) = g.summary_stats_for(ridx, best_hap)
     num_with_stutter = np.bincount(samp[t_has_stut], minlength=S)
     num_with_flank_indels = np.bincount(samp[t_flank], minlength=S)
 
@@ -239,7 +239,8 @@ def build_vcf_record(g, sample_names: List[str],
         for k, i in enumerate(ridx.tolist()):
             viz_alns[samp[k]].append(
                 (int(read_strand[k]),
-                 g.alns[i] if cfg.viz_left_alns else t_summ[k].traced_aln))
+                 g.alns[i] if cfg.viz_left_alns
+                 else g.trace_store.summary(int(t_rows[k])).traced_aln))
 
     # allele counts
     interest = set(sample_names)
