@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import numpy as np
+
 from .alignment_data import Alignment, CigarElement
 from .nw import align as nw_align
 
@@ -98,17 +100,13 @@ def convert_alignment(read_start: int, name: str, sequence: str,
     Port of AlignmentOps::convertAlignment (AlignmentOps.cpp:102-167):
     M runs split into =/X against the reference; end = last aligned base.
     """
+    import numpy as np
+
     read_seq = sequence.upper()
     seq_index = 0
     ref_index = read_start
     aln_parts = []
     out_cigar = []
-
-    def push(t, n):
-        if out_cigar and out_cigar[-1].type == t:
-            out_cigar[-1].num += n
-        else:
-            out_cigar.append(CigarElement(t, n))
 
     for n, op in cigar:
         if op == "H":
@@ -125,21 +123,24 @@ def convert_alignment(read_start: int, name: str, sequence: str,
             aln_parts.append("-" * n)
             ref_index += n
         elif op in "M=X":
-            prev_t, prev_n = "=", 0
-            for _ in range(n):
-                same = read_seq[seq_index] == chrom_seq[ref_index].upper()
-                t = "=" if same else "X"
-                if t == prev_t:
-                    prev_n += 1
-                else:
-                    if prev_n:
-                        out_cigar.append(CigarElement(prev_t, prev_n))
-                    prev_t, prev_n = t, 1
-                aln_parts.append(read_seq[seq_index])
-                seq_index += 1
-                ref_index += 1
-            if prev_n:
-                out_cigar.append(CigarElement(prev_t, prev_n))
+            # split the M run into =/X elements: one vectorized compare +
+            # run-length encoding instead of a per-base Python loop
+            rs = read_seq[seq_index:seq_index + n]
+            cs = chrom_seq[ref_index:ref_index + n].upper()
+            same = (np.frombuffer(rs.encode("latin1"), np.uint8)
+                    == np.frombuffer(cs.encode("latin1"), np.uint8))
+            flips = np.nonzero(same[1:] != same[:-1])[0]
+            prev = 0
+            eq = bool(same[0]) if n else True
+            for f in flips.tolist():
+                out_cigar.append(CigarElement("=" if eq else "X", f + 1 - prev))
+                prev = f + 1
+                eq = not eq
+            if n > prev:
+                out_cigar.append(CigarElement("=" if eq else "X", n - prev))
+            aln_parts.append(rs)
+            seq_index += n
+            ref_index += n
         else:
             raise AssertionError("bad CIGAR in convert_alignment")
 

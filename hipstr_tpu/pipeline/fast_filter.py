@@ -65,7 +65,7 @@ class FilterRead:
 
     __slots__ = ("pos", "end_pos", "bases", "quals", "cigar", "name",
                  "filename", "ref_name", "pass_two", "rec", "_tags",
-                 "_trim2", "_matches_ref")
+                 "_trim2", "_matches_ref", "_qual_sum")
 
     def __init__(self, pos, end_pos, bases, quals, cigar, name, filename,
                  ref_name, rec, tags, trim2, matches_ref):
@@ -81,6 +81,7 @@ class FilterRead:
         self._tags = tags
         self._trim2 = trim2          # (pos2, end2, l2, r2, cigar2) or None
         self._matches_ref = matches_ref
+        self._qual_sum = None        # memoized sum_log_prob_correct
         self.pass_two = "0"
 
     @property
@@ -188,11 +189,13 @@ def read_and_filter_reads_fast(pipeline, region, chrom_seq: str):
         # semantics of BaseQuality.sum_log_prob_correct: one masked padded
         # matrix would change summation order, so sum per row slice
         pass_one = np.zeros(n, dtype=bool)
+        qsum_arr = np.full(n, np.nan)
         cand = np.nonzero((status == 4) & (overlaps_a == 1)
                           & (has_n_a == 0))[0]
         for i in cand.tolist():
             qsum = float(np.sum(
                 _LOG_CORRECT_BY_BYTE[qual_pool[i, :seq_len[i]]]))
+            qsum_arr[i] = qsum
             pass_one[i] = qsum >= -10.0
         if ((o["rec_err"] == 2) & pass_one).any():
             raise AssertionError("improper CIGAR in end-match scan")
@@ -269,9 +272,13 @@ def read_and_filter_reads_fast(pipeline, region, chrom_seq: str):
                                       "latin1")))
                 trim2 = (pos2_l[i], end2_l[i], l2_l[i], r2_l[i], cigar2)
             rec = _RecLite(opos_l[i], mpos_l[i], flags[i])
-            return FilterRead(pos_l[i], end_l[i], bases, quals,
-                              cigar, nm, filename, ref_name, rec, tags,
-                              trim2, bool(mref_l[i]))
+            fr = FilterRead(pos_l[i], end_l[i], bases, quals,
+                            cigar, nm, filename, ref_name, rec, tags,
+                            trim2, bool(mref_l[i]))
+            q = qsum_arr[i]
+            if q == q:                     # seed the PCR-dedup memo
+                fr._qual_sum = float(q)
+            return fr
 
         trim_name = pipeline._trim_name
         valid_pairing = pipeline._valid_pairing

@@ -475,6 +475,17 @@ class GenotyperPipeline:
                               unpaired_by_rg) -> int:
         """Port of remove_pcr_duplicates (pcr_duplicates.cpp:18-94)."""
         dup_count = 0
+        bq_sum = self.bq.sum_log_prob_correct
+
+        def qsum(aln) -> float:
+            # memoized per read: the duplicate-cluster scan re-reads the
+            # current best's sum on every comparison, and the fast filter
+            # already computed it for overlap candidates
+            v = getattr(aln, "_qual_sum", None)
+            if v is None:
+                v = bq_sum(aln.quals)
+                aln._qual_sum = v
+            return v
         for k in range(len(rg_names)):
             pairs = []
             for aln, mate in zip(paired_by_rg[k], mates_by_rg[k]):
@@ -511,8 +522,7 @@ class GenotyperPipeline:
                         and pairs[j][2] == pairs[best][2])
                 if same:
                     dup_count += 1
-                    if self.bq.sum_log_prob_correct(pairs[j][4].quals) > \
-                            self.bq.sum_log_prob_correct(pairs[best][4].quals):
+                    if qsum(pairs[j][4]) > qsum(pairs[best][4]):
                         best = j
                         include_rev = (pairs[best][3] == pairs[j - 1][3])
                     elif j == best + 1:
