@@ -66,7 +66,7 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
                      star6_s, e0sh_s,
                      *, Bmax, max_units, P, L, dtype, unroll=1):
     g = pl.program_id(0)
-    o = pl.program_id(1)
+    o = pl.program_id(2)
     codes = codes_ref[0]
     blw = blw_ref[0]
     blc = blc_ref[0]
@@ -262,30 +262,38 @@ def stutter_emissions_pallas(codes, blw, blc, brev, blen, period,
     if unroll is None:
         import os
         unroll = int(os.environ.get("HIPSTR_TPU_E_UNROLL", "4"))
+    # tile the pool axis: VMEM scratch scales with the pool-slab rows, so
+    # large dispatches (deep coverage / many samples -> P >= 256) exceed
+    # the 16MB scoped-VMEM budget unless each program holds <=128 pools.
+    # Pools are independent rows; grid order (G, T, O) keeps one pool slab
+    # resident across the O sweep.
+    PT = P if P <= 128 else 128
+    assert P % PT == 0, "pool buckets are powers of two"
+    T = P // PT
     kernel = functools.partial(_emission_kernel, Bmax=Bmax,
-                               max_units=max_units, P=P, L=L, dtype=dtype,
+                               max_units=max_units, P=PT, L=L, dtype=dtype,
                                unroll=unroll)
-    pool_spec = pl.BlockSpec((1, P, L), lambda g, o: (g, 0, 0),
+    pool_spec = pl.BlockSpec((1, PT, L), lambda g, t, o: (g, t, 0),
                              memory_space=pltpu.VMEM)
     smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
-    six = pltpu.VMEM((P, L), dtype)
+    six = pltpu.VMEM((PT, L), dtype)
     E = pl.pallas_call(
         kernel,
-        grid=(G, O),
+        grid=(G, T, O),
         in_specs=[pool_spec, pool_spec, pool_spec, smem_full, smem_full,
                   smem_full],
-        out_specs=pl.BlockSpec((1, 1, nD, P, L),
-                               lambda g, o: (g, o, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, nD, PT, L),
+                               lambda g, t, o: (g, o, 0, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, O, nD, P, L), dtype),
         scratch_shapes=[six, six,
-                        pltpu.VMEM((6, P, L), dtype),
-                        pltpu.VMEM((6, P, L), dtype),
-                        pltpu.VMEM((6, P, L), dtype),
-                        pltpu.VMEM((6, P, L), dtype),
-                        pltpu.VMEM((6, P, L), dtype),
-                        pltpu.VMEM((6, P, L), dtype),
-                        pltpu.VMEM((6, P, L), dtype)],
+                        pltpu.VMEM((6, PT, L), dtype),
+                        pltpu.VMEM((6, PT, L), dtype),
+                        pltpu.VMEM((6, PT, L), dtype),
+                        pltpu.VMEM((6, PT, L), dtype),
+                        pltpu.VMEM((6, PT, L), dtype),
+                        pltpu.VMEM((6, PT, L), dtype),
+                        pltpu.VMEM((6, PT, L), dtype)],
         interpret=interpret,
     )(codes, blw, blc, brev, blen, periods)
     return E

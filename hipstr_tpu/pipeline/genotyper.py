@@ -64,6 +64,42 @@ def order_key(seq: str):
     return (len(seq), seq)
 
 
+def _flank_segment(aln, bstart: int, bend: int):
+    """(ref_lo, ref_hi, read_lo) of `aln`'s aligned span over the flank
+    window [bstart, bend) when that overlap is indel-free; None when an
+    indel touches it or the read misses the window entirely."""
+    lo = max(bstart, aln.start)
+    hi = min(bend, aln.stop + 1)
+    if lo >= hi:
+        return None
+    pos = aln.start
+    ridx = 0
+    read_lo = None
+    for el in aln.cigar:
+        t = el.type
+        n = el.num
+        if t in "=XM":
+            if pos <= lo < pos + n:
+                read_lo = ridx + (lo - pos)
+            pos += n
+            ridx += n
+        elif t == "I":
+            if lo < pos < hi:
+                return None
+            ridx += n
+        elif t == "D":
+            if pos < hi and pos + n > lo:
+                return None
+            pos += n
+        elif t == "S":
+            ridx += n
+        if pos >= hi:
+            break
+    if read_lo is None:
+        return None
+    return lo, hi, read_lo
+
+
 class ReadPooler:
     """Dedupe identical read sequences; pooled quals = per-position median
     (reference: src/read_pooler.{h,cpp})."""
@@ -473,12 +509,99 @@ class SeqStutterGenotyper:
                     nb.add_alternate(seq)
                 spec_blocks[bi] = nb
                 added_any = True
+        if self.reassemble_flanks:
+            for bi, cands in self._predict_flank_candidates():
+                block = spec_blocks[bi]
+                nb = block.remove_alleles([])
+                for seq in cands:
+                    nb.add_alternate(seq)
+                spec_blocks[bi] = nb
+                added_any = True
+
         if not added_any:
             return
         spec = Haplotype(spec_blocks)
         if spec.num_combs > MAX_SPEC_COMBS:
             return
         self._spec_hap = spec
+
+    def _predict_flank_candidates(self):
+        """Predict the alt flank sequences _assemble_flank_candidates is
+        likely to add, BEFORE any alignment runs, so the flank-reassembly
+        realignment round (reference: seq_stutter_genotyper.cpp:40-217,
+        626-650) can usually be served from the speculative LL matrix
+        instead of a second device dispatch.
+
+        The de Bruijn assembly only ever adds SAME-LENGTH alt flanks
+        (length mismatches mark the sample FLANK_ASSEMBLY_INDEL and add
+        nothing), i.e. substitution variants of the reference flank.  Those
+        are visible in the raw left-aligned reads: per sample, flank-window
+        substitutions carried by >25% of the covering reads.  Misses (an
+        assembled flank outside the prediction) fall back to the exact
+        realignment dispatch, so this is best-effort only."""
+        blocks = self.haplotype.blocks
+        S = self.num_samples
+        P = self.pooler.num_pools()
+        ps_counts = np.zeros((P, S), dtype=np.int64)
+        np.add.at(ps_counts, (self.pool_index, self.sample_label), 1)
+        out = []
+        for bi in (0, len(blocks) - 1):
+            block = blocks[bi]
+            if block.is_repeat:
+                continue
+            ref_seq = block.get_seq(0)
+            blen = len(ref_seq)
+            if blen < 2:
+                continue
+            bstart = block.start
+            bend = bstart + blen
+            ref_b = np.frombuffer(ref_seq.encode("latin1"), np.uint8)
+            cov_diff = np.zeros((S, blen + 1), dtype=np.int64)
+            alt_counts: List[Dict[Tuple[int, int], int]] = \
+                [dict() for _ in range(S)]
+            for p, aln in enumerate(self.pooler.pooled_alns):
+                seg = _flank_segment(aln, bstart, bend)
+                if seg is None:
+                    continue
+                lo, hi, rlo = seg
+                w = ps_counts[p]
+                cov_diff[:, lo - bstart] += w
+                cov_diff[:, hi - bstart] -= w
+                cig = aln.cigar
+                if len(cig) == 1 and cig[0].type == "=":
+                    continue           # pure reference match: coverage only
+                sb = np.frombuffer(
+                    aln.sequence[rlo:rlo + hi - lo].encode("latin1"),
+                    np.uint8)
+                mism = np.nonzero(sb != ref_b[lo - bstart:hi - bstart])[0]
+                if len(mism):
+                    ws = np.nonzero(w)[0].tolist()
+                    for off in mism.tolist():
+                        key = (off + lo - bstart, int(sb[off]))
+                        for s in ws:
+                            d = alt_counts[s]
+                            d[key] = d.get(key, 0) + int(w[s])
+            cov = np.cumsum(cov_diff[:, :blen], axis=1)
+            support: Dict[str, int] = {}
+            for s in range(S):
+                subs = [(off, base, cnt)
+                        for (off, base), cnt in alt_counts[s].items()
+                        if cnt >= 2 and cnt > 0.25 * cov[s, off]]
+                if not subs:
+                    continue
+                alt = bytearray(ref_b)
+                total = 0
+                for off, base, cnt in subs:
+                    alt[off] = base
+                    total += cnt
+                seq = alt.decode("latin1")
+                if seq != ref_seq:
+                    support[seq] = support.get(seq, 0) + total
+            if support:
+                cands = sorted(support, key=lambda q: (-support[q],
+                                                       order_key(q)))[:4]
+                out.append((bi, sorted(cands, key=order_key)))
+        return out
 
     def align_haplotype(self) -> Haplotype:
         """The haplotype the device aligns against: the speculative superset

@@ -154,3 +154,59 @@ def test_spec_column_mapping_matches_realignment():
                                    atol=1e-9)
     finally:
         os.environ.pop("HIPSTR_TPU_SPECULATE", None)
+
+
+def test_flank_speculation_output_identical():
+    """Flank-reassembly realignments served from the speculative superset
+    (predicted alt flank sequences) must leave the VCF byte-identical and
+    cut device rounds (reference flank assembly:
+    src/seq_stutter_genotyper.cpp:40-217, 626-650)."""
+    tmp = tempfile.mkdtemp()
+    # a het flank SNP in every sample: assembly discovers the alt flank and
+    # schedules a realignment round; speculation should predict it
+    locs = [simulate_locus(seed=8200 + i, n_samples=4, reads_per_sample=30,
+                           period=2 + (i % 3), ref_units=8, chrom=f"chrF{i}",
+                           phased_snp_offset=12 + (i % 6))
+            for i in range(4)]
+    _write_sim(tmp, locs)
+    c_on = _run(tmp, f"{tmp}/on.vcf", True)
+    c_off = _run(tmp, f"{tmp}/off.vcf", False)
+    assert open(f"{tmp}/on.vcf").read() == open(f"{tmp}/off.vcf").read()
+    assert c_on.genotype_success == c_off.genotype_success > 0
+
+
+def test_flank_speculation_skips_rounds():
+    """A locus whose only extra round is the assembled-flank realignment
+    should finish in one device round under speculation."""
+    from hipstr_tpu.io.regions import read_regions
+
+    tmp = tempfile.mkdtemp()
+    locs = [simulate_locus(seed=8200, n_samples=4, reads_per_sample=30,
+                           period=2, ref_units=8, chrom="chrF0",
+                           phased_snp_offset=12)]
+    _write_sim(tmp, locs)
+
+    os.environ["HIPSTR_TPU_SPECULATE"] = "1"
+    try:
+        p = GenotyperPipeline([f"{tmp}/sim.bam"], f"{tmp}/sim.fa", _opts(),
+                              Logger(quiet=True))
+        region = read_regions(f"{tmp}/regions.bed", 100, "", None)[0]
+        chrom_seq = p.fasta.get_sequence(region.chrom)
+        g = p.prepare_locus_genotyper(region, chrom_seq)
+        rounds = [0]
+        orig = g.calc_hap_aln_probs
+
+        def counting():
+            rounds[0] += 1
+            orig()
+
+        g.calc_hap_aln_probs = counting
+        assert g.genotype()
+        # the flank block must actually have gained an alt option
+        assert any(b.num_options() > 1
+                   for b in (g.haplotype.blocks[0], g.haplotype.blocks[-1])
+                   if not b.is_repeat), "flank SNP not assembled"
+        if g._spec_hap is not None or rounds[0] == 1:
+            assert rounds[0] == 1
+    finally:
+        os.environ.pop("HIPSTR_TPU_SPECULATE", None)
