@@ -202,6 +202,13 @@ def read_and_filter_reads_fast(pipeline, region, chrom_seq: str):
         pass_two_a = ((o["p2_flank_ok"] == 1) & (o["p2_largest_ok"] == 1)
                       & (o["p2_endmatch_ok"] == 1) & (o["p2_indel_ok"] == 1))
 
+        # bulk-decode the string pools once: per-read str slicing beats a
+        # tobytes().decode() pair per field per read
+        blob_s = blob.decode("latin1")
+        seq_stride = seq_pool.shape[1]
+        seq_all = seq_pool.tobytes().decode("latin1")
+        qual_all = qual_pool.tobytes().decode("latin1")
+
         # convert the per-record scalar columns to python lists once (a
         # numpy scalar extraction per field per read costs more than the
         # whole bulk conversion)
@@ -241,23 +248,21 @@ def read_and_filter_reads_fast(pipeline, region, chrom_seq: str):
 
         def build(i: int) -> FilterRead:
             no = names[i]
-            nm = blob[no:no + name_lens[i]].decode("latin1")
+            nm = blob_s[no:no + name_lens[i]]
             L = seq_len_l[i]
-            bases = seq_pool[i, :L].tobytes().decode("latin1")
-            quals = qual_pool[i, :L].tobytes().decode("latin1")
+            base = i * seq_stride
+            bases = seq_all[base:base + L]
+            quals = qual_all[base:base + L]
             nc = n_cig[i]
             cigar = list(zip(cig_n[i, :nc].tolist(),
                              cig_op[i, :nc].tobytes().decode("latin1")))
             tags = {}
             if rg_len[i] or rg_off[i]:
-                tags["RG"] = blob[rg_off[i]:rg_off[i] + rg_len[i]].decode(
-                    "latin1")
+                tags["RG"] = blob_s[rg_off[i]:rg_off[i] + rg_len[i]]
             if xa_off[i]:
-                tags["XA"] = blob[xa_off[i]:xa_off[i] + xa_len[i]].decode(
-                    "latin1")
+                tags["XA"] = blob_s[xa_off[i]:xa_off[i] + xa_len[i]]
             if sa_off[i]:
-                tags["SA"] = blob[sa_off[i]:sa_off[i] + sa_len[i]].decode(
-                    "latin1")
+                tags["SA"] = blob_s[sa_off[i]:sa_off[i] + sa_len[i]]
             if as_has[i]:
                 tags["AS"] = as_val[i]
             if xs_has[i]:

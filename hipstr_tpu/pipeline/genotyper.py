@@ -542,8 +542,17 @@ class SeqStutterGenotyper:
         blocks = self.haplotype.blocks
         S = self.num_samples
         P = self.pooler.num_pools()
-        ps_counts = np.zeros((P, S), dtype=np.int64)
-        np.add.at(ps_counts, (self.pool_index, self.sample_label), 1)
+        pooled = self.pooler.pooled_alns
+        ps_counts = np.bincount(self.pool_index * S + self.sample_label,
+                                minlength=P * S).reshape(P, S)
+        # per-pool span + pure-reference-match flag, gathered once: the
+        # pure-match majority contributes coverage only, fully vectorized
+        p_start = np.fromiter((a.start for a in pooled), np.int64, count=P)
+        p_stop = np.fromiter((a.stop for a in pooled), np.int64, count=P)
+        pure = np.fromiter(
+            (len(a.cigar) == 1 and a.cigar[0].type == "=" for a in pooled),
+            bool, count=P)
+        dirty = np.nonzero(~pure)[0].tolist()
         out = []
         for bi in (0, len(blocks) - 1):
             block = blocks[bi]
@@ -556,20 +565,23 @@ class SeqStutterGenotyper:
             bstart = block.start
             bend = bstart + blen
             ref_b = np.frombuffer(ref_seq.encode("latin1"), np.uint8)
-            cov_diff = np.zeros((S, blen + 1), dtype=np.int64)
+            cov_diff = np.zeros((blen + 1, S), dtype=np.int64)
+            lo_v = np.maximum(bstart, p_start)
+            hi_v = np.minimum(bend, p_stop + 1)
+            pm = pure & (lo_v < hi_v)
+            np.add.at(cov_diff, lo_v[pm] - bstart, ps_counts[pm])
+            np.subtract.at(cov_diff, hi_v[pm] - bstart, ps_counts[pm])
             alt_counts: List[Dict[Tuple[int, int], int]] = \
                 [dict() for _ in range(S)]
-            for p, aln in enumerate(self.pooler.pooled_alns):
+            for p in dirty:
+                aln = pooled[p]
                 seg = _flank_segment(aln, bstart, bend)
                 if seg is None:
                     continue
                 lo, hi, rlo = seg
                 w = ps_counts[p]
-                cov_diff[:, lo - bstart] += w
-                cov_diff[:, hi - bstart] -= w
-                cig = aln.cigar
-                if len(cig) == 1 and cig[0].type == "=":
-                    continue           # pure reference match: coverage only
+                cov_diff[lo - bstart] += w
+                cov_diff[hi - bstart] -= w
                 sb = np.frombuffer(
                     aln.sequence[rlo:rlo + hi - lo].encode("latin1"),
                     np.uint8)
@@ -581,7 +593,9 @@ class SeqStutterGenotyper:
                         for s in ws:
                             d = alt_counts[s]
                             d[key] = d.get(key, 0) + int(w[s])
-            cov = np.cumsum(cov_diff[:, :blen], axis=1)
+            if not any(alt_counts):
+                continue
+            cov = np.cumsum(cov_diff[:blen], axis=0).T
             support: Dict[str, int] = {}
             for s in range(S):
                 subs = [(off, base, cnt)
