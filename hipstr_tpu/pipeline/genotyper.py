@@ -406,19 +406,31 @@ class SeqStutterGenotyper:
                         pos += el.num
                 return None
 
-            diff_counts: List[Dict[int, int]] = [dict()
-                                                 for _ in range(self.num_samples)]
-            seq_counts: List[Dict[str, int]] = [dict()
-                                                for _ in range(self.num_samples)]
-            span = np.zeros(self.num_samples, dtype=np.int64)
-            for i, aln in enumerate(self.alns):
+            tmpl_b = np.frombuffer(tmpl.encode("latin1"), np.uint8)
+            S = self.num_samples
+            pooled = self.pooler.pooled_alns
+            P = self.pooler.num_pools()
+            # scan POOLS with per-sample read weights instead of every read:
+            # reads in a pool share the sequence (and, virtually always, the
+            # alignment), and speculation is best-effort — a rare same-seq
+            # different-alignment collision only perturbs which candidates
+            # get pre-aligned, never the exact output
+            ps_counts = np.bincount(self.pool_index * S + self.sample_label,
+                                    minlength=P * S).reshape(P, S)
+            diff_counts: List[Dict[int, int]] = [dict() for _ in range(S)]
+            seq_counts: List[Dict[str, int]] = [dict() for _ in range(S)]
+            span = np.zeros(S, dtype=np.int64)
+            for p, aln in enumerate(pooled):
                 if not (aln.start < block.start and aln.stop > block.end):
                     continue
-                s = self.sample_label[i]
-                span[s] += 1
+                w = ps_counts[p]
+                span += w
+                ws = np.nonzero(w)[0].tolist()
                 diff = extract_cigar_bp_diff(aln.cigar, aln.start, lo, hi)
                 if diff is not None and diff != 0:
-                    diff_counts[s][diff] = diff_counts[s].get(diff, 0) + 1
+                    for s in ws:
+                        diff_counts[s][diff] = \
+                            diff_counts[s].get(diff, 0) + int(w[s])
                 # the read's maximal periodic run from the block anchor:
                 # stutter artifacts that NW realignment rendered as mismatch
                 # runs (not CIGAR indels) still shorten/lengthen this run,
@@ -427,23 +439,23 @@ class SeqStutterGenotyper:
                 anchor = read_index_at(aln, block.start)
                 if anchor is not None:
                     seq_b = aln.sequence
-                    k = 0
-                    mism = 0
                     limit = min(len(seq_b) - anchor, len(tmpl))
-                    while k < limit:
-                        if seq_b[anchor + k] == tmpl[k]:
-                            k += 1
-                            continue
-                        # tolerate an isolated in-repeat SNP when the
-                        # periodic phase resumes right after it (the ML
-                        # trace keeps such reads in the repeat block)
-                        la = min(period, limit - (k + 1))
-                        if mism < 2 and la >= 1 and all(
-                                seq_b[anchor + k + 1 + j] == tmpl[k + 1 + j]
-                                for j in range(la)):
+                    rb = np.frombuffer(
+                        seq_b[anchor:anchor + limit].encode("latin1"),
+                        np.uint8)
+                    neq = np.nonzero(rb != tmpl_b[:limit])[0].tolist()
+                    # walk only the mismatches: tolerate up to 2 isolated
+                    # in-repeat SNPs when the periodic phase resumes for
+                    # min(period, remaining) chars right after each
+                    k = limit
+                    mism = 0
+                    for j, m in enumerate(neq):
+                        la = min(period, limit - (m + 1))
+                        nxt = neq[j + 1] if j + 1 < len(neq) else limit
+                        if mism < 2 and la >= 1 and nxt > m + la:
                             mism += 1
-                            k += 1
                             continue
+                        k = m
                         break
                     if k >= period and k < len(seq_b) - anchor:
                         # the run may over-extend into flank bases that
@@ -457,8 +469,9 @@ class SeqStutterGenotyper:
                             if (Lp >= period and Lp != Lo
                                     and abs(Lp - Lo) <= max_art):
                                 run = seq_b[anchor:anchor + Lp]
-                                seq_counts[s][run] = \
-                                    seq_counts[s].get(run, 0) + 1
+                                for s in ws:
+                                    seq_counts[s][run] = \
+                                        seq_counts[s].get(run, 0) + int(w[s])
 
             def periodic_variants(opt: str, delta: int) -> List[str]:
                 """Stutter variants of one option: delta bp removed from
