@@ -121,6 +121,8 @@ def run(outdir: str, n_loci: int) -> None:
             t = time.perf_counter()
             if n > last_n:
                 windows.append((n, (n - last_n) / (t - last_t)))
+                print(f"  [{t - t0:6.0f}s] {n:6d} loci done "
+                      f"({windows[-1][1]:.2f} loci/s)", flush=True)
             last_n, last_t = n, t
 
     th = threading.Thread(target=sampler, daemon=True)
