@@ -334,7 +334,17 @@ static int walk_end_dist(const Cig* cig, int ncig, bool rev) {
   return -1;
 }
 
-inline char lc(char c) { return (char)std::tolower((unsigned char)c); }
+// ASCII-only lowercase: matches python str.lower() on base characters and
+// avoids the locale-indirected std::tolower call in the per-base hot loops
+struct LcTab {
+  unsigned char t[256];
+  LcTab() {
+    for (int i = 0; i < 256; ++i)
+      t[i] = (unsigned char)(i >= 'A' && i <= 'Z' ? i + 32 : i);
+  }
+};
+static const LcTab kLc;
+inline char lc(char c) { return (char)kLc.t[(unsigned char)c]; }
 
 // GetNumEndMatches port; returns false on the python AssertionError paths
 static bool num_end_matches(const Rec* r, const char* ref_seq,
@@ -430,22 +440,22 @@ static bool has_largest_end_matches(const Rec* r, const char* ref_seq,
   const char* bases = r->seq + start_index;
   const int L = num_bases;
 
+  // the aligned position's run is computed once; every other window
+  // position only needs to be extended until it reaches that run length
+  // (>= num => reject), which caps the scan at num instead of re-walking
+  // the (usually full-read-length) match run 2x per position
   if (start >= 0 && start < ref_len) {
     const int64_t si = start;
     const int64_t lo = std::max<int64_t>(0, si - max_external);
     const int64_t hi = std::min<int64_t>(ref_len - 1, si + max_internal);
-    const int64_t ai = si - lo;
-    int num = -1;
+    int num = 0;
+    while (num < L && si + num < ref_len &&
+           lc(bases[num]) == lc(ref_seq[si + num]))
+      ++num;
     for (int64_t i = lo; i <= hi; ++i) {
+      if (i == si) continue;
       int a = 0;
-      while (a < L && i + a < ref_len && lc(bases[a]) == lc(ref_seq[i + a]))
-        ++a;
-      if (i - lo == ai) num = a;
-    }
-    for (int64_t i = lo; i <= hi; ++i) {
-      if (i - lo == ai) continue;
-      int a = 0;
-      while (a < L && i + a < ref_len && lc(bases[a]) == lc(ref_seq[i + a]))
+      while (a < num && i + a < ref_len && lc(bases[a]) == lc(ref_seq[i + a]))
         ++a;
       if (a >= num) return false;
     }
@@ -454,18 +464,15 @@ static bool has_largest_end_matches(const Rec* r, const char* ref_seq,
     const int64_t ei = end;
     const int64_t lo = std::max<int64_t>(0, ei - max_internal);
     const int64_t hi = std::min<int64_t>(ref_len - 1, ei + max_external);
-    const int64_t ai = ei - lo;
-    int num = -1;
+    int num = 0;
+    while (num < L && ei - num >= 0 &&
+           lc(bases[L - 1 - num]) == lc(ref_seq[ei - num]))
+      ++num;
     for (int64_t i = lo; i <= hi; ++i) {
+      if (i == ei) continue;
       int a = 0;
-      while (a < L && i - a >= 0 && lc(bases[L - 1 - a]) == lc(ref_seq[i - a]))
-        ++a;
-      if (i - lo == ai) num = a;
-    }
-    for (int64_t i = lo; i <= hi; ++i) {
-      if (i - lo == ai) continue;
-      int a = 0;
-      while (a < L && i - a >= 0 && lc(bases[L - 1 - a]) == lc(ref_seq[i - a]))
+      while (a < num && i - a >= 0 &&
+             lc(bases[L - 1 - a]) == lc(ref_seq[i - a]))
         ++a;
       if (a >= num) return false;
     }
