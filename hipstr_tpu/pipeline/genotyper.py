@@ -582,8 +582,15 @@ class SeqStutterGenotyper:
             lo_v = np.maximum(bstart, p_start)
             hi_v = np.minimum(bend, p_stop + 1)
             pm = pure & (lo_v < hi_v)
-            np.add.at(cov_diff, lo_v[pm] - bstart, ps_counts[pm])
-            np.subtract.at(cov_diff, hi_v[pm] - bstart, ps_counts[pm])
+            # most pure pools span the whole flank window; their coverage is
+            # one constant row — scatter only the partial overlaps
+            full = pm & (lo_v == bstart) & (hi_v == bend)
+            part = pm & ~full
+            full_cov = ps_counts[full].sum(axis=0)
+            if part.any():
+                np.add.at(cov_diff, lo_v[part] - bstart, ps_counts[part])
+                np.subtract.at(cov_diff, hi_v[part] - bstart,
+                               ps_counts[part])
             alt_counts: List[Dict[Tuple[int, int], int]] = \
                 [dict() for _ in range(S)]
             for p in dirty:
@@ -608,7 +615,8 @@ class SeqStutterGenotyper:
                             d[key] = d.get(key, 0) + int(w[s])
             if not any(alt_counts):
                 continue
-            cov = np.cumsum(cov_diff[:blen], axis=0).T
+            cov = (np.cumsum(cov_diff[:blen], axis=0)
+                   + full_cov[None, :]).T
             support: Dict[str, int] = {}
             for s in range(S):
                 subs = [(off, base, cnt)
@@ -779,13 +787,31 @@ class SeqStutterGenotyper:
     # ------------------------------------------------------------- traces
     def _pool_logq(self, pool_idx: int) -> Tuple[np.ndarray, np.ndarray]:
         """(log_error, log_correct) arrays for one pool's qualities; the
-        pooled quality strings are fixed after pool(), so cache them."""
-        got = self._pool_logq_cache.get(pool_idx)
+        pooled quality strings are fixed after pool(), so cache them.
+        When every pool shares one read length (the normal case), the
+        first miss converts ALL pools with two [P, L] table gathers."""
+        cache = self._pool_logq_cache
+        got = cache.get(pool_idx)
         if got is None:
-            quals = self.pooler.pooled_alns[pool_idx].base_qualities
+            pooled = self.pooler.pooled_alns
+            quals = pooled[pool_idx].base_qualities
+            L = len(quals)
+            if not cache and all(len(a.base_qualities) == L
+                                 for a in pooled):
+                from ..models.base_quality import (_LOG_CORRECT_BY_BYTE,
+                                                   _LOG_ERROR_BY_BYTE)
+                mat = np.frombuffer(
+                    "".join(a.base_qualities
+                            for a in pooled).encode("latin1"),
+                    np.uint8).reshape(len(pooled), L)
+                ble = _LOG_ERROR_BY_BYTE[mat]
+                blc = _LOG_CORRECT_BY_BYTE[mat]
+                for p in range(len(pooled)):
+                    cache[p] = (ble[p], blc[p])
+                return cache[pool_idx]
             got = (self.base_quality.quals_to_log_error(quals),
                    self.base_quality.quals_to_log_correct(quals))
-            self._pool_logq_cache[pool_idx] = got
+            cache[pool_idx] = got
         return got
 
     def _trace_plan(self):
