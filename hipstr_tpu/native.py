@@ -149,6 +149,22 @@ def _load():
                 + [ctypes.c_void_p] * 45)                  # outputs
         except AttributeError:
             pass  # stale library without the filter entry
+        try:
+            lib.flank_assembly_batch.restype = ctypes.c_int32
+            lib.flank_assembly_batch.argtypes = (
+                [ctypes.c_char_p, ctypes.c_int32,          # ref seq
+                 ctypes.c_int32, ctypes.c_int32,           # min_k, max_k
+                 ctypes.c_int32,                           # n_samples
+                 ctypes.c_char_p,                          # strings blob
+                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                 ctypes.c_int64,                           # n_strings
+                 ctypes.c_void_p,                          # call_skip
+                 ctypes.c_double, ctypes.c_int32,          # prune
+                 ctypes.c_int32, ctypes.c_int32,           # paths
+                 ctypes.c_int64]                           # seq_stride
+                + [ctypes.c_void_p] * 6)                   # outputs
+        except AttributeError:
+            pass  # stale library without the assembly entry
         lib.stitch_ops.restype = ctypes.c_int32
         lib.stitch_ops.argtypes = [
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
@@ -983,3 +999,69 @@ def bam_filter_batch_native(blob: bytes, rec_off, rec_len,
 
 
 _filter_buf_tls = threading.local()
+
+
+def flank_assembly_batch_native(ref_seq: str, min_k: int, max_k: int,
+                                strings_by_sample, call_skip,
+                                min_edge_freq: float = 0.02,
+                                prune_min_weight: int = 2,
+                                min_path_weight: int = 2,
+                                max_paths: int = 10):
+    """Run every sample's de Bruijn flank assembly (k escalation, prune,
+    acyclicity/source/sink checks, bottleneck-weight path enumeration) in
+    one native call (native/debruijn.cpp).
+
+    strings_by_sample: per sample, iterable of str flank segments.
+    call_skip: per sample, truthy = skip (already filtered).
+    Returns (ok[s] bool array, [per-sample list of (seq, weight)]) or None
+    when the entry is unavailable or a sample overflowed (caller falls
+    back to the python path wholesale).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "flank_assembly_batch"):
+        return None
+    import numpy as np
+    S = len(strings_by_sample)
+    parts = []
+    offs = []
+    lens = []
+    samps = []
+    pos = 0
+    for s, strs in enumerate(strings_by_sample):
+        for q in strs:
+            b = q if isinstance(q, bytes) else q.encode("latin1")
+            parts.append(b)
+            offs.append(pos)
+            lens.append(len(b))
+            samps.append(s)
+            pos += len(b)
+    blob = b"".join(parts)
+    n_str = len(offs)
+    off_a = np.asarray(offs, dtype=np.int64)
+    len_a = np.asarray(lens, dtype=np.int32)
+    samp_a = np.asarray(samps, dtype=np.int32)
+    skip_a = np.asarray([1 if c else 0 for c in call_skip], dtype=np.uint8)
+    seq_stride = len(ref_seq) + 96
+    ok = np.zeros(S, dtype=np.uint8)
+    n_paths = np.zeros(S, dtype=np.int32)
+    seq_pool = np.empty((S, max_paths, seq_stride), dtype=np.uint8)
+    seq_len = np.zeros((S, max_paths), dtype=np.int32)
+    weight = np.zeros((S, max_paths), dtype=np.int32)
+    rc = np.zeros(S, dtype=np.uint8)
+    r = lib.flank_assembly_batch(
+        ref_seq.encode("latin1"), len(ref_seq), min_k, max_k, S,
+        blob, off_a.ctypes.data, len_a.ctypes.data, samp_a.ctypes.data,
+        n_str, skip_a.ctypes.data, min_edge_freq, prune_min_weight,
+        min_path_weight, max_paths, seq_stride,
+        ok.ctypes.data, n_paths.ctypes.data, seq_pool.ctypes.data,
+        seq_len.ctypes.data, weight.ctypes.data, rc.ctypes.data)
+    if r != 0 or rc.any():
+        return None
+    out = []
+    for s in range(S):
+        ps = []
+        for p in range(int(n_paths[s])):
+            ps.append((seq_pool[s, p, :seq_len[s, p]].tobytes()
+                       .decode("latin1"), int(weight[s, p])))
+        out.append(ps)
+    return ok.astype(bool), out

@@ -1199,26 +1199,48 @@ class SeqStutterGenotyper:
             for i in range(self.num_reads):
                 reads_by_sample[self.sample_label[i]].append(i)
 
+            def sample_strings(s):
+                out = []
+                for i in reads_by_sample[s]:
+                    if t_rows[i] < 0:
+                        continue
+                    seq = store.flank_seq_bytes(int(t_rows[i]), block_index)
+                    if seq:
+                        out.append(seq)
+                return out
+
+            # one native call runs every sample's k-escalation assembly
+            # (native/debruijn.cpp); the python graph below is the fallback
+            from .. import native as _native
+            skip = [bool(self.call_sample[s])
+                    for s in range(self.num_samples)]
+            native_res = _native.flank_assembly_batch_native(
+                ref_seq, kmer_length, max_k,
+                [sample_strings(s) if not skip[s] else ()
+                 for s in range(self.num_samples)],
+                skip, 0.02, 2, MIN_PATH_WEIGHT, 10)
+
             for s in range(self.num_samples):
                 if self.call_sample[s]:
                     continue
-                assembly_data: List[Tuple[str, int]] = []
-                acyclic = False
-                for k in range(kmer_length, max_k + 1):
-                    assembler = DebruijnGraph(k, ref_seq)
-                    for i in reads_by_sample[s]:
-                        if t_rows[i] < 0:
-                            continue
-                        seq = store.flank_seq(int(t_rows[i]), block_index)
-                        if seq:
-                            assembler.add_string(seq)
-                    assembler.prune_edges(0.02, 2)
-                    if (not assembler.has_cycles() and assembler.is_source_ok()
-                            and assembler.is_sink_ok()):
-                        acyclic = True
-                        assembly_data = assembler.enumerate_paths(
-                            MIN_PATH_WEIGHT, 10)
-                        break
+                if native_res is not None:
+                    acyclic = bool(native_res[0][s])
+                    assembly_data = native_res[1][s]
+                else:
+                    assembly_data = []
+                    acyclic = False
+                    for k in range(kmer_length, max_k + 1):
+                        assembler = DebruijnGraph(k, ref_seq)
+                        for seq in sample_strings(s):
+                            assembler.add_string(seq.decode("latin1"))
+                        assembler.prune_edges(0.02, 2)
+                        if (not assembler.has_cycles()
+                                and assembler.is_source_ok()
+                                and assembler.is_sink_ok()):
+                            acyclic = True
+                            assembly_data = assembler.enumerate_paths(
+                                MIN_PATH_WEIGHT, 10)
+                            break
 
                 if acyclic:
                     if not self.call_sample[s] and len(assembly_data) > 1:

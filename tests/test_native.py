@@ -280,3 +280,64 @@ def test_native_trace_batch_matches_single():
             a_b, a_s = tr_b.traced_aln, tr_s.traced_aln
             assert (a_b.start, a_b.stop) == (a_s.start, a_s.stop)
             assert a_b.alignment == a_s.alignment
+
+
+def test_flank_assembly_batch_parity():
+    """native/debruijn.cpp vs the python DebruijnGraph: identical
+    acyclicity verdicts and identical ordered (path, bottleneck-weight)
+    lists across random mutated-fragment inputs."""
+    import random
+
+    from hipstr_tpu import native
+    from hipstr_tpu.align.debruijn import DebruijnGraph, MIN_PATH_WEIGHT
+
+    if not (native.available()
+            and hasattr(native._load(), "flank_assembly_batch")):
+        import pytest
+        pytest.skip("native assembly entry unavailable")
+
+    random.seed(11)
+    BASES = "ACGT"
+    for trial in range(60):
+        ref = "".join(random.choice(BASES)
+                      for _ in range(random.randint(18, 40)))
+        max_k = min(15, len(ref) - 1)
+        k0 = DebruijnGraph.calc_kmer_length(ref, 10, max_k)
+        if k0 is None:
+            continue
+        S = random.randint(1, 4)
+        strs_by_s = []
+        for s in range(S):
+            strs = []
+            for _ in range(random.randint(0, 12)):
+                a = random.randint(0, max(0, len(ref) - 12))
+                b = random.randint(a + 11, len(ref))
+                frag = list(ref[a:b])
+                for _ in range(random.randint(0, 2)):
+                    p = random.randrange(len(frag))
+                    frag[p] = random.choice(BASES)
+                strs.append("".join(frag))
+            strs_by_s.append(strs)
+        skip = [random.random() < 0.2 for _ in range(S)]
+        res = native.flank_assembly_batch_native(
+            ref, k0, max_k,
+            [tuple(x.encode() for x in strs_by_s[s]) if not skip[s] else ()
+             for s in range(S)], skip)
+        assert res is not None
+        for s in range(S):
+            if skip[s]:
+                continue
+            acy = False
+            data = []
+            for k in range(k0, max_k + 1):
+                g = DebruijnGraph(k, ref)
+                for q in strs_by_s[s]:
+                    g.add_string(q)
+                g.prune_edges(0.02, 2)
+                if (not g.has_cycles() and g.is_source_ok()
+                        and g.is_sink_ok()):
+                    acy = True
+                    data = g.enumerate_paths(MIN_PATH_WEIGHT, 10)
+                    break
+            assert bool(res[0][s]) == acy
+            assert res[1][s] == data
