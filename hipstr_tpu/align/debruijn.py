@@ -10,6 +10,7 @@ enumeration.
 
 from __future__ import annotations
 
+import functools
 import heapq
 import itertools
 import math
@@ -158,10 +159,24 @@ class DebruijnGraph:
     @staticmethod
     def calc_kmer_length(ref_seq: str, min_kmer: int, max_kmer: int):
         """Smallest k in [min_kmer, max_kmer] whose reference-path graph is
-        acyclic; None if none (debruijn_graph.cpp:22-30)."""
-        for k in range(min_kmer, max_kmer + 1):
-            if len(ref_seq) <= k:
-                return None
-            if not DebruijnGraph(k, ref_seq).has_cycles():
-                return k
-        return None
+        acyclic; None if none (debruijn_graph.cpp:22-30).
+
+        A graph built from a single string's k-mer walk is acyclic exactly
+        when no k-mer repeats (a repeat closes the walk back onto an
+        already-visited node), so the guard reduces to a distinctness
+        check — no graph construction or DFS.  Memoized: the driver probes
+        the same two flank sequences once in genotype_prepare and again in
+        flank assembly."""
+        return _calc_kmer_length_cached(ref_seq, min_kmer, max_kmer)
+
+
+@functools.lru_cache(maxsize=4096)
+def _calc_kmer_length_cached(ref_seq: str, min_kmer: int, max_kmer: int):
+    n = len(ref_seq)
+    for k in range(min_kmer, max_kmer + 1):
+        if n <= k:
+            return None
+        n_kmers = n - k + 1
+        if len({ref_seq[i:i + k] for i in range(n_kmers)}) == n_kmers:
+            return k
+    return None

@@ -697,13 +697,18 @@ class SeqStutterGenotyper:
     def _expand_pool_lls(self) -> None:
         # expand pools to reads; combine mate pairs (both get the sum)
         probs = self.pool_LLs[self.pool_index].astype(np.float64)
-        i = 0
-        while i < self.num_reads:
-            if self.second_mate[i]:
-                total = probs[i - 1] + probs[i]
-                probs[i - 1] = total
-                probs[i] = total
-            i += 1
+        sm = np.nonzero(self.second_mate)[0]
+        if len(sm):
+            if len(sm) > 1 and (np.diff(sm) == 1).any():
+                # degenerate >2-read name run: keep the sequential semantics
+                for i in sm.tolist():
+                    total = probs[i - 1] + probs[i]
+                    probs[i - 1] = total
+                    probs[i] = total
+            else:
+                total = probs[sm - 1] + probs[sm]
+                probs[sm - 1] = total
+                probs[sm] = total
         self.log_aln_probs = probs
 
     def calc_hap_aln_probs(self) -> None:
@@ -794,21 +799,23 @@ class SeqStutterGenotyper:
         got = cache.get(pool_idx)
         if got is None:
             pooled = self.pooler.pooled_alns
-            quals = pooled[pool_idx].base_qualities
-            L = len(quals)
-            if not cache and all(len(a.base_qualities) == L
-                                 for a in pooled):
+            if not cache:
+                # first miss converts ALL pools in two table gathers over
+                # the concatenated quality bytes (any mix of lengths)
                 from ..models.base_quality import (_LOG_CORRECT_BY_BYTE,
                                                    _LOG_ERROR_BY_BYTE)
-                mat = np.frombuffer(
+                flat = np.frombuffer(
                     "".join(a.base_qualities
-                            for a in pooled).encode("latin1"),
-                    np.uint8).reshape(len(pooled), L)
-                ble = _LOG_ERROR_BY_BYTE[mat]
-                blc = _LOG_CORRECT_BY_BYTE[mat]
-                for p in range(len(pooled)):
-                    cache[p] = (ble[p], blc[p])
+                            for a in pooled).encode("latin1"), np.uint8)
+                ble = _LOG_ERROR_BY_BYTE[flat]
+                blc = _LOG_CORRECT_BY_BYTE[flat]
+                off = 0
+                for p, a in enumerate(pooled):
+                    end = off + len(a.base_qualities)
+                    cache[p] = (ble[off:end], blc[off:end])
+                    off = end
                 return cache[pool_idx]
+            quals = pooled[pool_idx].base_qualities
             got = (self.base_quality.quals_to_log_error(quals),
                    self.base_quality.quals_to_log_correct(quals))
             cache[pool_idx] = got
