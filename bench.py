@@ -99,7 +99,8 @@ def _run_e2e(tmp, batch_size, workers=None):
         counters = run_batched(p, f"{tmp}/regions.bed", f"{tmp}/out.vcf",
                                batch_size=batch_size)
     dt = time.perf_counter() - t0
-    return dt, counters, dict(p.timer.totals)
+    return dt, counters, dict(p.timer.totals, **{
+        "_run_stats": getattr(p, "last_run_stats", None)})
 
 
 def _bench_kernel(n_samples, reads_per_sample, batch):
@@ -155,6 +156,21 @@ def _flops_per_locus(s):
     hmm = 30.0 * s["P"] * s["H"] * s["R"] * s["L"]
     emission = 60.0 * s["O"] * s["B"] * s["P"] * s["L"]
     return hmm + emission
+
+
+def _spec_keys(stats):
+    """Speculation + rounds telemetry keys for the JSON line (VERDICT r4
+    item 7): hit rate of allele-addition rounds served by the speculative
+    column gather, and the device-rounds-per-locus histogram."""
+    if not stats:
+        return {"spec_hit_rate": None, "rounds_hist": None}
+    hits, misses = stats.get("spec_hits", 0), stats.get("spec_misses", 0)
+    total = hits + misses
+    return {
+        "spec_hit_rate": round(hits / total, 3) if total else None,
+        "rounds_hist": {str(k): v for k, v in
+                        sorted(stats.get("round_hist", {}).items())},
+    }
 
 
 def _fetch_ms():
@@ -273,6 +289,7 @@ def main():
         "achieved_gflops": round(gflops, 1),
         "mfu_vs_peak": round(gflops / 197000.0, 5),
         "fetch_ms": round(_fetch_ms(), 1),
+        **_spec_keys((deep_times or times).get("_run_stats")),
         "platform": platform,
         "ref_loci_per_sec": REF_LOCI_PER_SEC,
         "ref_deep_loci_per_sec": REF_DEEP_LOCI_PER_SEC,

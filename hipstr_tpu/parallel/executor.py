@@ -557,6 +557,12 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
     in_flight = []
     drain_pending()
     aligner.log_stats()
+    # export the run's dispatch/speculation telemetry for callers (bench.py
+    # surfaces spec_hit_rate + rounds_hist in its JSON line)
+    pipeline.last_run_stats = dict(
+        round_hist={int(k): int(v) for k, v in aligner.round_hist.items()},
+        spec_hits=int(aligner.spec_hits),
+        spec_misses=int(aligner.spec_misses))
     trace_pool.shutdown(wait=False)
 
     if writer is not None:
