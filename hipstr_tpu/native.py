@@ -146,7 +146,7 @@ def _load():
                 + [ctypes.c_char_p] * 8                    # adapters
                 + [ctypes.c_int32, ctypes.c_int32, ctypes.c_double]
                 + [ctypes.c_int32, ctypes.c_int32]         # strides
-                + [ctypes.c_void_p] * 45)                  # outputs
+                + [ctypes.c_void_p] * 47)                  # outputs + qsum
         except AttributeError:
             pass  # stale library without the filter entry
         try:
@@ -937,7 +937,8 @@ def bam_filter_batch_native(blob: bytes, rec_off, rec_len,
              ("xs_val", np.int32, 1), ("xs_has", np.uint8, 1),
              ("hp_val", np.int32, 1), ("hp_has", np.uint8, 1),
              ("adapter_trim_bases", np.int32, 1),
-             ("adapter_class", np.uint8, 1))
+             ("adapter_class", np.uint8, 1),
+             ("qual_sum", np.float64, 1))
     tls = _filter_buf_tls
     cached = getattr(tls, "buf", None)
     dims = getattr(tls, "dims", None)
@@ -992,10 +993,16 @@ def bam_filter_batch_native(blob: bytes, rec_off, rec_len,
         o["xs_val"].ctypes.data, o["xs_has"].ctypes.data,
         o["hp_val"].ctypes.data, o["hp_has"].ctypes.data,
         o["adapter_trim_bases"].ctypes.data,
-        o["adapter_class"].ctypes.data)
+        o["adapter_class"].ctypes.data,
+        _logc_table_ptr(), o["qual_sum"].ctypes.data)
     if rc != 0:
         return None
     return out
+
+
+def _logc_table_ptr():
+    from .models.base_quality import _LOG_CORRECT_BY_BYTE
+    return _LOG_CORRECT_BY_BYTE.ctypes.data
 
 
 _filter_buf_tls = threading.local()

@@ -21,7 +21,6 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..models.base_quality import _LOG_CORRECT_BY_BYTE
 from .adapter_trimmer import (MAX_ERROR_RATE, MIN_OVERLAP, NEXTERA_R1,
                               NEXTERA_R2, TRUSEQ_R1, TRUSEQ_R2,
                               reverse_complement)
@@ -185,18 +184,14 @@ def read_and_filter_reads_fast(pipeline, region, chrom_seq: str):
         seq_pool = o["seq_pool"]
         qual_pool = o["qual_pool"]
         seq_len = o["seq_len"]
-        # qual-sum screen, vectorized with the exact per-read numpy-sum
-        # semantics of BaseQuality.sum_log_prob_correct: one masked padded
-        # matrix would change summation order, so sum per row slice
-        pass_one = np.zeros(n, dtype=bool)
-        qsum_arr = np.full(n, np.nan)
-        cand = np.nonzero((status == 4) & (overlaps_a == 1)
-                          & (has_n_a == 0))[0]
-        for i in cand.tolist():
-            qsum = float(np.sum(
-                _LOG_CORRECT_BY_BYTE[qual_pool[i, :seq_len[i]]]))
-            qsum_arr[i] = qsum
-            pass_one[i] = qsum >= -10.0
+        # qual-sum screen: the native cascade computes per-read sums with
+        # numpy's exact pairwise reduction tree (np_pairwise_sum in
+        # native/bam_filter.cpp), so the values are bit-identical to the
+        # old per-row np.sum and to BaseQuality.sum_log_prob_correct
+        cand_mask = (status == 4) & (overlaps_a == 1) & (has_n_a == 0)
+        qsum_native = o["qual_sum"]
+        qsum_arr = np.where(cand_mask, qsum_native, np.nan)
+        pass_one = cand_mask & (qsum_native >= -10.0)
         if ((o["rec_err"] == 2) & pass_one).any():
             raise AssertionError("improper CIGAR in end-match scan")
         pass_two_a = ((o["p2_flank_ok"] == 1) & (o["p2_largest_ok"] == 1)

@@ -480,6 +480,34 @@ static bool has_largest_end_matches(const Rec* r, const char* ref_seq,
   return true;
 }
 
+// numpy-identical pairwise summation (numpy pairwise_sum, unroll 8,
+// block 128): the qual-sum screen and the PCR-dedup quality compares were
+// previously np.sum over a table gather; replicating the exact reduction
+// tree keeps the native value bit-identical to both the python fast path
+// it replaces and the object-path fallback.
+static double np_pairwise_sum(const double* a, int64_t n) {
+  if (n < 8) {
+    double res = 0.0;
+    for (int64_t i = 0; i < n; ++i) res += a[i];
+    return res;
+  }
+  if (n <= 128) {
+    double r0 = a[0], r1 = a[1], r2 = a[2], r3 = a[3];
+    double r4 = a[4], r5 = a[5], r6 = a[6], r7 = a[7];
+    int64_t i;
+    for (i = 8; i < n - (n % 8); i += 8) {
+      r0 += a[i + 0]; r1 += a[i + 1]; r2 += a[i + 2]; r3 += a[i + 3];
+      r4 += a[i + 4]; r5 += a[i + 5]; r6 += a[i + 6]; r7 += a[i + 7];
+    }
+    double res = ((r0 + r1) + (r2 + r3)) + ((r4 + r5) + (r6 + r7));
+    for (; i < n; ++i) res += a[i];
+    return res;
+  }
+  int64_t n2 = n / 2;
+  n2 -= n2 % 8;
+  return np_pairwise_sum(a, n2) + np_pairwise_sum(a + n2, n - n2);
+}
+
 }  // namespace
 
 // statuses for the python state machine (replayed in record order):
@@ -520,7 +548,8 @@ extern "C" int32_t bam_filter_batch(
     int32_t* sa_off, int32_t* sa_len,
     int32_t* as_val, uint8_t* as_has, int32_t* xs_val, uint8_t* xs_has,
     int32_t* hp_val, uint8_t* hp_has,
-    int32_t* adapter_trim_bases, uint8_t* adapter_class) {
+    int32_t* adapter_trim_bases, uint8_t* adapter_class,
+    const double* logc_table, double* qual_sum_out) {
   const char* r1_fw[2] = {r1_fw0, r1_fw1};
   const char* r2_fw[2] = {r2_fw0, r2_fw1};
   const char* r1_rc[2] = {r1_rc0, r1_rc1};
@@ -687,6 +716,15 @@ extern "C" int32_t bam_filter_batch(
     std::memcpy(seq_pool + (int64_t)i * max_seq, r->seq, r->len);
     std::memcpy(qual_pool + (int64_t)i * max_seq, r->qual, r->len);
     seq_len_out[i] = r->len;
+    if (logc_table && qual_sum_out) {
+      // base-quality screen sum over the trimmed qualities (python
+      // previously summed a table gather per read; same tree, see
+      // np_pairwise_sum)
+      double tmp[4096];
+      const int L = r->len;
+      for (int k = 0; k < L; ++k) tmp[k] = logc_table[(uint8_t)r->qual[k]];
+      qual_sum_out[i] = np_pairwise_sum(tmp, L);
+    }
     for (int k = 0; k < r->ncig; ++k) {
       cig_op_pool[(int64_t)i * max_cig + k] = (uint8_t)r->cig[k].op;
       cig_n_pool[(int64_t)i * max_cig + k] = r->cig[k].n;
