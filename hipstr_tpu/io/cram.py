@@ -122,13 +122,18 @@ def _rans4x8_decode(data: bytes) -> bytes:
             return ((f & 0x7F) << 8) | st.u8()
         return f
 
-    def read_table():
-        """Symbol->frequency table with the spec's RLE layout."""
+    def read_table(zero_is_total: bool = False):
+        """Symbol->frequency table with the spec's RLE layout (htslib
+        rANS_static.c semantics: order-1 contexts map F==0 to TOTFREQ,
+        and a table summing to TOTFREQ-1 duplicates the last slot)."""
         F = [0] * 256
         sym = st.u8()
         rle = 0
         while True:
-            F[sym] = read_freq()
+            f = read_freq()
+            if zero_is_total and f == 0:
+                f = TOTFREQ
+            F[sym] = f
             if rle > 0:
                 rle -= 1
                 sym += 1
@@ -146,33 +151,42 @@ def _rans4x8_decode(data: bytes) -> bytes:
         for s in range(256):
             if F[s]:
                 lookup[C[s]:C[s + 1]] = bytes([s]) * F[s]
+        total = C[256]
+        if total < TOTFREQ:  # historically filled 4095, not 4096
+            lookup[total] = lookup[total - 1] if total else 0
         return F, C, lookup
 
     if order == 0:
         F, C, lookup = read_table()
         R = [st.u32le() for _ in range(4)]
         buf, pos = st.buf, st.pos
-        for i in range(n_out):
+        blen = len(buf)
+        out_end = n_out & ~3
+        for i in range(out_end):
             j = i & 3
             r = R[j]
             m = r & (TOTFREQ - 1)
             s = lookup[m]
             out[i] = s
             r = F[s] * (r >> TF) + m - C[s]
-            while r < RANS_LOW:
+            while r < RANS_LOW and pos < blen:
                 r = (r << 8) | buf[pos]
                 pos += 1
             R[j] = r
+        # remainder: peek-only, streams 0..2 (htslib order-0 tail switch)
+        for k in range(n_out & 3):
+            out[out_end + k] = lookup[R[k] & (TOTFREQ - 1)]
         return bytes(out)
 
-    # order 1: per-context tables, 4 streams over equal quarters
+    # order 1: per-context tables; 4 streams over FLOOR quarters, stream 3
+    # continues through the tail (htslib rans_uncompress_O1 layout)
     Fs: Dict[int, list] = {}
     Cs: Dict[int, list] = {}
     Ls: Dict[int, bytearray] = {}
     ctx = st.u8()
     rle = 0
     while True:
-        F, C, lookup = read_table()
+        F, C, lookup = read_table(zero_is_total=True)
         Fs[ctx], Cs[ctx], Ls[ctx] = F, C, lookup
         if rle > 0:
             rle -= 1
@@ -186,26 +200,36 @@ def _rans4x8_decode(data: bytes) -> bytes:
                 break
     R = [st.u32le() for _ in range(4)]
     buf, pos = st.buf, st.pos
-    n4 = (n_out + 3) >> 2
+    blen = len(buf)
+    n4 = n_out >> 2
     idx = [0, n4, 2 * n4, 3 * n4]
-    end = [n4, 2 * n4, 3 * n4, n_out]
     last = [0, 0, 0, 0]
     for _ in range(n4):
         for j in range(4):
-            if idx[j] >= end[j]:
-                continue
             r = R[j]
             m = r & (TOTFREQ - 1)
             c = last[j]
             s = Ls[c][m]
             out[idx[j]] = s
             r = Fs[c][s] * (r >> TF) + m - Cs[c][s]
-            while r < RANS_LOW:
+            while r < RANS_LOW and pos < blen:
                 r = (r << 8) | buf[pos]
                 pos += 1
             R[j] = r
             last[j] = s
             idx[j] += 1
+    # tail: stream 3 with its running context
+    r = R[3]
+    c = last[3]
+    for i in range(4 * n4, n_out):
+        m = r & (TOTFREQ - 1)
+        s = Ls[c][m]
+        out[i] = s
+        r = Fs[c][s] * (r >> TF) + m - Cs[c][s]
+        while r < RANS_LOW and pos < blen:
+            r = (r << 8) | buf[pos]
+            pos += 1
+        c = s
     return bytes(out)
 
 
@@ -893,6 +917,105 @@ class CramReader:
                 if rec.ref_id == rid and rec.pos < end \
                         and rec.end_position() > start:
                     yield rec
+
+    def fetch_raw(self, chrom: str, start: int, end: int):
+        """Raw BAM record bodies for the fetch window via the NATIVE
+        container decoder (native/cram_decode.cpp): (blob, offsets,
+        lengths, ref_id) with the io/bam.py fetch_raw conventions, or
+        None when the native entry is unavailable or a container needs
+        the python fallback.  Position screening is left to the consumer
+        (the native filter cascade applies the same yield condition as
+        fetch)."""
+        from .. import native as _native
+        if not self._crai:
+            return None
+        try:
+            rid = self.ref_names.index(chrom)
+        except ValueError:
+            return b"", [], [], -1
+        offsets = []
+        for (seq_id, a_start, a_span, c_off, _s, _z) in self._crai:
+            if seq_id != rid:
+                continue
+            if a_start - 1 < end and a_start - 1 + a_span > start:
+                if c_off not in offsets:
+                    offsets.append(c_off)
+        # per-container decode cache: successive loci routinely hit the
+        # same container, so keep the last few decoded (the reference's
+        # BamCramReader reuses its iterator for repeated nearby regions,
+        # src/bam_io.h:505-569 — same capability, columnar form)
+        ccache = getattr(self, "_container_cache", None)
+        if ccache is None:
+            ccache = self._container_cache = {}
+        blob = bytearray()
+        offs: List[int] = []
+        lens: List[int] = []
+        for c_off in offsets:
+            got = ccache.get(c_off)
+            if got is not None:
+                c_blob, c_offs, c_lens = got
+                base = len(blob)
+                blob.extend(c_blob)
+                offs.extend(base + o for o in c_offs)
+                lens.extend(c_lens)
+                continue
+            st = ByteStream(self._data, c_off)
+            st.u32le()                # container length (blocks region)
+            ref_id = st.itf8()
+            st.itf8()                 # start
+            st.itf8()                 # span
+            st.itf8()                 # n_records
+            st.ltf8()                 # counter
+            st.ltf8()                 # bases
+            n_blocks = st.itf8()
+            st.itf8_array()           # landmarks
+            if self.major >= 3:
+                st.read(4)            # CRC32
+            body = self._data[st.pos:]
+            cache = getattr(self, "_ref_bytes_cache", None)
+            if cache is None:
+                cache = self._ref_bytes_cache = {}
+
+            def ref_bytes(r2):
+                b = cache.get(r2)
+                if b is None:
+                    try:
+                        b = self._ref_seq(r2).encode("latin1")
+                    except RuntimeError:
+                        b = b""       # embedded-ref containers need none
+                    cache[r2] = b
+                return b
+
+            if ref_id == -2:
+                # multi-ref container: records carry their own ref ids; any
+                # chromosome may appear, so hand the decoder every reference
+                # (bounded — beyond the cap fall back to the object path)
+                if sum(self.ref_lens) > (1 << 28):
+                    return None
+                refs = {r2: ref_bytes(r2) for r2 in range(len(self.ref_names))}
+            else:
+                refs = {ref_id: ref_bytes(ref_id)} if ref_id >= 0 else {}
+            res = _native.cram_decode_container_native(
+                bytes(body), n_blocks, self.major, refs, self._rg_ids)
+            if res is None:
+                return None
+            c_blob, c_offs, c_lens = res
+            if len(ccache) >= 4:
+                ccache.pop(next(iter(ccache)))
+            ccache[c_off] = (c_blob, c_offs, c_lens)
+            base = len(blob)
+            blob.extend(c_blob)
+            offs.extend(base + o for o in c_offs)
+            lens.extend(c_lens)
+        if len(offsets) > 1 and offs:
+            # global (ref_id, pos) order across containers, as fetch() sorts
+            import struct as _struct
+            keyed = sorted(
+                range(len(offs)),
+                key=lambda i: _struct.unpack_from("<ii", blob, offs[i]))
+            offs = [offs[i] for i in keyed]
+            lens = [lens[i] for i in keyed]
+        return bytes(blob), offs, lens, rid
 
     def close(self):
         pass

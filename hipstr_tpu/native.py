@@ -165,6 +165,20 @@ def _load():
                 + [ctypes.c_void_p] * 6)                   # outputs
         except AttributeError:
             pass  # stale library without the assembly entry
+        try:
+            lib.cram_decode_container.restype = ctypes.c_int64
+            lib.cram_decode_container.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,            # container body
+                ctypes.c_int32, ctypes.c_int32,             # n_blocks, ver
+                ctypes.c_char_p, ctypes.c_void_p,           # refs blob/offs
+                ctypes.c_void_p, ctypes.c_int32,            # refs avail/n
+                ctypes.c_char_p, ctypes.c_void_p,           # rg blob/offs
+                ctypes.c_int32,                             # n_rg
+                ctypes.c_void_p, ctypes.c_int64,            # out blob, cap
+                ctypes.c_void_p, ctypes.c_void_p,           # out offs/lens
+                ctypes.c_int32, ctypes.c_void_p]            # max_recs, n_out
+        except AttributeError:
+            pass  # stale library without the cram entry
         lib.stitch_ops.restype = ctypes.c_int32
         lib.stitch_ops.argtypes = [
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
@@ -1072,3 +1086,63 @@ def flank_assembly_batch_native(ref_seq: str, min_k: int, max_k: int,
                        .decode("latin1"), int(weight[s, p])))
         out.append(ps)
     return ok.astype(bool), out
+
+
+def cram_decode_container_native(body: bytes, n_blocks: int, version: int,
+                                 refs, rg_ids):
+    """Decode one CRAM container body to BAM record bodies (native
+    cram_decode_container).  `refs` maps ref_id -> reference bytes for
+    every chromosome the container may touch (one entry for single-ref
+    containers; all candidates for multi-ref).  Returns (blob bytes,
+    offsets, lengths) with the io/bam.py fetch_raw conventions (offsets
+    point past each record's 4-byte block_size), or None when the entry is
+    unavailable or the container needs the python fallback (unsupported
+    codec, bz2/lzma blocks, missing reference)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "cram_decode_container"):
+        return None
+    import numpy as np
+    rg_blob = b"".join(r.encode("latin1") for r in rg_ids)
+    rg_offs = np.zeros(len(rg_ids) + 1, dtype=np.int32)
+    off = 0
+    for i, r in enumerate(rg_ids):
+        rg_offs[i] = off
+        off += len(r.encode("latin1"))
+    rg_offs[len(rg_ids)] = off
+    n_refs = (max(refs) + 1) if refs else 0
+    refs_offs = np.zeros(n_refs + 1, dtype=np.int64)
+    refs_avail = np.zeros(max(1, n_refs), dtype=np.uint8)
+    parts = []
+    off = 0
+    for rid in range(n_refs):
+        refs_offs[rid] = off
+        b = refs.get(rid)
+        if b is not None:
+            refs_avail[rid] = 1
+            parts.append(b)
+            off += len(b)
+    refs_offs[n_refs] = off
+    refs_blob = b"".join(parts)
+    cap = max(1 << 20, 8 * len(body))
+    max_recs = max(1024, len(body) // 8)
+    n_out = ctypes.c_int32(0)
+    for _ in range(4):
+        out_blob = np.empty(cap, dtype=np.uint8)
+        offs = np.empty(max_recs, dtype=np.int64)
+        lens = np.empty(max_recs, dtype=np.int32)
+        rc = lib.cram_decode_container(
+            body, len(body), n_blocks, version,
+            refs_blob, refs_offs.ctypes.data, refs_avail.ctypes.data,
+            n_refs, rg_blob, rg_offs.ctypes.data, len(rg_ids),
+            out_blob.ctypes.data, cap, offs.ctypes.data, lens.ctypes.data,
+            max_recs, ctypes.byref(n_out))
+        if rc == -2:
+            cap *= 4
+            max_recs *= 4
+            continue
+        if rc < 0:
+            return None
+        n = int(n_out.value)
+        return (out_blob[:rc].tobytes(), offs[:n].tolist(),
+                lens[:n].tolist())
+    return None

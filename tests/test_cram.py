@@ -115,3 +115,41 @@ def test_cram_realistic_reads_roundtrip(tmp_path):
     a = [l for l in open(f"{out}/b.vcf") if not l.startswith("#")]
     b = [l for l in open(f"{out}/c.vcf") if not l.startswith("#")]
     assert len(a) == len(b) > 0 and a == b
+
+
+def test_cram_native_fetch_raw_identity(tmp_path):
+    """The native container decoder (native/cram_decode.cpp) emits BAM
+    record bodies bit-identical to the python object decoder, on an
+    htslib-written CRAM of realistic reads (soft clips, aux tags, MAPQ
+    spread, paired mates)."""
+    if not os.path.exists("/tmp/cramgen/bam2cram"):
+        pytest.skip("htslib bam2cram helper not built")
+    out = str(tmp_path)
+    subprocess.run([sys.executable, os.path.join(REPO,
+                    "tools/make_golden_data.py"), out, "--loci", "2",
+                    "--samples", "3", "--reads", "40", "--realistic",
+                    "--paired", "--seed", "9182"], check=True)
+    subprocess.run(["/tmp/cramgen/bam2cram", f"{out}/sim.bam",
+                    f"{out}/sim.fa", f"{out}/sim.cram", "3.0"], check=True)
+
+    from hipstr_tpu.io.bam import decode_record
+    from hipstr_tpu.io.cram import CramReader
+    r = CramReader(f"{out}/sim.cram", f"{out}/sim.fa")
+    checked = 0
+    for ci, chrom in enumerate(r.ref_names):
+        end = r.ref_lens[ci]
+        py = list(r.fetch(chrom, 0, end))
+        raw = r.fetch_raw(chrom, 0, end)
+        assert raw is not None, "native CRAM decode fell back"
+        blob, offs, lens, rid = raw
+        nat = [decode_record(blob[o:o + l]) for o, l in zip(offs, lens)]
+        nat = [x for x in nat if x.ref_id == rid and x.pos < end
+               and x.end_position() > 0]
+        assert len(nat) == len(py)
+        for a, b in zip(py, nat):
+            for f in ("name", "flag", "ref_id", "pos", "mapq", "cigar",
+                      "mate_ref_id", "mate_pos", "tlen", "seq", "qual",
+                      "tags"):
+                assert getattr(a, f) == getattr(b, f), (a.name, f)
+        checked += len(py)
+    assert checked > 100

@@ -10,6 +10,11 @@ src/bam_processor.cpp:173-474 predicates).
 
 Usage: python tools/decode_bench.py [dataset_dir]
        (defaults to a freshly simulated 40-locus x 20-sample x 30-read set)
+       python tools/decode_bench.py --cram
+         measures the native CRAM container decode path instead
+         (native/cram_decode.cpp -> BAM bodies -> same filter cascade);
+         VERDICT round-4 item 6 acceptance: >= 100 MB/s, byte-identical
+         records (pinned by tests/test_cram.py).
 """
 import os
 import sys
@@ -28,8 +33,10 @@ def main():
                                                      MIN_OVERLAP)
     from hipstr_tpu.pipeline.fast_filter import _ADAPTERS
 
-    if len(sys.argv) > 1:
-        d = sys.argv[1]
+    use_cram = "--cram" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--cram"]
+    if args:
+        d = args[0]
     else:
         from hipstr_tpu.utils.simulate import simulate_locus
         from tests.test_workers import _write_sim
@@ -41,7 +48,17 @@ def main():
         _write_sim(d, locs)
 
     assert native.available() and hasattr(native._load(), "bam_filter_batch")
-    rdr = BamReader(f"{d}/sim.bam")
+    if use_cram:
+        import subprocess
+        gen = "/tmp/cramgen/bam2cram"
+        assert os.path.exists(gen), "htslib bam2cram helper not built"
+        if not os.path.exists(f"{d}/sim.cram"):
+            subprocess.run([gen, f"{d}/sim.bam", f"{d}/sim.fa",
+                            f"{d}/sim.cram", "3.0"], check=True)
+        from hipstr_tpu.io.cram import CramReader
+        rdr = CramReader(f"{d}/sim.cram", f"{d}/sim.fa")
+    else:
+        rdr = BamReader(f"{d}/sim.bam")
     regions = read_regions(f"{d}/regions.bed", 10 ** 9, "", None)
     fa = open(f"{d}/sim.fa").read().split(">")
 
@@ -62,6 +79,17 @@ def main():
 
     def run_all():
         out_n = 0
+        if use_cram:
+            for r, _raw, chrom_b in work:
+                blob, offs, lens, rid = rdr.fetch_raw(
+                    r.chrom, max(0, r.start - 1000), r.stop + 1000)
+                o = native.bam_filter_batch_native(
+                    blob, offs, lens, max(0, r.start - 1000), r.stop + 1000,
+                    r.start, r.stop, rid, 0, max(1, r.start - 40),
+                    r.stop + 40, chrom_b, 5, 15, 10, 7, True, _ADAPTERS,
+                    MIN_OVERLAP, MAX_ERROR_RATE)
+                out_n += len(o["status"])
+            return out_n
         for r, (blob, offs, lens, rid), chrom_b in work:
             o = native.bam_filter_batch_native(
                 blob, offs, lens, max(0, r.start - 1000), r.stop + 1000,
