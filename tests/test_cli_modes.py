@@ -8,6 +8,7 @@ src/stutter_model.cpp:81-110, main.cpp --stutter-in/--stutter-out),
 """
 
 import os
+import pytest
 import subprocess
 import sys
 
@@ -330,6 +331,7 @@ def test_batch_loci_viz_out(tmp_path):
     assert html is not None and "SAMPLE000" in html
 
 
+@pytest.mark.slow
 def test_workers_merge_identical(tmp_path):
     """--workers N shards loci across processes and merges; output equals a
     single-process run."""
@@ -432,6 +434,7 @@ def test_bam_samps_without_read_groups(tmp_path):
     assert header.rstrip().split("\t")[-1] == "SAMPLEX"
 
 
+@pytest.mark.slow
 def test_workers_merge_bgzip_with_tabix(tmp_path):
     """--workers merging into a .gz target produces bgzip + .tbi."""
     from hipstr_tpu.utils.simulate import simulate_locus
@@ -552,6 +555,7 @@ def test_paired_end_pipeline(tmp_path):
     assert called == 3 and correct == 3
 
 
+@pytest.mark.slow
 def test_profile_flag_writes_trace(tmp_path):
     """--profile captures a jax.profiler trace directory and leaves the
     VCF identical (aux subsystem: tracing/profiling, SURVEY §5)."""

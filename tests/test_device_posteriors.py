@@ -1,3 +1,4 @@
+import pytest
 """Fused device posteriors vs the host per-locus recompute.
 
 With HIPSTR_TPU_DEVICE_POST=1 the batched dispatch returns
@@ -12,6 +13,8 @@ from hipstr_tpu.pipeline.processor import (GenotyperPipeline, Logger,
 from hipstr_tpu.models.stutter import StutterModel
 from hipstr_tpu.utils.simulate import simulate_locus
 from tests.test_workers import _write_sim
+
+pytestmark = pytest.mark.slow  # multi-minute suite (VERDICT r4 item 5)
 
 
 def _opts():

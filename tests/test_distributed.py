@@ -3,6 +3,7 @@ merged VCF byte-identical to a single-process run, with globally reduced
 counters.  (New capability over the reference's manual per-shard processes,
 reference README.md:167-171.)"""
 
+import pytest
 import os
 import socket
 import subprocess
@@ -10,6 +11,8 @@ import sys
 
 from hipstr_tpu.utils.simulate import simulate_locus
 from tests.test_workers import _write_sim
+
+pytestmark = pytest.mark.slow  # multi-minute suite (VERDICT r4 item 5)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -103,6 +103,7 @@ def test_haploid_batch():
     assert bool(out["converged"][0]) == res.converged
 
 
+@pytest.mark.slow
 def test_device_em_cli_identical_to_host_em(monkeypatch, tmp_path):
     """Batched run with wave-level device EM (HIPSTR_TPU_DEVICE_EM=1,
     float64 on CPU) produces the same VCF body as the host per-locus EM."""

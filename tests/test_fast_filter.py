@@ -94,6 +94,7 @@ def test_left_align_trim_parity():
                 assert f.matches_reference() == s.matches_reference()
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not _native_ok(), reason="native filter unavailable")
 def test_pipeline_vcf_identical_fast_vs_slow():
     from hipstr_tpu.parallel.executor import run_batched

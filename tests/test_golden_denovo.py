@@ -16,6 +16,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite (VERDICT r4 item 5)
+
 REF_DENOVO = "/tmp/refbuild/DenovoFinder"
 REF_PHASING = "/tmp/refbuild/PhasingChecker"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -22,6 +22,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite (VERDICT r4 item 5)
+
 REF_BINARY = "/tmp/refbuild/HipSTR"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -19,6 +19,7 @@ from hipstr_tpu.ops.pallas_hmm2 import batched_forward_v2
 from hipstr_tpu.parallel.batch_builder import build_demo_batch
 
 
+@pytest.mark.slow
 def test_emission_mixed_periods_match_static():
     rng = np.random.default_rng(0)
     G, O, P, L, B = 3, 4, 8, 128, 64
@@ -43,6 +44,7 @@ def test_emission_mixed_periods_match_static():
                                    rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("period", [2, 3])
 def test_v2_h_real_padding_matches_full(period):
     G = 3

@@ -214,6 +214,7 @@ def test_viz_out_and_vizaln(tmp_path):
     assert "SAMPLE000" in page and "class=\"str" in page
 
 
+@pytest.mark.slow
 def test_locus_sharding_partitions_work(tmp_path):
     """--locus-shard i/N produces disjoint per-shard VCFs whose union equals
     the unsharded run (the multi-host data-parallel contract)."""

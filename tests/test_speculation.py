@@ -9,6 +9,7 @@ byte-identical with speculation on and off, and the device rounds per
 locus must drop.
 """
 
+import pytest
 import os
 import tempfile
 
@@ -22,6 +23,8 @@ from hipstr_tpu.pipeline.processor import (GenotyperPipeline, Logger,
 from hipstr_tpu.utils.simulate import simulate_locus
 
 from tests.test_workers import _write_sim
+
+pytestmark = pytest.mark.slow  # multi-minute suite (VERDICT r4 item 5)
 
 
 def _opts(dtype="float64"):

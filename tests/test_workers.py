@@ -6,6 +6,7 @@ depend on which process prepared a locus (reference behavior: loci are
 fully independent, src/bam_processor.cpp:523-618).
 """
 
+import pytest
 import tempfile
 
 from hipstr_tpu.io.bam import BamRecord, BamWriter
@@ -16,6 +17,8 @@ from hipstr_tpu.parallel.workers import run_pooled
 from hipstr_tpu.pipeline.processor import (GenotyperPipeline, Logger,
                                            PipelineOptions)
 from hipstr_tpu.utils.simulate import simulate_locus
+
+pytestmark = pytest.mark.slow  # multi-minute suite (VERDICT r4 item 5)
 
 
 def _write_sim(tmp, locs):
