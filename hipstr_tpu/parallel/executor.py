@@ -326,7 +326,10 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
         return g.posterior_meta() if use_device_post else None
 
     import concurrent.futures as _cf
-    trace_pool = _cf.ThreadPoolExecutor(max_workers=2)
+    # native trace batches release the GIL; size the pool to the spare
+    # cores (main thread keeps one)
+    trace_pool = _cf.ThreadPoolExecutor(
+        max_workers=max(2, min(3, (os.cpu_count() or 2) - 1)))
 
     def install(item, LL, post=None, totals=None) -> None:
         """Install fresh LLs (and fused device posteriors when available)
