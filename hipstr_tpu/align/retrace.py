@@ -298,6 +298,21 @@ class HapAlignInfo:
             b = cache[h] = self.aln_info(h).encode("latin1")
         return b
 
+    def aln_info_ptr(self, h: int):
+        """(data pointer, length) of aln_info_bytes(h), cached — the bytes
+        object is pinned by _bytes_cache for this object's lifetime."""
+        cache = getattr(self, "_ptr_cache", None)
+        if cache is None:
+            cache = self._ptr_cache = {}
+        p = cache.get(h)
+        if p is None:
+            import ctypes
+            b = self.aln_info_bytes(h)
+            p = cache[h] = (
+                ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p).value or 0,
+                len(b))
+        return p
+
     def aln_info(self, h: int) -> str:
         info = self._cache.get(h)
         if info is None:

@@ -172,9 +172,8 @@ def compute_batch_columnar(haplotype: Haplotype, jobs,
                                              "hmm_trace_summary_batch")
     if not lib_ok:
         return None
-    njobs, hap_infos = _prep_native_jobs(haplotype, jobs, hap_info)
-    return _native.hmm_trace_summary_batch_native(
-        njobs, hap_infos, haplotype.blocks[0].start,
+    return _native.hmm_trace_summary_batch_fast(
+        haplotype, jobs, hap_info, haplotype.blocks[0].start,
         MIN_SNP_LOG_PROB_CORRECT, TRACE_LL_TOL,
         n_threads or trace_threads())
 

@@ -1146,3 +1146,133 @@ def cram_decode_container_native(body: bytes, n_blocks: int, version: int,
         return (out_blob[:rc].tobytes(), offs[:n].tolist(),
                 lens[:n].tolist())
     return None
+
+
+def hmm_trace_summary_batch_fast(haplotype, jobs, hap_info, hap_start: int,
+                                 min_snp_lpc: float, tol: float,
+                                 n_threads: int = 1):
+    """Single-pass marshalling for the trace-summary batch: per-instance
+    pointer blocks (fill/walk structs, seed metadata) and per-pool data
+    pointers are cached, so each job costs a handful of int stores into
+    numpy pointer tables instead of rebuilding ctypes argument arrays
+    (was ~25us/job of host python at deep coverage).  Results identical to
+    hmm_trace_summary_batch_native."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hmm_trace_summary_batch"):
+        return None
+    import numpy as np
+    from .align.retrace import _instances_for
+    from .align.hmm_reference import seed_meta as _seed_meta
+    n = len(jobs)
+    if n == 0:
+        return None
+
+    ptab = np.empty((10, n), dtype=np.uint64)
+    Ls = np.empty(n, dtype=np.int32)
+    seeds = np.empty(n, dtype=np.int32)
+    nmids = np.empty(n, dtype=np.int32)
+    slps = np.empty(n, dtype=np.float64)
+    firsts = np.empty(n, dtype=np.int32)
+    lasts = np.empty(n, dtype=np.int32)
+    hap_lens = np.empty(n, dtype=np.int32)
+    hap_starts = np.full(n, hap_start, dtype=np.int64)
+    keep = []
+    max_L = max_nb = max_hap = 0
+    pt = ptab  # [seq, blw, blc, ff, fw, rf, rw, mr, mc, hap]
+    for i, (h, aln, seed_base, blw, blc) in enumerate(jobs):
+        fw, rev = _instances_for(haplotype, h)
+        pc = getattr(fw, "_ptr_cache", None)
+        if pc is None:
+            fw_fill, fw_walk = trace_structs_for(fw)
+            rev_fill, rev_walk = trace_structs_for(rev)
+            mid_rows, mid_chars, slp, first, last = _seed_meta(fw)
+            pc = fw._ptr_cache = (
+                ctypes.addressof(fw_fill), ctypes.addressof(fw_walk),
+                ctypes.addressof(rev_fill), ctypes.addressof(rev_walk),
+                mid_rows.ctypes.data, mid_chars.ctypes.data, len(mid_rows),
+                slp, first, last, fw_walk.n_blocks,
+                (fw_fill, fw_walk, rev_fill, rev_walk, mid_rows, mid_chars))
+        codes = getattr(aln, "_codes_np", None)
+        if codes is None:
+            codes = np.frombuffer(aln.sequence.encode("latin1"),
+                                  dtype=np.uint8)
+            aln._codes_np = codes
+        hb_ptr, hb_len = hap_info.aln_info_ptr(h)
+        L = len(codes)
+        pt[0, i] = codes.ctypes.data
+        pt[1, i] = blw.ctypes.data
+        pt[2, i] = blc.ctypes.data
+        pt[3, i] = pc[0]
+        pt[4, i] = pc[1]
+        pt[5, i] = pc[2]
+        pt[6, i] = pc[3]
+        pt[7, i] = pc[4]
+        pt[8, i] = pc[5]
+        pt[9, i] = hb_ptr
+        Ls[i] = L
+        seeds[i] = seed_base
+        nmids[i] = pc[6]
+        slps[i] = pc[7]
+        firsts[i] = pc[8]
+        lasts[i] = pc[9]
+        hap_lens[i] = hb_len
+        keep.append((codes, blw, blc, pc))
+        if L > max_L:
+            max_L = L
+        if pc[10] > max_nb:
+            max_nb = pc[10]
+        if hb_len > max_hap:
+            max_hap = hb_len
+
+    nb_stride = max_nb
+    str_stride = max_L + 2
+    flank_stride = max_L + 2
+    cig_stride = max_hap + max_L + 4
+    out = dict(
+        rc=np.empty(n, dtype=np.int32),
+        LL=np.empty(n, dtype=np.float64),
+        max_index=np.empty(n, dtype=np.int32),
+        start=np.empty(n, dtype=np.int64),
+        stop=np.empty(n, dtype=np.int64),
+        flank_ins=np.zeros(n, dtype=np.int32),
+        flank_del=np.zeros(n, dtype=np.int32),
+        stut_size=np.empty((n, nb_stride), dtype=np.int32),
+        stut_valid=np.empty((n, nb_stride), dtype=np.uint8),
+        str_pool=np.empty((n, str_stride), dtype=np.uint8),
+        str_off=np.empty((n, nb_stride), dtype=np.int32),
+        str_len=np.empty((n, nb_stride), dtype=np.int32),
+        flank_pool=np.empty((n, flank_stride), dtype=np.uint8),
+        flank_off=np.empty((n, nb_stride), dtype=np.int32),
+        flank_len=np.empty((n, nb_stride), dtype=np.int32),
+        cigar_ops=np.empty((n, cig_stride), dtype=np.uint8),
+        cigar_num=np.empty((n, cig_stride), dtype=np.int32),
+        n_cigar=np.zeros(n, dtype=np.int32),
+        aln_pool=np.empty((n, cig_stride), dtype=np.uint8),
+        aln_len=np.zeros(n, dtype=np.int32),
+    )
+    rc = lib.hmm_trace_summary_batch(
+        n, pt[0].ctypes.data, Ls.ctypes.data, pt[1].ctypes.data,
+        pt[2].ctypes.data, seeds.ctypes.data,
+        pt[3].ctypes.data, pt[4].ctypes.data, pt[5].ctypes.data,
+        pt[6].ctypes.data, pt[7].ctypes.data, pt[8].ctypes.data,
+        nmids.ctypes.data,
+        slps.ctypes.data, firsts.ctypes.data, lasts.ctypes.data,
+        pt[9].ctypes.data, hap_lens.ctypes.data, hap_starts.ctypes.data,
+        min_snp_lpc, tol, n_threads,
+        out["rc"].ctypes.data, out["LL"].ctypes.data,
+        out["max_index"].ctypes.data,
+        out["start"].ctypes.data, out["stop"].ctypes.data,
+        out["flank_ins"].ctypes.data, out["flank_del"].ctypes.data,
+        nb_stride, out["stut_size"].ctypes.data,
+        out["stut_valid"].ctypes.data,
+        str_stride, out["str_pool"].ctypes.data,
+        out["str_off"].ctypes.data, out["str_len"].ctypes.data,
+        flank_stride, out["flank_pool"].ctypes.data,
+        out["flank_off"].ctypes.data, out["flank_len"].ctypes.data,
+        cig_stride, out["cigar_ops"].ctypes.data,
+        out["cigar_num"].ctypes.data, out["n_cigar"].ctypes.data,
+        out["aln_pool"].ctypes.data, out["aln_len"].ctypes.data)
+    del keep
+    if rc != 0:
+        return None
+    return out
