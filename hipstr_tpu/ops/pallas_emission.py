@@ -89,10 +89,13 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
         Sk = jnp.where(codes == ch, blc, blw)
         return jnp.where(k < blen, Sk, zeros)
 
-    def dyn_shear(x, t):
+    def dyn_shear(x, t, max_shift=None):
         """x[..., j - t] with zero fill for j < t.  Static roll for
         compile-time t; binary-decomposition static rolls + mask for traced
-        t (works for t >= L: the mask empties the row)."""
+        t (works for t >= L: the mask empties the row).  A static
+        `max_shift` bound (t < max_shift always) drops the high-bit rolls:
+        the repeat period is <= 9, so period shears need 4 rolls, not
+        log2(L)."""
         if isinstance(t, (int, np.integer)):
             if t == 0:
                 return x
@@ -103,7 +106,8 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
         bs = t % L
         y = x
         k = 1
-        while k < L:
+        hi = max_shift if max_shift is not None else L
+        while k < hi:
             y = jnp.where((bs & k) != 0, jnp.roll(y, k, axis=-1), y)
             k *= 2
         return jnp.where(j_ids >= t, y, jnp.zeros_like(x))
@@ -171,10 +175,10 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
     # by each kps[k] are loop-invariant: hoist them into scratch (built by
     # composing shears of `period`, since shear(shear(x,a),b)=shear(x,a+b)).
     pref0_s[:] = zeros                      # reused as the insertion cumsum
-    cur = dyn_shear(e0_s[:], period)
+    cur = dyn_shear(e0_s[:], period, max_shift=16)
     e0sh_s[0] = cur
     for k in range(1, nd):
-        cur = dyn_shear(cur, period)
+        cur = dyn_shear(cur, period, max_shift=16)
         e0sh_s[k] = cur
 
     def body3(t):
@@ -222,7 +226,7 @@ def _emission_kernel(codes_ref, blw_ref, blc_ref,
         run = zeros
         cur = base
         for m in range(nd):
-            cur = dyn_shear(cur, period)
+            cur = dyn_shear(cur, period, max_shift=16)
             run = run + cur
             cum6_s[m] = cum6_s[m] + run
 
@@ -261,7 +265,11 @@ def stutter_emissions_pallas(codes, blw, blc, brev, blen, period,
 
     if unroll is None:
         import os
-        unroll = int(os.environ.get("HIPSTR_TPU_E_UNROLL", "4"))
+        # measured (2026-08-20, v5e): unroll=4 best at P<=64 pools/program,
+        # unroll=2 best at the deep-coverage P=128 slabs (VMEM scratch
+        # pressure); docs/DESIGN.md round-5 notes
+        default = "2" if P >= 128 else "4"
+        unroll = int(os.environ.get("HIPSTR_TPU_E_UNROLL", default))
     # tile the pool axis: VMEM scratch scales with the pool-slab rows, so
     # large dispatches (deep coverage / many samples -> P >= 256) exceed
     # the 16MB scoped-VMEM budget unless each program holds <=128 pools.
