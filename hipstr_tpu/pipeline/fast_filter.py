@@ -60,35 +60,62 @@ class _RecLite:
 
 
 class FilterRead:
-    """BamAlign-compatible read built from the columnar filter output."""
+    """BamAlign-compatible read built from the columnar filter output.
 
-    __slots__ = ("pos", "end_pos", "bases", "quals", "cigar", "name",
+    CIGARs and aux tags are LAZY: the constructor stores row indices into
+    per-locus copies of the columnar pools (`_LocusPools`), and the
+    `cigar` property / `get_tag` materialize python objects only when a
+    consumer actually reads them (mate reads' cigars and most tags are
+    never touched outside SNP-phasing mode)."""
+
+    __slots__ = ("pos", "end_pos", "bases", "quals", "_cigar", "name",
                  "filename", "ref_name", "pass_two", "rec", "_tags",
-                 "_trim2", "_matches_ref", "_qual_sum")
+                 "_trim2", "_matches_ref", "_qual_sum", "_pools", "_row")
 
-    def __init__(self, pos, end_pos, bases, quals, cigar, name, filename,
-                 ref_name, rec, tags, trim2, matches_ref):
+    def __init__(self, pos, end_pos, bases, quals, name, filename,
+                 ref_name, rec, trim2, matches_ref, pools, row):
         self.pos = pos
         self.end_pos = end_pos
         self.bases = bases
         self.quals = quals
-        self.cigar = cigar
+        self._cigar = None
         self.name = name
         self.filename = filename
         self.ref_name = ref_name
         self.rec = rec
-        self._tags = tags
-        self._trim2 = trim2          # (pos2, end2, l2, r2, cigar2) or None
+        self._tags = None
+        self._trim2 = trim2          # (pos2, end2, l2, r2) or None
         self._matches_ref = matches_ref
         self._qual_sum = None        # memoized sum_log_prob_correct
+        self._pools = pools
+        self._row = row
         self.pass_two = "0"
 
     @property
     def length(self) -> int:
         return len(self.bases)
 
+    @property
+    def cigar(self):
+        c = self._cigar
+        if c is None:
+            p = self._pools
+            i = self._row
+            nc = p.n_cig[i]
+            c = self._cigar = list(zip(
+                p.cig_n[i, :nc].tolist(),
+                p.cig_op[i, :nc].tobytes().decode("latin1")))
+        return c
+
+    @cigar.setter
+    def cigar(self, value):
+        self._cigar = value
+
     def get_tag(self, tag: str):
-        return self._tags.get(tag)
+        t = self._tags
+        if t is None:
+            t = self._tags = self._pools.tags_for(self._row)
+        return t.get(tag)
 
     def matches_reference(self) -> bool:
         return self._matches_ref
@@ -99,13 +126,71 @@ class FilterRead:
         only caller on this class; the window is fixed per locus)."""
         t = self._trim2
         assert t is not None, "no precomputed trim for this read"
-        pos2, end2, l2, r2, cigar2 = t
+        pos2, end2, l2, r2 = t
         self.pos = pos2
         self.end_pos = end2
         if l2 or r2:
             self.bases = self.bases[l2:len(self.bases) - r2]
             self.quals = self.quals[l2:len(self.quals) - r2]
-        self.cigar = cigar2
+        p = self._pools
+        i = self._row
+        nc2 = p.n_cig2[i]
+        self._cigar = list(zip(
+            p.cig2_n[i, :nc2].tolist(),
+            p.cig2_op[i, :nc2].tobytes().decode("latin1")))
+
+
+class _LocusPools:
+    """Per-(locus, BAM) copies of the columnar rows FilterReads reference
+    lazily.  The native output buffers are thread-local and reused across
+    calls, so the kept columns are snapshotted here once per locus (bulk
+    numpy copies) instead of per read."""
+
+    __slots__ = ("cig_op", "cig_n", "n_cig", "cig2_op", "cig2_n", "n_cig2",
+                 "blob_s", "rg_off", "rg_len", "xa_off", "xa_len",
+                 "sa_off", "sa_len", "as_val", "as_has", "xs_val", "xs_has",
+                 "hp_val", "hp_has")
+
+    def __init__(self, o, blob_s):
+        self.cig_op = o["cig_op"].copy()
+        self.cig_n = o["cig_n"].copy()
+        self.n_cig = o["n_cig"].copy()
+        self.cig2_op = o["cig2_op"].copy()
+        self.cig2_n = o["cig2_n"].copy()
+        self.n_cig2 = o["n_cig2"].copy()
+        self.blob_s = blob_s
+        self.rg_off = o["rg_off"].copy()
+        self.rg_len = o["rg_len"].copy()
+        self.xa_off = o["xa_off"].copy()
+        self.xa_len = o["xa_len"].copy()
+        self.sa_off = o["sa_off"].copy()
+        self.sa_len = o["sa_len"].copy()
+        self.as_val = o["as_val"].copy()
+        self.as_has = o["as_has"].copy()
+        self.xs_val = o["xs_val"].copy()
+        self.xs_has = o["xs_has"].copy()
+        self.hp_val = o["hp_val"].copy()
+        self.hp_has = o["hp_has"].copy()
+
+    def tags_for(self, i: int) -> dict:
+        tags = {}
+        blob_s = self.blob_s
+        if self.rg_len[i] or self.rg_off[i]:
+            ro = self.rg_off[i]
+            tags["RG"] = blob_s[ro:ro + self.rg_len[i]]
+        if self.xa_off[i]:
+            xo = self.xa_off[i]
+            tags["XA"] = blob_s[xo:xo + self.xa_len[i]]
+        if self.sa_off[i]:
+            so = self.sa_off[i]
+            tags["SA"] = blob_s[so:so + self.sa_len[i]]
+        if self.as_has[i]:
+            tags["AS"] = int(self.as_val[i])
+        if self.xs_has[i]:
+            tags["XS"] = int(self.xs_val[i])
+        if self.hp_has[i]:
+            tags["HP"] = int(self.hp_val[i])
+        return tags
 
 
 def read_and_filter_reads_fast(pipeline, region, chrom_seq: str):
@@ -203,6 +288,7 @@ def read_and_filter_reads_fast(pipeline, region, chrom_seq: str):
         seq_stride = seq_pool.shape[1]
         seq_all = seq_pool.tobytes().decode("latin1")
         qual_all = qual_pool.tobytes().decode("latin1")
+        pools = _LocusPools(o, blob_s)
 
         # convert the per-record scalar columns to python lists once (a
         # numpy scalar extraction per field per read costs more than the
@@ -214,29 +300,12 @@ def read_and_filter_reads_fast(pipeline, region, chrom_seq: str):
         end_l = o["end_pos"].tolist()
         opos_l = o["orig_pos"].tolist()
         mpos_l = o["mate_pos"].tolist()
-        cig_op = o["cig_op"]
-        cig_n = o["cig_n"]
-        n_cig = o["n_cig"].tolist()
         pos2_l = o["pos2"].tolist()
         end2_l = o["end2"].tolist()
         l2_l = o["l2"].tolist()
         r2_l = o["r2"].tolist()
-        cig2_op = o["cig2_op"]
-        cig2_n = o["cig2_n"]
         n_cig2 = o["n_cig2"].tolist()
         mref_l = o["matches_ref"].tolist()
-        rg_off = o["rg_off"].tolist()
-        rg_len = o["rg_len"].tolist()
-        xa_off = o["xa_off"].tolist()
-        xa_len = o["xa_len"].tolist()
-        sa_off = o["sa_off"].tolist()
-        sa_len = o["sa_len"].tolist()
-        as_val = o["as_val"].tolist()
-        as_has = o["as_has"].tolist()
-        xs_val = o["xs_val"].tolist()
-        xs_has = o["xs_has"].tolist()
-        hp_val = o["hp_val"].tolist()
-        hp_has = o["hp_has"].tolist()
         seq_len_l = seq_len.tolist()
         filename = rdr.path
         ref_name = region.chrom
@@ -248,33 +317,13 @@ def read_and_filter_reads_fast(pipeline, region, chrom_seq: str):
             base = i * seq_stride
             bases = seq_all[base:base + L]
             quals = qual_all[base:base + L]
-            nc = n_cig[i]
-            cigar = list(zip(cig_n[i, :nc].tolist(),
-                             cig_op[i, :nc].tobytes().decode("latin1")))
-            tags = {}
-            if rg_len[i] or rg_off[i]:
-                tags["RG"] = blob_s[rg_off[i]:rg_off[i] + rg_len[i]]
-            if xa_off[i]:
-                tags["XA"] = blob_s[xa_off[i]:xa_off[i] + xa_len[i]]
-            if sa_off[i]:
-                tags["SA"] = blob_s[sa_off[i]:sa_off[i] + sa_len[i]]
-            if as_has[i]:
-                tags["AS"] = as_val[i]
-            if xs_has[i]:
-                tags["XS"] = xs_val[i]
-            if hp_has[i]:
-                tags["HP"] = hp_val[i]
             trim2 = None
-            nc2 = n_cig2[i]
-            if nc2 >= 0:
-                cigar2 = list(zip(cig2_n[i, :nc2].tolist(),
-                                  cig2_op[i, :nc2].tobytes().decode(
-                                      "latin1")))
-                trim2 = (pos2_l[i], end2_l[i], l2_l[i], r2_l[i], cigar2)
+            if n_cig2[i] >= 0:
+                trim2 = (pos2_l[i], end2_l[i], l2_l[i], r2_l[i])
             rec = _RecLite(opos_l[i], mpos_l[i], flags[i])
             fr = FilterRead(pos_l[i], end_l[i], bases, quals,
-                            cigar, nm, filename, ref_name, rec, tags,
-                            trim2, bool(mref_l[i]))
+                            nm, filename, ref_name, rec,
+                            trim2, bool(mref_l[i]), pools, i)
             q = qsum_arr[i]
             if q == q:                     # seed the PCR-dedup memo
                 fr._qual_sum = float(q)
