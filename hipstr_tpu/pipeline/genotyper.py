@@ -390,6 +390,13 @@ class SeqStutterGenotyper:
             def read_index_at(aln, ref_pos: int):
                 """Read index aligned to ref_pos (None if not covered by a
                 match/mismatch), walking the left-aligned CIGAR."""
+                cig = aln.cigar
+                if len(cig) == 1 and cig[0].type in "M=X":
+                    # ref-length-preserving read (the common case): direct
+                    # offset, no walk
+                    if aln.start <= ref_pos < aln.start + cig[0].num:
+                        return ref_pos - aln.start
+                    return None
                 pos = aln.start
                 ridx = 0
                 for el in aln.cigar:
