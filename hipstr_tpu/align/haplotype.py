@@ -282,6 +282,18 @@ class Haplotype:
         out = cache.get(key)
         if out is not None:
             return out
+        # content-keyed cache shared across a locus's haplotype rebuilds
+        # (attached by the genotyper): the array depends only on the
+        # realized block sequences, which survive allele add/remove rounds
+        shared = getattr(self, "_homop_content_cache", None)
+        ckey = None
+        if shared is not None:
+            ckey = (tuple(b.get_seq(d) for b, d in zip(self.blocks, digits)),
+                    block_index)
+            out = shared.get(ckey)
+            if out is not None:
+                cache[key] = out
+                return out
         block = self.blocks[block_index]
         d = digits[block_index]
         seq = block.get_seq(d)
@@ -300,6 +312,8 @@ class Haplotype:
             out[i] += self._right_homopolymer_len(digits, seq[i],
                                                   block_index + 1)
         cache[key] = out
+        if shared is not None:
+            shared[ckey] = out
         return out
 
     def reversed_view(self) -> "Haplotype":
@@ -312,6 +326,10 @@ class Haplotype:
         if cached is not None and cached[0] == key:
             return cached[1]
         rev = self.reverse()
+        shared = getattr(self, "_homop_content_cache", None)
+        if shared is not None:
+            # reversed sequences get distinct content keys in the same map
+            rev._homop_content_cache = shared
         self._rev_cache = (key, rev)
         return rev
 

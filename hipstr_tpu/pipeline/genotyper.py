@@ -299,6 +299,8 @@ class SeqStutterGenotyper:
         # (align/retrace._instances_for): keyed by realized content
         haplotype._inst_content_cache = self.__dict__.setdefault(
             "_inst_content", {})
+        haplotype._homop_content_cache = self.__dict__.setdefault(
+            "_homop_content", {})
         if self.trace_store is None:
             self.trace_store = TraceStore(haplotype.num_blocks())
         else:
