@@ -174,6 +174,7 @@ def test_sample_list_and_hide_allreads(tmp_path):
             assert call == ".", (name, call)
 
 
+@pytest.mark.slow
 def test_batch_loci_identical_output(tmp_path):
     """--batch-loci (multi-locus batched executor with deferred device
     fetches) produces byte-identical records to the sequential path."""
@@ -254,6 +255,7 @@ def test_10x_hp_tags_phase_reads(tmp_path):
     assert phased_het
 
 
+@pytest.mark.slow
 def test_batched_mesh_sharded_identical():
     """With multiple devices, the batched executor shards the locus axis
     over a GSPMD mesh; outputs must stay byte-identical to sequential.

@@ -12,6 +12,7 @@ from hipstr_tpu.ops.pallas_hmm2 import batched_forward_v2
 from hipstr_tpu.parallel.batch_builder import build_demo_batch
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("reads,period", [(12, 3), (8, 2)])
 def test_v2_matches_xla_scan(reads, period):
     os.environ["HIPSTR_TPU_PALLAS"] = "0"

@@ -69,6 +69,7 @@ def test_smoke_golden_one_locus():
             assert rd[f] == td[f], (f, rd[f], td[f])
 
 
+@pytest.mark.slow
 def test_smoke_mixed_period_batch():
     """One batched dispatch over loci of different periods."""
     tmp = tempfile.mkdtemp()
@@ -81,6 +82,7 @@ def test_smoke_mixed_period_batch():
     assert counters.genotype_success == len(recs) == 4
 
 
+@pytest.mark.slow
 def test_smoke_speculation_identical():
     tmp = tempfile.mkdtemp()
     locs = [simulate_locus(seed=7300 + i, n_samples=3, reads_per_sample=24,
@@ -96,8 +98,15 @@ def test_smoke_speculation_identical():
     assert open(f"{tmp}/on.vcf").read() == open(f"{tmp}/off.vcf").read()
 
 
-def test_smoke_shard_merge():
-    """Two locus shards merged == one full run (byte-identical records)."""
+@pytest.mark.slow
+def test_smoke_shard_merge(request):
+    """Two locus shards merged == one full run (byte-identical records).
+
+    slow-only (three pipeline runs of jax tracing dominate): excluded from
+    the <60s smoke tier; shard correctness is also covered by
+    test_distributed / test_phasing."""
+    if "smoke" in request.config.getoption("-m", default=""):
+        pytest.skip("slow-only: excluded from the smoke tier")
     from hipstr_tpu.cli import merge_shard_outputs
 
     tmp = tempfile.mkdtemp()
