@@ -918,6 +918,50 @@ class CramReader:
                         and rec.end_position() > start:
                     yield rec
 
+    def _decode_container_native(self, c_off: int):
+        """One container -> (BAM-body blob, offsets, lengths) via the
+        native decoder; None directs the caller to the python fallback
+        (multi-ref beyond the refs cap, unsupported codecs)."""
+        from .. import native as _native
+        st = ByteStream(self._data, c_off)
+        st.u32le()                # container length (blocks region)
+        ref_id = st.itf8()
+        st.itf8()                 # start
+        st.itf8()                 # span
+        st.itf8()                 # n_records
+        st.ltf8()                 # counter
+        st.ltf8()                 # bases
+        n_blocks = st.itf8()
+        st.itf8_array()           # landmarks
+        if self.major >= 3:
+            st.read(4)            # CRC32
+        body = self._data[st.pos:]
+        cache = getattr(self, "_ref_bytes_cache", None)
+        if cache is None:
+            cache = self._ref_bytes_cache = {}
+
+        def ref_bytes(r2):
+            b = cache.get(r2)
+            if b is None:
+                try:
+                    b = self._ref_seq(r2).encode("latin1")
+                except RuntimeError:
+                    b = b""       # embedded-ref containers need none
+                cache[r2] = b
+            return b
+
+        if ref_id == -2:
+            # multi-ref container: records carry their own ref ids; any
+            # chromosome may appear, so hand the decoder every reference
+            # (bounded — beyond the cap fall back to the object path)
+            if sum(self.ref_lens) > (1 << 28):
+                return None
+            refs = {r2: ref_bytes(r2) for r2 in range(len(self.ref_names))}
+        else:
+            refs = {ref_id: ref_bytes(ref_id)} if ref_id >= 0 else {}
+        return _native.cram_decode_container_native(
+            bytes(body), n_blocks, self.major, refs, self._rg_ids)
+
     def fetch_raw(self, chrom: str, start: int, end: int):
         """Raw BAM record bodies for the fetch window via the NATIVE
         container decoder (native/cram_decode.cpp): (blob, offsets,
@@ -947,6 +991,26 @@ class CramReader:
         ccache = getattr(self, "_container_cache", None)
         if ccache is None:
             ccache = self._container_cache = {}
+        # decode cache misses concurrently: containers are independent and
+        # the native call releases the GIL (ctypes), so a fetch spanning
+        # several containers rides the spare cores (the reference gets the
+        # same effect from htslib's thread_pool.c, which HipSTR itself
+        # never enables)
+        misses = [c for c in offsets if c not in ccache]
+        if len(misses) > 1:
+            import concurrent.futures as _cf
+            import os as _os
+            with _cf.ThreadPoolExecutor(
+                    max_workers=min(len(misses),
+                                    max(2, (_os.cpu_count() or 2) - 1))) as ex:
+                for c_off, res in zip(misses,
+                                      ex.map(self._decode_container_native,
+                                             misses)):
+                    if res is None:
+                        return None
+                    if len(ccache) >= 4:
+                        ccache.pop(next(iter(ccache)))
+                    ccache[c_off] = res
         blob = bytearray()
         offs: List[int] = []
         lens: List[int] = []
@@ -959,50 +1023,13 @@ class CramReader:
                 offs.extend(base + o for o in c_offs)
                 lens.extend(c_lens)
                 continue
-            st = ByteStream(self._data, c_off)
-            st.u32le()                # container length (blocks region)
-            ref_id = st.itf8()
-            st.itf8()                 # start
-            st.itf8()                 # span
-            st.itf8()                 # n_records
-            st.ltf8()                 # counter
-            st.ltf8()                 # bases
-            n_blocks = st.itf8()
-            st.itf8_array()           # landmarks
-            if self.major >= 3:
-                st.read(4)            # CRC32
-            body = self._data[st.pos:]
-            cache = getattr(self, "_ref_bytes_cache", None)
-            if cache is None:
-                cache = self._ref_bytes_cache = {}
-
-            def ref_bytes(r2):
-                b = cache.get(r2)
-                if b is None:
-                    try:
-                        b = self._ref_seq(r2).encode("latin1")
-                    except RuntimeError:
-                        b = b""       # embedded-ref containers need none
-                    cache[r2] = b
-                return b
-
-            if ref_id == -2:
-                # multi-ref container: records carry their own ref ids; any
-                # chromosome may appear, so hand the decoder every reference
-                # (bounded — beyond the cap fall back to the object path)
-                if sum(self.ref_lens) > (1 << 28):
-                    return None
-                refs = {r2: ref_bytes(r2) for r2 in range(len(self.ref_names))}
-            else:
-                refs = {ref_id: ref_bytes(ref_id)} if ref_id >= 0 else {}
-            res = _native.cram_decode_container_native(
-                bytes(body), n_blocks, self.major, refs, self._rg_ids)
+            res = self._decode_container_native(c_off)
             if res is None:
                 return None
-            c_blob, c_offs, c_lens = res
             if len(ccache) >= 4:
                 ccache.pop(next(iter(ccache)))
-            ccache[c_off] = (c_blob, c_offs, c_lens)
+            ccache[c_off] = res
+            c_blob, c_offs, c_lens = res
             base = len(blob)
             blob.extend(c_blob)
             offs.extend(base + o for o in c_offs)
