@@ -150,6 +150,38 @@ def _load():
         except AttributeError:
             pass  # stale library without the filter entry
         try:
+            lib.convert_aln_batch.restype = ctypes.c_int32
+            lib.convert_aln_batch.argtypes = (
+                [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,  # seqs
+                 ctypes.c_void_p,                                    # pos
+                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,  # cigars
+                 ctypes.c_void_p]
+                + [ctypes.c_void_p] * 10)                  # outputs
+        except AttributeError:
+            pass  # stale library without the convert entry
+        try:
+            lib.spec_scan.restype = ctypes.c_int32
+            lib.spec_scan.argtypes = (
+                [ctypes.c_int32, ctypes.c_int32,            # P, S
+                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,  # seqs
+                 ctypes.c_void_p, ctypes.c_void_p,          # start/stop
+                 ctypes.c_char_p, ctypes.c_void_p,          # cigars
+                 ctypes.c_void_p, ctypes.c_void_p,
+                 ctypes.c_void_p,                           # ps_counts
+                 ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+                 ctypes.c_void_p,                           # repeat blocks
+                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+                 ctypes.c_void_p, ctypes.c_void_p,          # repeat options
+                 ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+                 ctypes.c_char_p, ctypes.c_void_p,          # flank blocks
+                 ctypes.c_void_p, ctypes.c_int64,           # out pool/cap
+                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                 ctypes.c_void_p,                           # blk/off/len/sup
+                 ctypes.c_int32, ctypes.c_void_p])          # max, cnt
+        except AttributeError:
+            pass  # stale library without the spec-scan entry
+        try:
             lib.flank_assembly_batch.restype = ctypes.c_int32
             lib.flank_assembly_batch.argtypes = (
                 [ctypes.c_char_p, ctypes.c_int32,          # ref seq
@@ -248,6 +280,225 @@ def nw_align_native(ref_seq: str, read_seq: str,
     n = out_len.value
     return (ra.raw[:n].decode("latin1"), qa.raw[:n].decode("latin1"),
             float(score))
+
+
+def convert_aln_batch_native(chrom_seq_b: bytes, reads):
+    """Batch convertAlignment for reference-matching reads
+    (native/left_align.cpp; semantics align/realign.py:convert_alignment,
+    reference src/SeqAlignment/AlignmentOps.cpp:102-167).
+
+    `reads` is a list of (pos, bases, cigar) with cigar a list of (n, op).
+    Returns a list of (stop, aln_str, [(op, n), ...]) or None when the
+    native entry is unavailable/overflowed (callers fall back per read).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "convert_aln_batch"):
+        return None
+    import numpy as np
+    n = len(reads)
+    if n == 0:
+        return []
+    seq_parts = []
+    seq_off = np.empty(n, np.int64)
+    seq_len = np.empty(n, np.int32)
+    pos_a = np.empty(n, np.int64)
+    cig_off = np.empty(n, np.int64)
+    cig_cnt = np.empty(n, np.int32)
+    aln_off = np.empty(n, np.int64)
+    oc_cap = np.empty(n, np.int32)
+    oc_off = np.empty(n, np.int64)
+    ops_parts = []
+    lens_all = []
+    so = co = ao = oo = 0
+    for i, (pos, bases, cigar) in enumerate(reads):
+        b = bases.encode("latin1")
+        seq_parts.append(b)
+        seq_off[i] = so
+        seq_len[i] = len(b)
+        so += len(b)
+        pos_a[i] = pos
+        cig_off[i] = co
+        cig_cnt[i] = len(cigar)
+        co += len(cigar)
+        acap = 0
+        for num, op in cigar:
+            ops_parts.append(op)
+            lens_all.append(num)
+            if op not in "SH":
+                acap += num
+        aln_off[i] = ao
+        ao += acap
+        cap = acap + len(cigar) + 1
+        oc_cap[i] = cap
+        oc_off[i] = oo
+        oo += cap
+    seq_pool = b"".join(seq_parts)
+    cig_ops = "".join(ops_parts).encode("latin1")
+    cig_lens = np.asarray(lens_all, np.int32)
+    out_stop = np.empty(n, np.int64)
+    aln_pool = np.empty(max(ao, 1), np.uint8)
+    aln_len = np.empty(n, np.int32)
+    oc_ops = np.empty(max(oo, 1), np.uint8)
+    oc_lens = np.empty(max(oo, 1), np.int32)
+    oc_cnt = np.empty(n, np.int32)
+    ok = np.empty(n, np.uint8)
+    rc = lib.convert_aln_batch(
+        chrom_seq_b, len(chrom_seq_b), n,
+        seq_pool, seq_off.ctypes.data, seq_len.ctypes.data,
+        pos_a.ctypes.data, cig_ops, cig_lens.ctypes.data,
+        cig_off.ctypes.data, cig_cnt.ctypes.data,
+        out_stop.ctypes.data, aln_pool.ctypes.data, aln_off.ctypes.data,
+        aln_len.ctypes.data, oc_ops.ctypes.data, oc_lens.ctypes.data,
+        oc_off.ctypes.data, oc_cap.ctypes.data, oc_cnt.ctypes.data,
+        ok.ctypes.data)
+    if rc != 0 or not ok.all():
+        return None
+    aln_all = aln_pool.tobytes().decode("latin1")
+    ops_all = oc_ops.tobytes().decode("latin1")
+    lens_l = oc_lens.tolist()
+    stops = out_stop.tolist()
+    alens = aln_len.tolist()
+    aoffs = aln_off.tolist()
+    ooffs = oc_off.tolist()
+    cnts = oc_cnt.tolist()
+    res = []
+    for i in range(n):
+        a0 = aoffs[i]
+        o0 = ooffs[i]
+        cig = [(ops_all[o0 + k], lens_l[o0 + k]) for k in range(cnts[i])]
+        res.append((stops[i], aln_all[a0:a0 + alens[i]], cig))
+    return res
+
+
+def spec_scan_native(pooled, ps_counts, repeat_blocks, flank_blocks):
+    """One native call for a locus's speculative-candidate predictors
+    (native/spec_scan.cpp; semantics pipeline/genotyper.py
+    _build_speculative_haplotype/_predict_flank_candidates).
+
+    pooled: pooled Alignment-like objects (.sequence/.start/.stop/.cigar);
+    ps_counts: [P, S] per-pool per-sample read weights;
+    repeat_blocks: list of (block_index, start, end, period, option_seqs);
+    flank_blocks: list of (block_index, start, ref_seq).
+
+    Returns ({block_index: {cand: support}}, {block_index: {...}}) or None.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "spec_scan"):
+        return None
+    import numpy as np
+    P = len(pooled)
+    S = ps_counts.shape[1] if P else 0
+    if P == 0 or (not repeat_blocks and not flank_blocks):
+        return {}, {}
+    seq_parts = []
+    seq_off = np.empty(P, np.int64)
+    seq_len = np.empty(P, np.int32)
+    p_start = np.empty(P, np.int64)
+    p_stop = np.empty(P, np.int64)
+    cig_off = np.empty(P, np.int64)
+    cig_cnt = np.empty(P, np.int32)
+    ops_parts = []
+    lens_all = []
+    so = co = 0
+    for i, a in enumerate(pooled):
+        b = a.sequence.encode("latin1")
+        seq_parts.append(b)
+        seq_off[i] = so
+        seq_len[i] = len(b)
+        so += len(b)
+        p_start[i] = a.start
+        p_stop[i] = a.stop
+        cig = a.cigar
+        cig_off[i] = co
+        cig_cnt[i] = len(cig)
+        co += len(cig)
+        for el in cig:
+            ops_parts.append(el.type)
+            lens_all.append(el.num)
+    seq_pool = b"".join(seq_parts)
+    cig_ops = "".join(ops_parts).encode("latin1")
+    cig_lens = np.asarray(lens_all, np.int32)
+    ps = np.ascontiguousarray(ps_counts, np.int64)
+
+    NRB = len(repeat_blocks)
+    rb_start = np.empty(max(NRB, 1), np.int64)
+    rb_end = np.empty(max(NRB, 1), np.int64)
+    rb_period = np.empty(max(NRB, 1), np.int32)
+    rb_first = np.empty(max(NRB, 1), np.int32)
+    opt_parts = []
+    opt_off_l = []
+    opt_len_l = []
+    rb_cnt = np.empty(max(NRB, 1), np.int32)
+    oo = 0
+    for r, (_bi, start, end, period, seqs) in enumerate(repeat_blocks):
+        rb_start[r] = start
+        rb_end[r] = end
+        rb_period[r] = period
+        rb_first[r] = len(opt_off_l)
+        rb_cnt[r] = len(seqs)
+        for s in seqs:
+            sb = s.encode("latin1")
+            opt_parts.append(sb)
+            opt_off_l.append(oo)
+            opt_len_l.append(len(sb))
+            oo += len(sb)
+    rb_opts_pool = b"".join(opt_parts)
+    rb_opt_off = np.asarray(opt_off_l or [0], np.int64)
+    rb_opt_len = np.asarray(opt_len_l or [0], np.int32)
+
+    NFB = len(flank_blocks)
+    fb_start = np.empty(max(NFB, 1), np.int64)
+    fb_len = np.empty(max(NFB, 1), np.int32)
+    fb_parts = []
+    fb_off = np.empty(max(NFB, 1), np.int64)
+    fo = 0
+    for f, (_bi, start, ref_seq) in enumerate(flank_blocks):
+        fb_start[f] = start
+        fb_len[f] = len(ref_seq)
+        fb_parts.append(ref_seq.encode("latin1"))
+        fb_off[f] = fo
+        fo += len(ref_seq)
+    fb_ref_pool = b"".join(fb_parts)
+
+    out_max = 512
+    out_pool = np.empty(1 << 18, np.uint8)
+    out_blk = np.empty(out_max, np.int32)
+    out_off = np.empty(out_max, np.int64)
+    out_len = np.empty(out_max, np.int32)
+    out_sup = np.empty(out_max, np.int64)
+    out_cnt = ctypes.c_int32(0)
+    rc = lib.spec_scan(
+        P, S, seq_pool, seq_off.ctypes.data, seq_len.ctypes.data,
+        p_start.ctypes.data, p_stop.ctypes.data,
+        cig_ops, cig_lens.ctypes.data, cig_off.ctypes.data,
+        cig_cnt.ctypes.data, ps.ctypes.data,
+        NRB, rb_start.ctypes.data, rb_end.ctypes.data, rb_period.ctypes.data,
+        rb_opts_pool, rb_opt_off.ctypes.data, rb_opt_len.ctypes.data,
+        rb_first.ctypes.data, rb_cnt.ctypes.data,
+        NFB, fb_start.ctypes.data, fb_len.ctypes.data,
+        fb_ref_pool, fb_off.ctypes.data,
+        out_pool.ctypes.data, out_pool.size,
+        out_blk.ctypes.data, out_off.ctypes.data, out_len.ctypes.data,
+        out_sup.ctypes.data, out_max, ctypes.byref(out_cnt))
+    if rc != 0:
+        return None
+    n = out_cnt.value
+    pool_s = out_pool[:int(out_off[n - 1] + out_len[n - 1])].tobytes() \
+        .decode("latin1") if n else ""
+    rep_support = {bi: {} for (bi, *_rest) in repeat_blocks}
+    flank_support = {bi: {} for (bi, *_rest) in flank_blocks}
+    blks = out_blk[:n].tolist()
+    offs = out_off[:n].tolist()
+    lens = out_len[:n].tolist()
+    sups = out_sup[:n].tolist()
+    for k in range(n):
+        cand = pool_s[offs[k]:offs[k] + lens[k]]
+        slot = blks[k]
+        if slot < NRB:
+            rep_support[repeat_blocks[slot][0]][cand] = sups[k]
+        else:
+            flank_support[flank_blocks[slot - NRB][0]][cand] = sups[k]
+    return rep_support, flank_support
 
 
 def hmm_fill_dp_native(seq_codes, blw, blc, meta, match, insert, delete,

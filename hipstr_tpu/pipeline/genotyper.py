@@ -362,163 +362,17 @@ class SeqStutterGenotyper:
         self._spec_LL = None
         if not speculation_enabled() or self.ref_vcf_alleles is not None:
             return
-        from ..align.hap_generator import HaplotypeGenerator
         blocks = self.haplotype.blocks
         spec_blocks = list(blocks)
         added_any = False
+        native_res = self._spec_scan_native()
         for bi, block in enumerate(blocks):
             if not block.is_repeat:
                 continue
-            period = block.repeat_info.period
-            max_art = 6 * period
-            ref_len = len(block.get_seq(0))
-
-            # observed artifact sizes: net CIGAR bp-diff near the repeat
-            # (the EM trains on the same signal, extract_cigar_bp_diff /
-            # reference ExtractCigar, src/extract_indels.cpp:18-101); raw
-            # block extraction misses indels that NW left-alignment slid
-            # into the flank, the bp-diff does not
-            from ..align.alignment_data import extract_cigar_bp_diff
-            lo = block.start - period - 8
-            hi = block.end + period + 8
-            # periodic extension template of the reference option, padded so
-            # insertions up to +max_art can be matched
-            ref_opt = block.get_seq(0)
-            tmpl = list(ref_opt)
-            for _ in range(max_art + period):
-                tmpl.append(tmpl[-period])
-            tmpl = "".join(tmpl)
-
-            def read_index_at(aln, ref_pos: int):
-                """Read index aligned to ref_pos (None if not covered by a
-                match/mismatch), walking the left-aligned CIGAR."""
-                cig = aln.cigar
-                if len(cig) == 1 and cig[0].type in "M=X":
-                    # ref-length-preserving read (the common case): direct
-                    # offset, no walk
-                    if aln.start <= ref_pos < aln.start + cig[0].num:
-                        return ref_pos - aln.start
-                    return None
-                pos = aln.start
-                ridx = 0
-                for el in aln.cigar:
-                    if el.type in "=XM":
-                        if pos <= ref_pos < pos + el.num:
-                            return ridx + (ref_pos - pos)
-                        pos += el.num
-                        ridx += el.num
-                    elif el.type == "I":
-                        ridx += el.num
-                    elif el.type == "D":
-                        if pos <= ref_pos < pos + el.num:
-                            return None
-                        pos += el.num
-                return None
-
-            tmpl_b = np.frombuffer(tmpl.encode("latin1"), np.uint8)
-            S = self.num_samples
-            pooled = self.pooler.pooled_alns
-            P = self.pooler.num_pools()
-            # scan POOLS with per-sample read weights instead of every read:
-            # reads in a pool share the sequence (and, virtually always, the
-            # alignment), and speculation is best-effort — a rare same-seq
-            # different-alignment collision only perturbs which candidates
-            # get pre-aligned, never the exact output
-            ps_counts = np.bincount(self.pool_index * S + self.sample_label,
-                                    minlength=P * S).reshape(P, S)
-            diff_counts: List[Dict[int, int]] = [dict() for _ in range(S)]
-            seq_counts: List[Dict[str, int]] = [dict() for _ in range(S)]
-            span = np.zeros(S, dtype=np.int64)
-            for p, aln in enumerate(pooled):
-                if not (aln.start < block.start and aln.stop > block.end):
-                    continue
-                w = ps_counts[p]
-                span += w
-                ws = np.nonzero(w)[0].tolist()
-                diff = extract_cigar_bp_diff(aln.cigar, aln.start, lo, hi)
-                if diff is not None and diff != 0:
-                    for s in ws:
-                        diff_counts[s][diff] = \
-                            diff_counts[s].get(diff, 0) + int(w[s])
-                # the read's maximal periodic run from the block anchor:
-                # stutter artifacts that NW realignment rendered as mismatch
-                # runs (not CIGAR indels) still shorten/lengthen this run,
-                # and its content is exactly the ML trace's STR sequence on
-                # a (mostly) pure repeat
-                anchor = read_index_at(aln, block.start)
-                if anchor is not None:
-                    seq_b = aln.sequence
-                    limit = min(len(seq_b) - anchor, len(tmpl))
-                    rb = np.frombuffer(
-                        seq_b[anchor:anchor + limit].encode("latin1"),
-                        np.uint8)
-                    neq = np.nonzero(rb != tmpl_b[:limit])[0].tolist()
-                    # walk only the mismatches: tolerate up to 2 isolated
-                    # in-repeat SNPs when the periodic phase resumes for
-                    # min(period, remaining) chars right after each
-                    k = limit
-                    mism = 0
-                    for j, m in enumerate(neq):
-                        la = min(period, limit - (m + 1))
-                        nxt = neq[j + 1] if j + 1 < len(neq) else limit
-                        if mism < 2 and la >= 1 and nxt > m + la:
-                            mism += 1
-                            continue
-                        k = m
-                        break
-                    if k >= period and k < len(seq_b) - anchor:
-                        # the run may over-extend into flank bases that
-                        # accidentally continue the period; per option, the
-                        # candidate is the largest stutter-consistent
-                        # truncation (left-aligned artifacts make the ML
-                        # trace's STR sequence the maximal such run)
-                        for opt in block.seqs:
-                            Lo = len(opt)
-                            Lp = k - ((k - Lo) % period)
-                            if (Lp >= period and Lp != Lo
-                                    and abs(Lp - Lo) <= max_art):
-                                run = seq_b[anchor:anchor + Lp]
-                                for s in ws:
-                                    seq_counts[s][run] = \
-                                        seq_counts[s].get(run, 0) + int(w[s])
-
-            def periodic_variants(opt: str, delta: int) -> List[str]:
-                """Stutter variants of one option: delta bp removed from
-                either end, or appended/prepended following the period
-                (the trace's left-aligned artifact on a perfect repeat)."""
-                if delta < 0:
-                    if len(opt) + delta <= 0:
-                        return []
-                    return [opt[-delta:], opt[:len(opt) + delta]]
-                ext = list(opt)
-                for _ in range(delta):
-                    ext.append(ext[-period])
-                front = list(opt)
-                for _ in range(delta):
-                    front.insert(0, front[period - 1])
-                return ["".join(ext), "".join(front)]
-
-            support: Dict[str, int] = {}
-            for s in range(self.num_samples):
-                for diff, cnt in diff_counts[s].items():
-                    if diff == 0 or cnt < 2 or cnt < 0.10 * span[s]:
-                        continue
-                    target_len = ref_len + diff
-                    for opt in block.seqs:
-                        delta = target_len - len(opt)
-                        if (delta == 0 or delta % period != 0
-                                or abs(delta) > max_art):
-                            continue
-                        for cand in periodic_variants(opt, delta):
-                            if cand and not block.contains(cand):
-                                support[cand] = support.get(cand, 0) + cnt
-                for seq, cnt in seq_counts[s].items():
-                    if cnt < 2 or cnt < 0.10 * span[s] or block.contains(seq):
-                        continue
-                    if any(abs(len(seq) - len(o)) <= max_art
-                           and (len(seq) - len(o)) % period == 0
-                           and len(seq) != len(o) for o in block.seqs):
-                        support[seq] = support.get(seq, 0) + cnt
+            if native_res is not None:
+                support = native_res[0].get(bi, {})
+            else:
+                support = self._stutter_support_py(block)
             budget = MAX_SPEC_TOTAL - block.num_options()
             if budget <= 0:
                 continue
@@ -532,12 +386,21 @@ class SeqStutterGenotyper:
                 spec_blocks[bi] = nb
                 added_any = True
         if self.reassemble_flanks:
-            for bi, cands in self._predict_flank_candidates():
-                block = spec_blocks[bi]
+            if native_res is not None:
+                flank_pred = []
+                for fbi, sup in native_res[1].items():
+                    if sup:
+                        cands = sorted(sup, key=lambda q: (-sup[q],
+                                                           order_key(q)))[:4]
+                        flank_pred.append((fbi, sorted(cands, key=order_key)))
+            else:
+                flank_pred = self._predict_flank_candidates()
+            for fbi, cands in flank_pred:
+                block = spec_blocks[fbi]
                 nb = block.remove_alleles([])
                 for seq in cands:
                     nb.add_alternate(seq)
-                spec_blocks[bi] = nb
+                spec_blocks[fbi] = nb
                 added_any = True
 
         if not added_any:
@@ -546,6 +409,191 @@ class SeqStutterGenotyper:
         if spec.num_combs > MAX_SPEC_COMBS:
             return
         self._spec_hap = spec
+
+    def _spec_scan_native(self):
+        """Marshal the pooled reads + block descriptors into the one-call
+        native candidate scan (native/spec_scan.cpp); None -> Python
+        fallback.  Best-effort by construction: a differing candidate set
+        only changes speculation hit rate, never the output."""
+        from .. import native as _native
+        blocks = self.haplotype.blocks
+        repeat_blocks = []
+        for bi, block in enumerate(blocks):
+            if block.is_repeat:
+                repeat_blocks.append((bi, block.start, block.end,
+                                      block.repeat_info.period,
+                                      list(block.seqs)))
+        flank_blocks = []
+        if self.reassemble_flanks:
+            for bi in (0, len(blocks) - 1):
+                block = blocks[bi]
+                if block.is_repeat:
+                    continue
+                ref_seq = block.get_seq(0)
+                if len(ref_seq) < 2:
+                    continue
+                flank_blocks.append((bi, block.start, ref_seq))
+        S = self.num_samples
+        P = self.pooler.num_pools()
+        ps_counts = np.bincount(self.pool_index * S + self.sample_label,
+                                minlength=P * S).reshape(P, S)
+        return _native.spec_scan_native(self.pooler.pooled_alns, ps_counts,
+                                        repeat_blocks, flank_blocks)
+
+    def _stutter_support_py(self, block):
+        """Python fallback for one repeat block's speculative-candidate
+        support scan (the native path is spec_scan_native)."""
+        period = block.repeat_info.period
+        max_art = 6 * period
+        ref_len = len(block.get_seq(0))
+
+        # observed artifact sizes: net CIGAR bp-diff near the repeat
+        # (the EM trains on the same signal, extract_cigar_bp_diff /
+        # reference ExtractCigar, src/extract_indels.cpp:18-101); raw
+        # block extraction misses indels that NW left-alignment slid
+        # into the flank, the bp-diff does not
+        from ..align.alignment_data import extract_cigar_bp_diff
+        lo = block.start - period - 8
+        hi = block.end + period + 8
+        # periodic extension template of the reference option, padded so
+        # insertions up to +max_art can be matched
+        ref_opt = block.get_seq(0)
+        tmpl = list(ref_opt)
+        for _ in range(max_art + period):
+            tmpl.append(tmpl[-period])
+        tmpl = "".join(tmpl)
+
+        def read_index_at(aln, ref_pos: int):
+            """Read index aligned to ref_pos (None if not covered by a
+            match/mismatch), walking the left-aligned CIGAR."""
+            cig = aln.cigar
+            if len(cig) == 1 and cig[0].type in "M=X":
+                # ref-length-preserving read (the common case): direct
+                # offset, no walk
+                if aln.start <= ref_pos < aln.start + cig[0].num:
+                    return ref_pos - aln.start
+                return None
+            pos = aln.start
+            ridx = 0
+            for el in aln.cigar:
+                if el.type in "=XM":
+                    if pos <= ref_pos < pos + el.num:
+                        return ridx + (ref_pos - pos)
+                    pos += el.num
+                    ridx += el.num
+                elif el.type == "I":
+                    ridx += el.num
+                elif el.type == "D":
+                    if pos <= ref_pos < pos + el.num:
+                        return None
+                    pos += el.num
+            return None
+
+        tmpl_b = np.frombuffer(tmpl.encode("latin1"), np.uint8)
+        S = self.num_samples
+        pooled = self.pooler.pooled_alns
+        P = self.pooler.num_pools()
+        # scan POOLS with per-sample read weights instead of every read:
+        # reads in a pool share the sequence (and, virtually always, the
+        # alignment), and speculation is best-effort — a rare same-seq
+        # different-alignment collision only perturbs which candidates
+        # get pre-aligned, never the exact output
+        ps_counts = np.bincount(self.pool_index * S + self.sample_label,
+                                minlength=P * S).reshape(P, S)
+        diff_counts: List[Dict[int, int]] = [dict() for _ in range(S)]
+        seq_counts: List[Dict[str, int]] = [dict() for _ in range(S)]
+        span = np.zeros(S, dtype=np.int64)
+        for p, aln in enumerate(pooled):
+            if not (aln.start < block.start and aln.stop > block.end):
+                continue
+            w = ps_counts[p]
+            span += w
+            ws = np.nonzero(w)[0].tolist()
+            diff = extract_cigar_bp_diff(aln.cigar, aln.start, lo, hi)
+            if diff is not None and diff != 0:
+                for s in ws:
+                    diff_counts[s][diff] = \
+                        diff_counts[s].get(diff, 0) + int(w[s])
+            # the read's maximal periodic run from the block anchor:
+            # stutter artifacts that NW realignment rendered as mismatch
+            # runs (not CIGAR indels) still shorten/lengthen this run,
+            # and its content is exactly the ML trace's STR sequence on
+            # a (mostly) pure repeat
+            anchor = read_index_at(aln, block.start)
+            if anchor is not None:
+                seq_b = aln.sequence
+                limit = min(len(seq_b) - anchor, len(tmpl))
+                rb = np.frombuffer(
+                    seq_b[anchor:anchor + limit].encode("latin1"),
+                    np.uint8)
+                neq = np.nonzero(rb != tmpl_b[:limit])[0].tolist()
+                # walk only the mismatches: tolerate up to 2 isolated
+                # in-repeat SNPs when the periodic phase resumes for
+                # min(period, remaining) chars right after each
+                k = limit
+                mism = 0
+                for j, m in enumerate(neq):
+                    la = min(period, limit - (m + 1))
+                    nxt = neq[j + 1] if j + 1 < len(neq) else limit
+                    if mism < 2 and la >= 1 and nxt > m + la:
+                        mism += 1
+                        continue
+                    k = m
+                    break
+                if k >= period and k < len(seq_b) - anchor:
+                    # the run may over-extend into flank bases that
+                    # accidentally continue the period; per option, the
+                    # candidate is the largest stutter-consistent
+                    # truncation (left-aligned artifacts make the ML
+                    # trace's STR sequence the maximal such run)
+                    for opt in block.seqs:
+                        Lo = len(opt)
+                        Lp = k - ((k - Lo) % period)
+                        if (Lp >= period and Lp != Lo
+                                and abs(Lp - Lo) <= max_art):
+                            run = seq_b[anchor:anchor + Lp]
+                            for s in ws:
+                                seq_counts[s][run] = \
+                                    seq_counts[s].get(run, 0) + int(w[s])
+
+        def periodic_variants(opt: str, delta: int) -> List[str]:
+            """Stutter variants of one option: delta bp removed from
+            either end, or appended/prepended following the period
+            (the trace's left-aligned artifact on a perfect repeat)."""
+            if delta < 0:
+                if len(opt) + delta <= 0:
+                    return []
+                return [opt[-delta:], opt[:len(opt) + delta]]
+            ext = list(opt)
+            for _ in range(delta):
+                ext.append(ext[-period])
+            front = list(opt)
+            for _ in range(delta):
+                front.insert(0, front[period - 1])
+            return ["".join(ext), "".join(front)]
+
+        support: Dict[str, int] = {}
+        for s in range(self.num_samples):
+            for diff, cnt in diff_counts[s].items():
+                if diff == 0 or cnt < 2 or cnt < 0.10 * span[s]:
+                    continue
+                target_len = ref_len + diff
+                for opt in block.seqs:
+                    delta = target_len - len(opt)
+                    if (delta == 0 or delta % period != 0
+                            or abs(delta) > max_art):
+                        continue
+                    for cand in periodic_variants(opt, delta):
+                        if cand and not block.contains(cand):
+                            support[cand] = support.get(cand, 0) + cnt
+            for seq, cnt in seq_counts[s].items():
+                if cnt < 2 or cnt < 0.10 * span[s] or block.contains(seq):
+                    continue
+                if any(abs(len(seq) - len(o)) <= max_art
+                       and (len(seq) - len(o)) % period == 0
+                       and len(seq) != len(o) for o in block.seqs):
+                    support[seq] = support.get(seq, 0) + cnt
+        return support
 
     def _predict_flank_candidates(self):
         """Predict the alt flank sequences _assemble_flank_candidates is

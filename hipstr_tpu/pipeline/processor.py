@@ -21,7 +21,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..align.alignment_data import Alignment
+from ..align.alignment_data import Alignment, CigarElement
 from ..align.realign import convert_alignment, realign
 from ..io.bam import BamReader
 from ..io.fasta import FastaReader
@@ -813,46 +813,84 @@ class GenotyperPipeline:
 
     def left_align_reads(self, region: Region, chrom_seq: str, alns_by_rg,
                          log_p1s, log_p2s):
-        """Port of left_align_reads (genotyper_bam_processor.cpp:38-102)."""
-        seq_to_aln: Dict[str, int] = {}
-        left_alns: List[Alignment] = []
-        filt_p1s = []
-        filt_p2s = []
+        """Port of left_align_reads (genotyper_bam_processor.cpp:38-102).
+
+        Reference-matching reads (the vast majority) are converted in ONE
+        native batch call per locus (native/left_align.cpp); only reads
+        carrying indels run the NW realigner.  Dedup and ordering semantics
+        are identical to the per-read path.
+        """
+        from .. import native as _native
+
+        # pass 1: trim every read, collect the unique reference-matching
+        # reads that will need a conversion
+        entries = []       # (rg_index, aln, log_p1, log_p2)
+        conv_keys: Dict[Tuple[str, int], int] = {}
+        conv_batch = []
         for i, alns in enumerate(alns_by_rg):
-            filt_p1s.append([])
-            filt_p2s.append([])
             for j, aln in enumerate(alns):
                 aln.trim_alignment(region.start - 40 if region.start > 40 else 1,
                                    region.stop + 40)
                 if aln.length == 0:
                     continue
-                idx = seq_to_aln.get(aln.bases)
-                have_prev = idx is not None and \
-                    len(left_alns[idx].sequence) == len(aln.bases)
-                if not have_prev:
-                    if aln.matches_reference():
-                        new_aln = convert_alignment(
-                            aln.pos, aln.name, aln.bases, aln.quals,
-                            aln.rec.is_reverse, aln.cigar, chrom_seq)
-                    else:
-                        new_aln = realign(aln.pos, aln.end_pos, aln.name,
-                                          aln.bases, aln.quals,
-                                          aln.rec.is_reverse, chrom_seq)
-                    if new_aln is None:
-                        continue
-                    left_alns.append(new_aln)
-                    seq_to_aln[aln.bases] = len(left_alns) - 1
+                entries.append((i, aln, log_p1s[i][j], log_p2s[i][j]))
+                if aln.matches_reference():
+                    key = (aln.bases, aln.pos)
+                    if key not in conv_keys:
+                        conv_keys[key] = len(conv_batch)
+                        conv_batch.append((aln.pos, aln.bases, aln.cigar))
+        conv_res = None
+        if conv_batch:
+            chrom_b = self.__dict__.get("_chrom_seq_bytes")
+            if chrom_b is None or self.__dict__.get("_chrom_seq_for") \
+                    is not chrom_seq:
+                chrom_b = chrom_seq.encode("latin1")
+                self._chrom_seq_bytes = chrom_b
+                self._chrom_seq_for = chrom_seq
+            conv_res = _native.convert_aln_batch_native(chrom_b, conv_batch)
+
+        def materialize_convert(aln) -> Alignment:
+            if conv_res is not None:
+                stop, aln_str, cig = conv_res[conv_keys[(aln.bases, aln.pos)]]
+                new_aln = Alignment(aln.pos, stop, aln.rec.is_reverse,
+                                    aln.name, aln.quals, aln.bases.upper(),
+                                    aln_str)
+                new_aln.cigar = [CigarElement(op, n) for op, n in cig]
+                return new_aln
+            return convert_alignment(aln.pos, aln.name, aln.bases, aln.quals,
+                                     aln.rec.is_reverse, aln.cigar, chrom_seq)
+
+        # pass 2: original dedup/copy logic over the trimmed reads
+        seq_to_aln: Dict[str, int] = {}
+        left_alns: List[Alignment] = []
+        filt_p1s = [[] for _ in alns_by_rg]
+        filt_p2s = [[] for _ in alns_by_rg]
+        for i, aln, p1, p2 in entries:
+            idx = seq_to_aln.get(aln.bases)
+            have_prev = idx is not None and \
+                len(left_alns[idx].sequence) == len(aln.bases)
+            if not have_prev:
+                if aln.matches_reference():
+                    new_aln = materialize_convert(aln)
                 else:
-                    prev = left_alns[idx]
-                    new_aln = Alignment(prev.start, prev.stop,
-                                        aln.rec.is_reverse, aln.name,
-                                        aln.quals, aln.bases.upper(),
-                                        prev.alignment)
-                    new_aln.cigar = list(prev.cigar)
-                    left_alns.append(new_aln)
-                left_alns[-1].use_for_haps = [getattr(aln, "pass_two", "0") == "1"]
-                filt_p1s[i].append(log_p1s[i][j])
-                filt_p2s[i].append(log_p2s[i][j])
+                    new_aln = realign(aln.pos, aln.end_pos, aln.name,
+                                      aln.bases, aln.quals,
+                                      aln.rec.is_reverse, chrom_seq)
+                if new_aln is None:
+                    continue
+                left_alns.append(new_aln)
+                seq_to_aln[aln.bases] = len(left_alns) - 1
+            else:
+                prev = left_alns[idx]
+                new_aln = Alignment(prev.start, prev.stop,
+                                    aln.rec.is_reverse, aln.name,
+                                    aln.quals, aln.bases.upper(),
+                                    prev.alignment)
+                new_aln.cigar = list(prev.cigar)
+                left_alns.append(new_aln)
+            left_alns[-1].use_for_haps = [getattr(aln, "pass_two", "0") == "1"]
+            filt_p1s[i].append(p1)
+            filt_p2s[i].append(p2)
         return left_alns, filt_p1s, filt_p2s
 
     # -------------------------------------------------------------------- run
