@@ -267,7 +267,10 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
     opts = pipeline.opts
     regions = read_regions(regions_bed, opts.max_regions, opts.chrom,
                            opts.locus_shard)
-    window = window or batch_size * 4
+    # one dispatch batch per wave: launch_wave dispatches wave N and then
+    # settles wave N-1, so wave N's device compute + async fetch overlap
+    # wave N-1's adaptive host work and wave N+1's staging
+    window = window or batch_size
     writer = None
     if out_vcf:
         header = build_vcf_header(pipeline.fasta_path, full_command,
@@ -376,25 +379,23 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
             return tuple(np.asarray(r) for r in res)
         return np.asarray(res)
 
-    def fetch_results(handles):
-        """Fetch all dispatched results concurrently: each np.asarray blocks
-        until its dispatch finishes and then rides the (slow) device->host
-        link; a few threads overlap those round trips (jax releases the GIL
-        during transfers)."""
-        if len(handles) <= 1:
-            return [(chunk, _fetch_one(res)) for chunk, res in handles]
-        import concurrent.futures as cf
-        with cf.ThreadPoolExecutor(max_workers=min(4, len(handles))) as ex:
-            fetched = list(ex.map(_fetch_one, [r for _, r in handles]))
-        return [(chunk, res) for (chunk, _), res in zip(handles, fetched)]
+    # fetches start the moment a wave is DISPATCHED: each np.asarray blocks
+    # until the dispatch finishes and then rides the (slow) device->host
+    # link with the GIL released, so the transfer overlaps the next wave's
+    # host prep instead of being paid inside finish_handles
+    fetch_pool = _cf.ThreadPoolExecutor(max_workers=4)
+
+    def submit_fetch(handles):
+        return [(chunk, fetch_pool.submit(_fetch_one, res))
+                for chunk, res in handles]
 
     def finish_handles(handles) -> None:
-        """Fetch dispatched results and drive every adaptive round of the
+        """Resolve in-flight fetches and drive every adaptive round of the
         wave to completion, regrouping realignments per round."""
         while handles:
             realign: List[LocusWorkItem] = []
             with pipeline.timer.time("Device fetch"):
-                handles = fetch_results(handles)
+                handles = [(chunk, fut.result()) for chunk, fut in handles]
             # phase 1: install every locus's LLs/posteriors and launch the
             # trace prefetches; phase 2 then steps the adaptive loops, so
             # each locus's native trace DP overlaps earlier loci's Python
@@ -436,7 +437,7 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                     pipeline.logger.log(f"ERROR at {item.region}: {exc!r}")
             for item in realign:
                 aligner.add(item)
-            handles = aligner.dispatch_all()
+            handles = submit_fetch(aligner.dispatch_all())
 
     chrom = None
     chrom_seq = None
@@ -512,7 +513,7 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
         for item in prepared:
             aligner.add(item)
         prepared = []
-        handles = aligner.dispatch_all()
+        handles = submit_fetch(aligner.dispatch_all())
         done, in_flight = in_flight, handles
         finish_handles(done)
 
@@ -567,6 +568,7 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
         spec_hits=int(aligner.spec_hits),
         spec_misses=int(aligner.spec_misses))
     trace_pool.shutdown(wait=False)
+    fetch_pool.shutdown(wait=False)
 
     if writer is not None:
         writer.close()
