@@ -111,27 +111,33 @@ def _pack_orientation(src: Haplotype, digit_rows: List[List[int]],
     m2i_lut = np.asarray(LOG_MATCH_TO_INS)
     m2d_lut = np.asarray(LOG_MATCH_TO_DEL)
     codes_cache = {}
-    hp_cache = {}
-    for h, digits in enumerate(digit_rows):
-        key_all = tuple(digits)
-        for b, (lo, c0, hi) in spans.items():
-            d = digits[b]
+    for b, (lo, c0, hi) in spans.items():
+        span = hi - lo + 1
+        # per-option char codes, gathered over haplotypes in one shot
+        n_opt = src.blocks[b].num_options()
+        opt_mat = np.empty((n_opt, span), dtype=np.int8)
+        for d in range(n_opt):
             ck = (b, d)
             codes = codes_cache.get(ck)
             if codes is None:
                 codes = codes_cache[ck] = seq_to_codes(src.blocks[b].get_seq(d))
-            row_char[h, lo:hi + 1] = codes[c0:c0 + (hi - lo) + 1]
-            hk = (key_all, b)
-            got = hp_cache.get(hk)
-            if got is None:
-                raw = src.homopolymer_array(digits, b)
-                prev = np.concatenate([raw[:1], raw[:-1]]) if raw.size else raw
-                hp = np.minimum(MAX_HOMOP_LEN, np.maximum(raw, prev))
-                got = hp_cache[hk] = (m2m_lut[hp], m2i_lut[hp], m2d_lut[hp])
-            t_m2m, t_m2i, t_m2d = got
-            row_m2m[h, lo:hi + 1] = t_m2m[c0:c0 + (hi - lo) + 1]
-            row_m2i[h, lo:hi + 1] = t_m2i[c0:c0 + (hi - lo) + 1]
-            row_m2d[h, lo:hi + 1] = t_m2d[c0:c0 + (hi - lo) + 1]
+            opt_mat[d] = codes[c0:c0 + span]
+        dvec = np.fromiter((dg[b] for dg in digit_rows), dtype=np.int64,
+                           count=H)
+        row_char[:, lo:hi + 1] = opt_mat[dvec]
+        # transition tables depend on the WHOLE digit tuple (homopolymer
+        # runs cross block boundaries); the per-digit run arrays are cached
+        # inside homopolymer_array, and the three LUT gathers run once over
+        # the stacked [H, span] matrix instead of per haplotype
+        hp_rows = np.empty((H, span), dtype=np.int64)
+        for h in range(H):
+            raw = src.homopolymer_array(digit_rows[h], b)
+            prev = np.concatenate([raw[:1], raw[:-1]]) if raw.size else raw
+            hp = np.minimum(MAX_HOMOP_LEN, np.maximum(raw, prev))
+            hp_rows[h] = hp[c0:c0 + span]
+        row_m2m[:, lo:hi + 1] = m2m_lut[hp_rows]
+        row_m2i[:, lo:hi + 1] = m2i_lut[hp_rows]
+        row_m2d[:, lo:hi + 1] = m2d_lut[hp_rows]
     # init / forced-match rows carry no transitions
     for r0 in (0, struct.stutter_row + 1):
         if 0 <= r0 < R:
@@ -200,11 +206,14 @@ def pack_haplotypes(haplotype: Haplotype, L: int) -> PackedHaplotypes:
     # ---- seed tables ---------------------------------------------------------
     n = len(blocks)
     seeds = []
+    seed_groups = []   # (block, c_lo, c_hi, first seed index) per flank block
     for b in range(n):
         if is_stutter[b]:
             continue
         lo = 1 if b == 0 else 0
         hi = fw_lens[b] - 1 if b == n - 1 else fw_lens[b]
+        if hi > lo:
+            seed_groups.append((b, lo, hi, len(seeds)))
         for c in range(lo, hi):
             seeds.append((b, c))
 
@@ -227,27 +236,52 @@ def pack_haplotypes(haplotype: Haplotype, L: int) -> PackedHaplotypes:
     seed_fw_row = np.zeros(S, dtype=np.int32)
     seed_rev_row = np.zeros(S, dtype=np.int32)
     seed_char = np.zeros((H, S), dtype=np.int32)
-    for s, (b, c) in enumerate(seeds):
-        # left anchor: fw position i-1
-        if c > 0:
-            seed_fw_row[s] = fw_row_for(b, c - 1)
+    # anchor rows: flank rows are consecutive within a block
+    # (build_row_structure emits them in order), so each group is an
+    # arithmetic ramp; only the block-boundary first element needs the dict
+    for b, lo, hi, s0 in seed_groups:
+        cnt = hi - lo
+        # left anchors: fw rows of (b, lo-1 .. hi-2), with the c == 0 seed
+        # anchored at the previous block's last position
+        if lo > 0:
+            base = fw_row_for(b, lo - 1)
         else:
-            seed_fw_row[s] = fw_row_for(b - 1, fw_lens[b - 1] - 1)
-        # right anchor: mirror of fw position i+1
-        if c + 1 < fw_lens[b]:
-            seed_rev_row[s] = rev_row_for(b, c + 1)
+            base = fw_row_for(b - 1, fw_lens[b - 1] - 1)
+        seed_fw_row[s0] = base
+        if cnt > 1:
+            r1 = fw_row_for(b, lo)   # rows (b, lo .. hi-2) are consecutive
+            seed_fw_row[s0 + 1:s0 + cnt] = np.arange(r1, r1 + cnt - 1,
+                                                     dtype=np.int32)
+        # right anchors: mirrors of (b, lo+1 .. hi), descending in the rev
+        # structure; the c == hi-1 seed anchors at the next block's start
+        if hi < fw_lens[b]:
+            last_anchor = rev_row_for(b, hi)
         else:
-            seed_rev_row[s] = rev_row_for(b + 1, 0)
-        for h, digits in enumerate(digit_rows):
-            seed_char[h, s] = BASE_CODES.get(blocks[b].get_seq(digits[b])[c], 4)
+            last_anchor = rev_row_for(b + 1, 0)
+        if cnt > 1:
+            r1 = rev_row_for(b, lo + 1)
+            seed_rev_row[s0:s0 + cnt - 1] = np.arange(
+                r1, r1 - (cnt - 1), -1, dtype=np.int32)
+        seed_rev_row[s0 + cnt - 1] = last_anchor
+
+    codes32_cache: dict = {}
+
+    def codes32(b, d):
+        got = codes32_cache.get((b, d))
+        if got is None:
+            got = codes32_cache[(b, d)] = \
+                seq_to_codes(blocks[b].get_seq(d)).astype(np.int32)
+        return got
+
+    for h, digits in enumerate(digit_rows):
+        for b, lo, hi, s0 in seed_groups:
+            seed_char[h, s0:s0 + (hi - lo)] = codes32(b, digits[b])[lo:hi]
 
     num_seeds = sum(fw_lens[b] for b in range(n) if not is_stutter[b])
-    first_char = np.array(
-        [BASE_CODES.get(blocks[0].get_seq(d[0])[0], 4) for d in digit_rows],
-        dtype=np.int32)
-    last_char = np.array(
-        [BASE_CODES.get(blocks[-1].get_seq(d[-1])[-1], 4) for d in digit_rows],
-        dtype=np.int32)
+    first_char = np.array([codes32(0, d[0])[0] for d in digit_rows],
+                          dtype=np.int32)
+    last_char = np.array([codes32(n - 1, d[-1])[-1] for d in digit_rows],
+                         dtype=np.int32)
 
     seed = dict(seed_fw_row=seed_fw_row, seed_rev_row=seed_rev_row,
                 seed_char=seed_char, seed_valid=np.ones(S, dtype=bool),
