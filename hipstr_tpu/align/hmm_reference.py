@@ -306,7 +306,7 @@ class HaplotypeInstance:
         if tbl is None:
             hl = self._src.homopolymer_array(self._digits, block_index)
             prev = np.concatenate([hl[:1], hl[:-1]]) if hl.size else hl
-            tbl = np.minimum(MAX_HOMOP_LEN, np.maximum(hl, prev)).tolist()
+            tbl = np.minimum(MAX_HOMOP_LEN, np.maximum(hl, prev))
             tables[block_index] = tbl
         return tbl
 
@@ -411,17 +411,20 @@ class HaplotypeInstance:
                 stutter_R = row
                 hap_index += blen
             else:
-                coord = 1 if block_index == 0 else 0
-                while coord < len(block_seq):
-                    r = hap_index
-                    row_char[r] = ord(block_seq[coord])
-                    if r == stutter_R + 1:
-                        row_kind[r] = 2
-                    else:
-                        row_kind[r] = 1
-                        row_homop[r] = self.homop_table(block_index)[coord]
-                    coord += 1
-                    hap_index += 1
+                coord0 = 1 if block_index == 0 else 0
+                cnt = len(block_seq) - coord0
+                if cnt > 0:
+                    r0 = hap_index
+                    row_char[r0:r0 + cnt] = np.frombuffer(
+                        block_seq.encode("latin1"), np.uint8)[coord0:]
+                    row_kind[r0:r0 + cnt] = 1
+                    row_homop[r0:r0 + cnt] = np.asarray(
+                        self.homop_table(block_index))[coord0:]
+                    fm = stutter_R + 1   # forced-match row after the repeat
+                    if r0 <= fm < r0 + cnt:
+                        row_kind[fm] = 2
+                        row_homop[fm] = 0
+                    hap_index += cnt
         assert hap_index == H
         seq_pool = b"".join(st_seqs)
         offs, o = [], 0

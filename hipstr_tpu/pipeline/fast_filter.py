@@ -113,8 +113,32 @@ class FilterRead:
 
     def get_tag(self, tag: str):
         t = self._tags
-        if t is None:
-            t = self._tags = self._pools.tags_for(self._row)
+        if t is not None:
+            return t.get(tag)
+        # single-tag fast paths straight off the columnar pools: the hot
+        # consumers (_get_rg/_get_library, XA uniqueness, AS/XS gap) each
+        # read one tag per read, so building the full dict is wasted work
+        p = self._pools
+        i = self._row
+        if tag == "RG":
+            ro = p.rg_off[i]
+            ln = p.rg_len[i]
+            if ln or ro:
+                return p.blob_s[ro:ro + ln]
+            return None
+        if tag == "XA":
+            xo = p.xa_off[i]
+            return p.blob_s[xo:xo + p.xa_len[i]] if xo else None
+        if tag == "SA":
+            so = p.sa_off[i]
+            return p.blob_s[so:so + p.sa_len[i]] if so else None
+        if tag == "AS":
+            return int(p.as_val[i]) if p.as_has[i] else None
+        if tag == "XS":
+            return int(p.xs_val[i]) if p.xs_has[i] else None
+        if tag == "HP":
+            return int(p.hp_val[i]) if p.hp_has[i] else None
+        t = self._tags = p.tags_for(i)
         return t.get(tag)
 
     def matches_reference(self) -> bool:
