@@ -182,6 +182,16 @@ def _load():
         except AttributeError:
             pass  # stale library without the spec-scan entry
         try:
+            lib.pair_filter_batch.restype = ctypes.c_int32
+            lib.pair_filter_batch.argtypes = (
+                [ctypes.c_char_p, ctypes.c_int32]
+                + [ctypes.c_void_p] * 16                   # record columns
+                + [ctypes.c_char_p, ctypes.c_int32]        # chrom
+                + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int32]
+                + [ctypes.c_void_p] * 6)                   # outputs
+        except AttributeError:
+            pass  # stale library without the pairing entry
+        try:
             lib.flank_assembly_batch.restype = ctypes.c_int32
             lib.flank_assembly_batch.argtypes = (
                 [ctypes.c_char_p, ctypes.c_int32,          # ref seq
@@ -280,6 +290,45 @@ def nw_align_native(ref_seq: str, read_seq: str,
     n = out_len.value
     return (ra.raw[:n].decode("latin1"), qa.raw[:n].decode("latin1"),
             float(score))
+
+
+def pair_filter_batch_native(blob: bytes, o, pass_one, chrom: str,
+                             max_mate_dist: int, max_reads: int,
+                             use_unpaired: bool):
+    """Mate-pair one locus's cascade output in C++ (native/pair_reads.cpp;
+    semantics fast_filter.py pairing loop + processor._valid_pairing,
+    reference src/bam_processor.cpp:97-152,303-437).  Returns (pair_str,
+    pair_mate, unpaired, too_many) row-index arrays or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pair_filter_batch"):
+        return None
+    import numpy as np
+    n = len(o["status"])
+    p1 = np.ascontiguousarray(pass_one, np.uint8)
+    pair_str = np.empty(n, np.int32)
+    pair_mate = np.empty(n, np.int32)
+    unpaired = np.empty(n, np.int32)
+    n_pairs = ctypes.c_int32(0)
+    n_unp = ctypes.c_int32(0)
+    too_many = np.zeros(1, np.uint8)
+    rc = lib.pair_filter_batch(
+        blob, n,
+        o["name_off"].ctypes.data, o["name_len"].ctypes.data,
+        o["status"].ctypes.data, o["overlaps"].ctypes.data,
+        p1.ctypes.data, o["flag"].ctypes.data,
+        o["pos"].ctypes.data, o["orig_pos"].ctypes.data,
+        o["xa_off"].ctypes.data, o["xa_len"].ctypes.data,
+        o["sa_off"].ctypes.data, o["sa_len"].ctypes.data,
+        o["as_val"].ctypes.data, o["as_has"].ctypes.data,
+        o["xs_val"].ctypes.data, o["xs_has"].ctypes.data,
+        chrom.encode("latin1"), len(chrom),
+        int(max_mate_dist), int(max_reads), 1 if use_unpaired else 0,
+        pair_str.ctypes.data, pair_mate.ctypes.data, ctypes.byref(n_pairs),
+        unpaired.ctypes.data, ctypes.byref(n_unp), too_many.ctypes.data)
+    if rc != 0:
+        return None
+    return (pair_str[:n_pairs.value], pair_mate[:n_pairs.value],
+            unpaired[:n_unp.value], bool(too_many[0]))
 
 
 def convert_aln_batch_native(chrom_seq_b: bytes, reads):

@@ -353,12 +353,39 @@ def read_and_filter_reads_fast(pipeline, region, chrom_seq: str):
                 fr._qual_sum = float(q)
             return fr
 
-        trim_name = pipeline._trim_name
-        valid_pairing = pipeline._valid_pairing
         status_l = status.tolist()
         overlaps_l = overlaps_a.tolist()
         pass_one_l = pass_one.tolist()
         pass_two_l = pass_two_a.tolist()
+
+        # single-BAM loci: the whole pairing state machine runs in ONE
+        # native call (native/pair_reads.cpp); objects are built only for
+        # the emitted rows, each row once (matching the Python loop's
+        # object identities)
+        pres = None
+        if len(pipeline.readers) == 1:
+            pres = _native.pair_filter_batch_native(
+                blob, o, pass_one, region.chrom, opts.max_mate_dist,
+                opts.max_reads, opts.use_unpaired)
+        if pres is not None:
+            ps, pm, unp, too_many_reads = pres
+            built: Dict[int, FilterRead] = {}
+
+            def row_obj(i: int) -> FilterRead:
+                fr = built.get(i)
+                if fr is None:
+                    fr = built[i] = build(i)
+                    if overlaps_l[i] and pass_one_l[i]:
+                        fr.pass_two = "1" if pass_two_l[i] else "0"
+                return fr
+
+            paired_strs = [row_obj(i) for i in ps.tolist()]
+            mate_alns = [row_obj(i) for i in pm.tolist()]
+            unpaired_strs = [row_obj(i) for i in unp.tolist()]
+            break
+
+        trim_name = pipeline._trim_name
+        valid_pairing = pipeline._valid_pairing
         for i in range(n):
             st = status_l[i]
             if st == 0:
