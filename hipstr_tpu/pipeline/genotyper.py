@@ -878,10 +878,16 @@ class SeqStutterGenotyper:
             cache[pool_idx] = got
         return got
 
-    def _trace_plan(self):
+    def _trace_plan(self, superset: bool = False):
         """(best_haps per read [-1 = no seed], missing (read, cache-key)
         list) for the current posteriors (reference retrace_alignments,
-        seq_stutter_genotyper.cpp:805-841)."""
+        seq_stutter_genotyper.cpp:805-841).
+
+        With superset=True the missing list covers BOTH genotype haplotypes
+        of every valid read, not just the ML one — the VCF-stats pass
+        (summary_stats_for) traces reads to the strand-weighted genotype
+        hap, which can differ from the ML pick, and prefetching the
+        superset keeps those off the main thread."""
         haps_a, haps_b = self.get_optimal_haplotypes()
         R = self.num_reads
         ha = haps_a[self.sample_label]
@@ -896,14 +902,20 @@ class SeqStutterGenotyper:
         # unique (pool, hap) pairs among valid reads not yet in the store
         H = self.num_alleles
         vi = np.nonzero(valid)[0]
-        combos = self.pool_index[vi] * H + best[vi]
+        if superset:
+            combos = np.concatenate([self.pool_index[vi] * H + ha[vi],
+                                     self.pool_index[vi] * H + hb[vi]])
+            srcs = np.concatenate([vi, vi])
+        else:
+            combos = self.pool_index[vi] * H + best[vi]
+            srcs = vi
         uniq, first = np.unique(combos, return_index=True)
         missing: List[Tuple[int, Tuple[int, int]]] = []
         rows = self.trace_store.rows
         for u, f in zip(uniq.tolist(), first.tolist()):
             key = (u // H, u % H)
             if key not in rows:
-                missing.append((int(vi[f]), key))
+                missing.append((int(srcs[f]), key))
         return best, missing
 
     def _run_trace_batch(self, missing, n_threads: int = 0):
@@ -942,7 +954,7 @@ class SeqStutterGenotyper:
             return
         if self.log_aln_probs is None or self.log_post is None:
             return
-        _, missing = self._trace_plan()
+        _, missing = self._trace_plan(superset=True)
         if len(missing) <= 1:
             return
         self._trace_future = (
