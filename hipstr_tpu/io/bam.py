@@ -440,19 +440,35 @@ class BamReader:
             # (BAI chunk ends bound record STARTS) — read its tail directly
             data = bytearray(r.read_upto(ce))
             base = len(blob)
-            off = 0
-            while off < len(data):
-                if off + 4 > len(data):
-                    data.extend(r.read(off + 4 - len(data)))
-                sz = int.from_bytes(data[off:off + 4], "little")
-                end = off + 4 + sz
-                if end > len(data):
-                    data.extend(r.read(end - len(data)))
-                    if len(data) < end:
-                        break  # truncated file
-                offs.append(base + off + 4)
-                lens.append(sz)
-                off = end
+            split = None
+            from .. import native as _native
+            while True:
+                split = _native.split_bam_records_native(data)
+                if split is None or split[0] >= 0:
+                    break
+                need = split[1]           # final record extends past ce
+                got = r.read(need - len(data))
+                if not got:
+                    break                 # truncated file
+                data.extend(got)
+            if split is not None and split[0] >= 0:
+                n_rec, r_offs, r_lens = split[0], split[2], split[3]
+                offs.extend((base + v for v in r_offs[:n_rec].tolist()))
+                lens.extend(r_lens[:n_rec].tolist())
+            else:
+                off = 0
+                while off < len(data):
+                    if off + 4 > len(data):
+                        data.extend(r.read(off + 4 - len(data)))
+                    sz = int.from_bytes(data[off:off + 4], "little")
+                    end = off + 4 + sz
+                    if end > len(data):
+                        data.extend(r.read(end - len(data)))
+                        if len(data) < end:
+                            break  # truncated file
+                    offs.append(base + off + 4)
+                    lens.append(sz)
+                    off = end
             blob.extend(data)
         return bytes(blob), offs, lens, rid
 

@@ -192,6 +192,14 @@ def _load():
         except AttributeError:
             pass  # stale library without the pairing entry
         try:
+            lib.split_bam_records.restype = ctypes.c_int64
+            lib.split_bam_records.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+        except AttributeError:
+            pass  # stale library without the splitter entry
+        try:
             lib.flank_assembly_batch.restype = ctypes.c_int32
             lib.flank_assembly_batch.argtypes = (
                 [ctypes.c_char_p, ctypes.c_int32,          # ref seq
@@ -290,6 +298,30 @@ def nw_align_native(ref_seq: str, read_seq: str,
     n = out_len.value
     return (ra.raw[:n].decode("latin1"), qa.raw[:n].decode("latin1"),
             float(score))
+
+
+def split_bam_records_native(data):
+    """Split decompressed BAM bytes into record bodies (native
+    split_bam_records).  Returns (n, tail_need, offs, lens): n >= 0 on
+    success; n < 0 with tail_need > 0 when the final record extends past
+    the buffer (caller appends the tail and retries); None to fall back."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "split_bam_records"):
+        return None
+    import numpy as np
+    ln = len(data)
+    if ln == 0:
+        return 0, 0, np.empty(0, np.int64), np.empty(0, np.int32)
+    cap = ln // 36 + 8            # a record consumes >= 4 + 32 bytes
+    offs = np.empty(cap, np.int64)
+    lens = np.empty(cap, np.int32)
+    tail = ctypes.c_int64(0)
+    buf = np.frombuffer(data, np.uint8)
+    n = lib.split_bam_records(buf.ctypes.data, ln, offs.ctypes.data,
+                              lens.ctypes.data, cap, ctypes.byref(tail))
+    if n < 0 and tail.value == 0:
+        return None               # capacity overflow: python fallback
+    return int(n), int(tail.value), offs, lens
 
 
 def pair_filter_batch_native(blob: bytes, o, pass_one, chrom: str,

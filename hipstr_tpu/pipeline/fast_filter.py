@@ -70,7 +70,8 @@ class FilterRead:
 
     __slots__ = ("pos", "end_pos", "bases", "quals", "_cigar", "name",
                  "filename", "ref_name", "pass_two", "rec", "_tags",
-                 "_trim2", "_matches_ref", "_qual_sum", "_pools", "_row")
+                 "_trim2", "_matches_ref", "_qual_sum", "_pools", "_row",
+                 "_samp", "_lib")
 
     def __init__(self, pos, end_pos, bases, quals, name, filename,
                  ref_name, rec, trim2, matches_ref, pools, row):
@@ -334,6 +335,48 @@ def read_and_filter_reads_fast(pipeline, region, chrom_seq: str):
         filename = rdr.path
         ref_name = region.chrom
 
+        # per-read sample + library resolved ONCE per unique RG (vectorized
+        # over the locus) instead of a tag slice + key concat per read
+        samp_l = lib_l = None
+        if pipeline.use_bam_rgs:
+            # only candidate rows (status == 4) ever get built; other rows
+            # may carry stale buffer values in the rg columns
+            cand = status == 4
+            ro64 = o["rg_off"].astype(np.int64)
+            rl64 = o["rg_len"].astype(np.int64)
+            sane = bool(((rl64 >= 0) & (rl64 < (1 << 20))
+                         & (ro64 >= 0))[cand].all()) if cand.any() else True
+            if sane:
+                rg_keys = np.where(cand, (ro64 << 20) + rl64, -1)
+                uniq_rg, inv_rg = np.unique(rg_keys, return_inverse=True)
+                u_samp, u_lib = [], []
+                ok = True
+                for u in uniq_rg.tolist():
+                    if u < 0:
+                        u_samp.append("")   # masked rows are never built
+                        u_lib.append("")
+                        continue
+                    off, ln = u >> 20, u & ((1 << 20) - 1)
+                    if not (ln or off):
+                        ok = False          # missing RG: per-read path raises
+                        break
+                    key = filename + blob_s[off:off + ln]
+                    sm = pipeline.rg_to_sample.get(key)
+                    if sm is None:
+                        ok = False
+                        break
+                    u_samp.append(sm)
+                    u_lib.append(pipeline.rg_to_library.get(key, ""))
+                if ok:
+                    samp_l = [u_samp[j] for j in inv_rg.tolist()]
+                    lib_l = [u_lib[j] for j in inv_rg.tolist()]
+        else:
+            s0 = pipeline.rg_to_sample.get(filename)
+            l0 = pipeline.rg_to_library.get(filename, "")
+            if s0 is not None:
+                samp_l = [s0] * n
+                lib_l = [l0] * n
+
         def build(i: int) -> FilterRead:
             no = names[i]
             nm = blob_s[no:no + name_lens[i]]
@@ -348,6 +391,9 @@ def read_and_filter_reads_fast(pipeline, region, chrom_seq: str):
             fr = FilterRead(pos_l[i], end_l[i], bases, quals,
                             nm, filename, ref_name, rec,
                             trim2, bool(mref_l[i]), pools, i)
+            if samp_l is not None:
+                fr._samp = samp_l[i]
+                fr._lib = lib_l[i]
             q = qsum_arr[i]
             if q == q:                     # seed the PCR-dedup memo
                 fr._qual_sum = float(q)

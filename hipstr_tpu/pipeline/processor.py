@@ -214,6 +214,9 @@ class GenotyperPipeline:
 
     # ------------------------------------------------------------------ reads
     def _get_rg(self, aln: BamAlign) -> str:
+        s = getattr(aln, "_samp", None)   # precomputed per locus
+        if s is not None:
+            return s
         if self.use_bam_rgs:
             rg = aln.get_tag("RG")
             if rg is None:
@@ -225,6 +228,9 @@ class GenotyperPipeline:
         return self.rg_to_sample[aln.filename]
 
     def _get_library(self, aln: BamAlign) -> str:
+        lb = getattr(aln, "_lib", None)   # precomputed per locus
+        if lb is not None:
+            return lb
         if self.use_bam_rgs:
             rg = aln.get_tag("RG")
             return self.rg_to_library.get(aln.filename + str(rg), "")

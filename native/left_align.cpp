@@ -122,4 +122,38 @@ int32_t convert_aln_batch(
   return rc;
 }
 
+// Split a decompressed BAM byte run into record bodies by their 4-byte
+// length prefixes (io/bam.py fetch_raw).  Returns the number of records,
+// or -1 if a record would need more bytes than `len` provides (the caller
+// reads the tail and retries) or the output capacity is exceeded.
+// tail_need receives the total byte length the final record requires when
+// the return is -1 (0 for capacity overflow).
+int64_t split_bam_records(const uint8_t* data, int64_t len,
+                          int64_t* offs, int32_t* lens, int64_t cap,
+                          int64_t* tail_need) {
+  int64_t off = 0, n = 0;
+  *tail_need = 0;
+  while (off < len) {
+    if (off + 4 > len) {
+      *tail_need = off + 4;
+      return -1;
+    }
+    const uint32_t sz = static_cast<uint32_t>(data[off]) |
+                        (static_cast<uint32_t>(data[off + 1]) << 8) |
+                        (static_cast<uint32_t>(data[off + 2]) << 16) |
+                        (static_cast<uint32_t>(data[off + 3]) << 24);
+    const int64_t end = off + 4 + static_cast<int64_t>(sz);
+    if (end > len) {
+      *tail_need = end;
+      return -1;
+    }
+    if (n >= cap) return -1;
+    offs[n] = off + 4;
+    lens[n] = static_cast<int32_t>(sz);
+    ++n;
+    off = end;
+  }
+  return n;
+}
+
 }  // extern "C"
