@@ -200,6 +200,17 @@ def _load():
         except AttributeError:
             pass  # stale library without the splitter entry
         try:
+            lib.seed_scan.restype = ctypes.c_int32
+            lib.seed_scan.argtypes = (
+                [ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+                 ctypes.c_void_p,
+                 ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                 ctypes.c_void_p])
+        except AttributeError:
+            pass  # stale library without the seed entry
+        try:
             lib.flank_assembly_batch.restype = ctypes.c_int32
             lib.flank_assembly_batch.argtypes = (
                 [ctypes.c_char_p, ctypes.c_int32,          # ref seq
@@ -451,26 +462,11 @@ def convert_aln_batch_native(chrom_seq_b: bytes, reads):
     return res
 
 
-def spec_scan_native(pooled, ps_counts, repeat_blocks, flank_blocks):
-    """One native call for a locus's speculative-candidate predictors
-    (native/spec_scan.cpp; semantics pipeline/genotyper.py
-    _build_speculative_haplotype/_predict_flank_candidates).
-
-    pooled: pooled Alignment-like objects (.sequence/.start/.stop/.cigar);
-    ps_counts: [P, S] per-pool per-sample read weights;
-    repeat_blocks: list of (block_index, start, end, period, option_seqs);
-    flank_blocks: list of (block_index, start, ref_seq).
-
-    Returns ({block_index: {cand: support}}, {block_index: {...}}) or None.
-    """
-    lib = _load()
-    if lib is None or not hasattr(lib, "spec_scan"):
-        return None
+def pool_columns(pooled):
+    """Columnar marshal of pooled Alignment-like objects (one per locus,
+    cached by the genotyper; shared by spec_scan/seed_scan)."""
     import numpy as np
     P = len(pooled)
-    S = ps_counts.shape[1] if P else 0
-    if P == 0 or (not repeat_blocks and not flank_blocks):
-        return {}, {}
     seq_parts = []
     seq_off = np.empty(P, np.int64)
     seq_len = np.empty(P, np.int32)
@@ -496,9 +492,69 @@ def spec_scan_native(pooled, ps_counts, repeat_blocks, flank_blocks):
         for el in cig:
             ops_parts.append(el.type)
             lens_all.append(el.num)
-    seq_pool = b"".join(seq_parts)
-    cig_ops = "".join(ops_parts).encode("latin1")
-    cig_lens = np.asarray(lens_all, np.int32)
+    return dict(P=P, seq_pool=b"".join(seq_parts), seq_off=seq_off,
+                seq_len=seq_len, p_start=p_start, p_stop=p_stop,
+                cig_ops="".join(ops_parts).encode("latin1"),
+                cig_lens=np.asarray(lens_all, np.int32),
+                cig_off=cig_off, cig_cnt=cig_cnt)
+
+
+def seed_scan_native(cols, rep_starts, rep_ends, hap_start, hap_end,
+                     min_seed_dist):
+    """Batched seed-base selection (native seed_scan; semantics
+    pipeline/genotyper.py calc_seed_base, reference HapAligner.cpp:238-318).
+    Returns int64 seeds per pool (-2 invalid-seed, -3 bad CIGAR) or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "seed_scan"):
+        return None
+    import numpy as np
+    P = cols["P"]
+    seeds = np.empty(P, np.int64)
+    if P == 0:
+        return seeds
+    rs = np.asarray(rep_starts, np.int64)
+    re_ = np.asarray(rep_ends, np.int64)
+    rc = lib.seed_scan(
+        P, cols["p_start"].ctypes.data, cols["seq_len"].ctypes.data,
+        cols["cig_ops"], cols["cig_lens"].ctypes.data,
+        cols["cig_off"].ctypes.data, cols["cig_cnt"].ctypes.data,
+        len(rs), rs.ctypes.data, re_.ctypes.data,
+        int(hap_start), int(hap_end), int(min_seed_dist),
+        seeds.ctypes.data)
+    if rc != 0:
+        return None
+    return seeds
+
+
+def spec_scan_native(cols, ps_counts, repeat_blocks, flank_blocks):
+    """One native call for a locus's speculative-candidate predictors
+    (native/spec_scan.cpp; semantics pipeline/genotyper.py
+    _build_speculative_haplotype/_predict_flank_candidates).
+
+    cols: pool_columns() marshal of the pooled reads;
+    ps_counts: [P, S] per-pool per-sample read weights;
+    repeat_blocks: list of (block_index, start, end, period, option_seqs);
+    flank_blocks: list of (block_index, start, ref_seq).
+
+    Returns ({block_index: {cand: support}}, {block_index: {...}}) or None.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "spec_scan"):
+        return None
+    import numpy as np
+    P = cols["P"]
+    S = ps_counts.shape[1] if P else 0
+    if P == 0 or (not repeat_blocks and not flank_blocks):
+        return {}, {}
+    seq_pool = cols["seq_pool"]
+    seq_off = cols["seq_off"]
+    seq_len = cols["seq_len"]
+    p_start = cols["p_start"]
+    p_stop = cols["p_stop"]
+    cig_ops = cols["cig_ops"]
+    cig_lens = cols["cig_lens"]
+    cig_off = cols["cig_off"]
+    cig_cnt = cols["cig_cnt"]
     ps = np.ascontiguousarray(ps_counts, np.int64)
 
     NRB = len(repeat_blocks)

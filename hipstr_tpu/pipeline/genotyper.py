@@ -320,11 +320,39 @@ class SeqStutterGenotyper:
                          for h in range(self.num_alleles)], dtype=np.int64)
 
     # ------------------------------------------------------- alignment + post
+    def _pool_columns(self):
+        """Cached columnar marshal of the pooled reads (immutable after
+        pooling); shared by the native seed and speculation scans."""
+        from .. import native as _native
+        cols = getattr(self, "_pool_cols", None)
+        if cols is None:
+            cols = self._pool_cols = _native.pool_columns(
+                self.pooler.pooled_alns)
+        return cols
+
     def _compute_seeds(self) -> None:
+        from .. import native as _native
         P = self.pooler.num_pools()
-        self.pool_seeds = np.full(P, -1, dtype=np.int64)
-        for p, aln in enumerate(self.pooler.pooled_alns):
-            self.pool_seeds[p] = calc_seed_base(aln, self.haplotype)
+        seeds = None
+        if P:
+            blocks = self.haplotype.blocks
+            rep_starts = [b.start for b in blocks if b.is_repeat]
+            rep_ends = [b.end for b in blocks if b.is_repeat]
+            seeds = _native.seed_scan_native(
+                self._pool_columns(), rep_starts, rep_ends,
+                blocks[0].start, blocks[-1].end, MIN_SEED_DIST)
+        if seeds is None:
+            self.pool_seeds = np.full(P, -1, dtype=np.int64)
+            for p, aln in enumerate(self.pooler.pooled_alns):
+                self.pool_seeds[p] = calc_seed_base(aln, self.haplotype)
+        else:
+            bad = np.nonzero(seeds < -1)[0]
+            if len(bad):     # mirror the per-read exceptions, first pool wins
+                if seeds[bad[0]] == -3:
+                    raise AssertionError(
+                        "Unrecognized CIGAR char in calc_seed_base")
+                raise RuntimeError("Invalid alignment seed")
+            self.pool_seeds = seeds
         self.seed_positions = self.pool_seeds[self.pool_index]
 
     def valid_pools(self):
@@ -437,7 +465,7 @@ class SeqStutterGenotyper:
         P = self.pooler.num_pools()
         ps_counts = np.bincount(self.pool_index * S + self.sample_label,
                                 minlength=P * S).reshape(P, S)
-        return _native.spec_scan_native(self.pooler.pooled_alns, ps_counts,
+        return _native.spec_scan_native(self._pool_columns(), ps_counts,
                                         repeat_blocks, flank_blocks)
 
     def _stutter_support_py(self, block):

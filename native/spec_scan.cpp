@@ -430,4 +430,98 @@ int32_t spec_scan(
   return em.overflow ? -1 : 0;
 }
 
+// Batched seed-base selection for the pooled reads (semantics
+// pipeline/genotyper.py calc_seed_base / calc_best_seed_position;
+// reference HapAligner.cpp:238-318).  seeds[i]: the seed base, or
+// -2 -> "Invalid alignment seed" (RuntimeError), -3 -> unrecognized CIGAR
+// op (AssertionError) — the caller re-raises to keep skip-and-continue
+// behavior identical.
+int32_t seed_scan(
+    int32_t P,
+    const int64_t* p_start, const int32_t* seq_len,
+    const char* cig_ops, const int32_t* cig_lens,
+    const int64_t* cig_off, const int32_t* cig_cnt,
+    int32_t n_rep, const int64_t* rep_start, const int64_t* rep_end,
+    int64_t hap_start, int64_t hap_end, int32_t min_seed_dist,
+    int64_t* seeds) {
+  auto best_seed_position = [&](int64_t region_start, int64_t region_end,
+                                int64_t* out_pos) {
+    int64_t best_dist = -1, best_pos = -1;
+    int64_t pos = region_start;
+    int32_t ri = 0;
+    while (ri < n_rep && pos <= region_end) {
+      if (pos < rep_start[ri]) {
+        const int64_t dist =
+            1 + (std::min(region_end, rep_start[ri] - 1) - pos) / 2;
+        if (dist >= best_dist) {
+          best_dist = dist;
+          best_pos = dist - 1 + pos;
+        }
+        pos = rep_end[ri];
+        ++ri;
+      } else if (pos < rep_end[ri]) {
+        pos = rep_end[ri];
+        ++ri;
+      } else {
+        ++ri;
+      }
+    }
+    if (pos <= region_end) {
+      const int64_t dist = 1 + (region_end - pos) / 2;
+      if (dist >= best_dist) {
+        best_dist = dist;
+        best_pos = dist - 1 + pos;
+      }
+    }
+    *out_pos = best_pos;
+    return best_dist;
+  };
+
+  for (int32_t p = 0; p < P; ++p) {
+    int64_t pos = p_start[p];
+    int64_t best_seed = -1, cur_base = 0, max_dist = min_seed_dist;
+    bool bad_op = false;
+    const char* ops = cig_ops + cig_off[p];
+    const int32_t* lens = cig_lens + cig_off[p];
+    for (int32_t e = 0; e < cig_cnt[p]; ++e) {
+      const char t = ops[e];
+      const int64_t num = lens[e];
+      if (t == '=') {
+        const int64_t min_region = std::max(pos, hap_start);
+        const int64_t max_region = std::min(pos + num - 1, hap_end - 1);
+        if (min_region <= max_region) {
+          int64_t dist_pos;
+          const int64_t dist =
+              best_seed_position(min_region, max_region, &dist_pos);
+          if (dist >= max_dist) {
+            max_dist = dist;
+            best_seed = cur_base + (dist_pos - pos);
+          }
+        }
+        pos += num;
+        cur_base += num;
+      } else if (t == 'I') {
+        cur_base += num;
+      } else if (t == 'X') {
+        pos += num;
+        cur_base += num;
+      } else if (t == 'D') {
+        pos += num;
+      } else {
+        bad_op = true;
+        break;
+      }
+    }
+    if (bad_op) {
+      seeds[p] = -3;
+    } else if (best_seed < -1 || best_seed == 0 ||
+               best_seed >= seq_len[p] - 1) {
+      seeds[p] = -2;
+    } else {
+      seeds[p] = best_seed;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"
