@@ -347,9 +347,12 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                 g.calc_log_sample_posteriors()
         g.prefetch_traces(trace_pool)
 
-    def advance(item) -> bool:
-        """Step one locus's adaptive loop; True when it needs another
-        batched realignment (item.arrays updated for the new haplotype)."""
+    def advance(item) -> str:
+        """Step one locus's adaptive loop: 'realign' when it needs another
+        batched dispatch (item.arrays updated for the new haplotype),
+        'emit' when genotyping succeeded (final-haplotype traces are
+        prefetched so the native DP overlaps other loci before the
+        deferred emit pass), 'done' otherwise."""
         g = item.genotyper
         with pipeline.timer.time("Genotyping (adaptive)"):
             if item.gen is None:
@@ -361,18 +364,18 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
             except StopIteration as stop:
                 aligner.finalize(item)
                 if stop.value:
-                    emit_record(item)
-                else:
-                    pipeline.counters.genotype_fail += 1
-                    settle(item.order)
-                return False
+                    g.prefetch_traces(trace_pool)
+                    return "emit"
+                pipeline.counters.genotype_fail += 1
+                settle(item.order)
+                return "done"
         with pipeline.timer.time("Locus packing"):
             seqs, quals, seeds = g.pool_inputs()
             item.arrays, item.statics = prepare_locus(
                 g.align_haplotype(), seqs, quals, seeds, opts.dtype,
                 post_meta=maybe_post_meta(g),
                 read_cache=g.__dict__.setdefault("_read_pack_cache", {}))
-        return True
+        return "realign"
 
     def _fetch_one(res):
         if isinstance(res, tuple):
@@ -426,12 +429,23 @@ def run_batched(pipeline, regions_bed: str, out_vcf: Optional[str],
                         settle(item.order)
                         pipeline.logger.log(
                             f"ERROR at {item.region}: {exc!r}")
+            emit_q: List[LocusWorkItem] = []
             for item in ready_items:
                 try:
-                    if advance(item):
+                    r = advance(item)
+                    if r == "realign":
                         realign.append(item)
+                    elif r == "emit":
+                        emit_q.append(item)
                 except Exception as exc:
                     aligner.finalize(item)
+                    pipeline.counters.genotype_fail += 1
+                    settle(item.order)
+                    pipeline.logger.log(f"ERROR at {item.region}: {exc!r}")
+            for item in emit_q:
+                try:
+                    emit_record(item)
+                except Exception as exc:
                     pipeline.counters.genotype_fail += 1
                     settle(item.order)
                     pipeline.logger.log(f"ERROR at {item.region}: {exc!r}")

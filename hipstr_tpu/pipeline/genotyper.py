@@ -978,8 +978,13 @@ class SeqStutterGenotyper:
         thread pool; the native batch releases the GIL, so it overlaps
         other loci's Python while this locus waits its turn.  Identical
         results to the synchronous path (retrace_rows collects)."""
-        if getattr(self, "_trace_future", None) is not None:
-            return
+        tf = getattr(self, "_trace_future", None)
+        if tf is not None:
+            if tf[0] is self.haplotype:
+                return
+            # stale prefetch for a haplotype the adaptive loop replaced:
+            # abandon it (results install only at collect time)
+            self._trace_future = None
         if self.log_aln_probs is None or self.log_post is None:
             return
         _, missing = self._trace_plan(superset=True)
