@@ -916,16 +916,21 @@ class SeqStutterGenotyper:
         (summary_stats_for) traces reads to the strand-weighted genotype
         hap, which can differ from the ML pick, and prefetching the
         superset keeps those off the main thread."""
-        haps_a, haps_b = self.get_optimal_haplotypes()
-        R = self.num_reads
-        ha = haps_a[self.sample_label]
-        hb = haps_b[self.sample_label]
-        ridx = np.arange(R)
-        v1 = LOG_ONE_HALF + self.log_p1 + self.log_aln_probs[ridx, ha]
-        v2 = LOG_ONE_HALF + self.log_p2 + self.log_aln_probs[ridx, hb]
-        best = np.where(v1 > v2, ha, hb).astype(np.int64)
-        valid = self.seed_positions >= 0
-        best[~valid] = -1
+        plan = getattr(self, "_plan_cache", None)
+        if plan is None:
+            # cached per posterior state (cleared by _invalidate_trace_view)
+            haps_a, haps_b = self.get_optimal_haplotypes()
+            R = self.num_reads
+            ha = haps_a[self.sample_label]
+            hb = haps_b[self.sample_label]
+            ridx = np.arange(R)
+            v1 = LOG_ONE_HALF + self.log_p1 + self.log_aln_probs[ridx, ha]
+            v2 = LOG_ONE_HALF + self.log_p2 + self.log_aln_probs[ridx, hb]
+            best = np.where(v1 > v2, ha, hb).astype(np.int64)
+            valid = self.seed_positions >= 0
+            best[~valid] = -1
+            plan = self._plan_cache = (best, ha, hb, valid)
+        best, ha, hb, valid = plan
 
         # unique (pool, hap) pairs among valid reads not yet in the store
         H = self.num_alleles
@@ -1055,6 +1060,7 @@ class SeqStutterGenotyper:
 
     def _invalidate_trace_view(self) -> None:
         self._view_cache = None
+        self._plan_cache = None
 
     def rev_strand_flags(self) -> np.ndarray:
         """Per-read reverse-strand flags (immutable after init; cached)."""
